@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the registered query corpus on local[N] at the
+configured scale factor and prints ONE JSON line with per-query seconds.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local parallelism (default all cores)
+  BENCH_QUERIES       comma-separated subset (default: all registered)
+  BENCH_REPEAT        timed repetitions per query, best-of (default 1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tidb_spark.queries import all_queries
+from tidb_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(match.group(1).rstrip(".")) if match else None
+
+    spark = get_spark("tidb-spark-bench")
+    registry = all_queries()
+    subset = os.environ.get("BENCH_QUERIES")
+    names = (
+        [n.strip() for n in subset.split(",") if n.strip()]
+        if subset
+        else sorted(registry)
+    )
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+
+    # Warm the JVM + parquet footers so q1 doesn't pay one-time costs.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        q = registry[name]
+        best = None
+        for _ in range(repeat):
+            start = time.perf_counter()
+            df = q.spark(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 4)
+        total += best
+
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_total_runtime",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
