@@ -1,1 +1,853 @@
-"""Filled in incrementally."""
+"""Relational operator coverage: joins (all types incl. null-safe), set ops,
+window functions (all three reference processors), sort/limit/offset, CTEs
+(incl. recursive), and the aggregate-function inventory.
+
+Reference inventory: SURVEY.md §2.3-§2.8 — joiner variants
+``executor/joiner.go:173-195``, set ops ``planner/core/
+logical_plan_builder.go:1433-1582``, WindowExec processors
+``executor/window.go:188-236``, CTEExec ``executor/cte.go:60``, aggregate
+functions ``executor/aggfuncs/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tidb_spark.catalog import load_table
+from tidb_spark.operators.cte import recursive_cte
+from tidb_spark.queries import register
+
+TOTALPRICE_DEC = "CAST(o_totalprice AS DECIMAL(15,2))"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Joins (executor/joiner.go variants; FULL OUTER is a Spark-native bonus —
+# absent from the reference's JoinType enum, planner/core/logical_plans.go:59).
+
+JOIN_NONEQUI_ORACLE = """
+SELECT o_orderkey, l_linenumber,
+       CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
+FROM orders JOIN lineitem
+  ON o_orderkey = l_orderkey AND l_extendedprice > o_totalprice * 0.5
+WHERE o_orderkey < 500
+ORDER BY o_orderkey, l_linenumber
+"""
+
+
+@register("join_inner_nonequi", oracle=JOIN_NONEQUI_ORACLE, tags=("join",))
+def join_inner_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join + residual non-equi condition (reference: otherConditions on
+    HashJoinExec, executor/join.go)."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            lineitem,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_extendedprice") > F.col("o_totalprice") * 0.5),
+        )
+        .select(
+            "o_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        )
+        .orderBy("o_orderkey", "l_linenumber")
+    )
+
+
+JOIN_LEFT_OUTER_ORACLE = """
+SELECT c_custkey, o_orderkey
+FROM customer LEFT OUTER JOIN (
+  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+) recent ON c_custkey = o_custkey
+WHERE c_custkey < 200
+ORDER BY c_custkey, o_orderkey
+"""
+
+
+@register("join_left_outer", oracle=JOIN_LEFT_OUTER_ORACLE, tags=("join",))
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER JOIN with NULL-extended misses."""
+    customer = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.expr("TIMESTAMP '2001-06-01 00:00:00'")
+    )
+    return (
+        customer.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .select("c_custkey", "o_orderkey")
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+JOIN_RIGHT_OUTER_ORACLE = """
+SELECT o_orderkey, c_custkey
+FROM (
+  SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
+) b RIGHT OUTER JOIN (
+  SELECT * FROM orders WHERE o_orderkey < 300
+) o ON c_custkey = o_custkey
+ORDER BY o_orderkey
+"""
+
+
+@register("join_right_outer", oracle=JOIN_RIGHT_OUTER_ORACLE, tags=("join",))
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    building = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 300)
+    return (
+        building.join(orders, F.col("c_custkey") == F.col("o_custkey"), "right_outer")
+        .select("o_orderkey", "c_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
+JOIN_FULL_OUTER_ORACLE = """
+SELECT a.k AS left_k, b.k AS right_k
+FROM (SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0 AND c_custkey < 150) a
+FULL OUTER JOIN
+     (SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0 AND c_custkey < 150) b
+  ON a.k = b.k
+ORDER BY left_k, right_k
+"""
+
+
+@register("join_full_outer", oracle=JOIN_FULL_OUTER_ORACLE, tags=("join",))
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN — beyond reference parity (its JoinType enum has no
+    full outer, planner/core/logical_plans.go:59-76); native in Spark."""
+    customer = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 150)
+    a = customer.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("left_k")
+    )
+    b = customer.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("right_k")
+    )
+    return (
+        a.join(b, F.col("left_k") == F.col("right_k"), "full_outer")
+        .select("left_k", "right_k")
+        .orderBy("left_k", "right_k")
+    )
+
+
+JOIN_NULL_SAFE_ORACLE = """
+SELECT a.o_orderkey AS k1, b.o_orderkey AS k2
+FROM (SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS s FROM orders WHERE o_orderkey < 60) a
+JOIN (SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS s FROM orders WHERE o_orderkey < 60) b
+  ON a.s IS NOT DISTINCT FROM b.s AND a.o_orderkey < b.o_orderkey
+ORDER BY k1, k2
+"""
+
+
+@register("join_null_safe", oracle=JOIN_NULL_SAFE_ORACLE, tags=("join",))
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join — MySQL ``<=>`` (reference builtin_compare.go)
+    → Spark ``eqNullSafe``; NULL keys match each other."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 60)
+    side = orders.select(
+        "o_orderkey", F.expr("NULLIF(o_orderstatus, 'P')").alias("s")
+    )
+    a = side.select(F.col("o_orderkey").alias("k1"), F.col("s").alias("s1"))
+    b = side.select(F.col("o_orderkey").alias("k2"), F.col("s").alias("s2"))
+    return (
+        a.join(b, F.col("s1").eqNullSafe(F.col("s2")) & (F.col("k1") < F.col("k2")))
+        .select("k1", "k2")
+        .orderBy("k1", "k2")
+    )
+
+
+JOIN_CROSS_ORACLE = """
+SELECT r1.r_name AS name1, r2.r_name AS name2
+FROM region r1 CROSS JOIN region r2
+ORDER BY name1, name2
+"""
+
+
+@register("join_cross", oracle=JOIN_CROSS_ORACLE, tags=("join",))
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    return (
+        region.select(F.col("r_name").alias("name1"))
+        .crossJoin(region.select(F.col("r_name").alias("name2")))
+        .orderBy("name1", "name2")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (§2.7): UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL].
+
+SETOP_UNION_ORACLE = """
+SELECT k FROM (
+  SELECT c_nationkey AS k FROM customer WHERE c_custkey < 100
+  UNION
+  SELECT n_nationkey AS k FROM nation WHERE n_nationkey >= 20
+) u ORDER BY k
+"""
+
+
+@register("setop_union_distinct", oracle=SETOP_UNION_ORACLE, tags=("setop",))
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT = union + dedup agg (reference buildSetOpr,
+    logical_plan_builder.go:1433)."""
+    a = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 100)
+        .select(F.col("c_nationkey").alias("k"))
+    )
+    b = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_nationkey") >= 20)
+        .select(F.col("n_nationkey").alias("k"))
+    )
+    return a.union(b).distinct().orderBy("k")
+
+
+SETOP_UNION_ALL_ORACLE = """
+SELECT k, COUNT(*) AS cnt FROM (
+  SELECT l_returnflag AS k FROM lineitem WHERE l_orderkey < 400
+  UNION ALL
+  SELECT o_orderstatus AS k FROM orders WHERE o_orderkey < 400
+) u GROUP BY k ORDER BY k
+"""
+
+
+@register("setop_union_all", oracle=SETOP_UNION_ALL_ORACLE, tags=("setop",))
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL preserves duplicates (UnionExec, executor/executor.go:1497)."""
+    a = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 400)
+        .select(F.col("l_returnflag").alias("k"))
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 400)
+        .select(F.col("o_orderstatus").alias("k"))
+    )
+    return a.unionAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).orderBy("k")
+
+
+SETOP_INTERSECT_ORACLE = """
+SELECT c_custkey AS k FROM customer WHERE c_custkey < 300
+INTERSECT
+SELECT o_custkey AS k FROM orders
+ORDER BY k
+"""
+
+
+@register("setop_intersect", oracle=SETOP_INTERSECT_ORACLE, tags=("setop",))
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — the reference lowers it to a semi join (buildIntersect,
+    logical_plan_builder.go:1546); Spark's intersect does the same."""
+    a = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 300)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return a.intersect(b).orderBy("k")
+
+
+SETOP_EXCEPT_ORACLE = """
+SELECT c_custkey AS k FROM customer WHERE c_custkey < 300
+EXCEPT
+SELECT o_custkey AS k FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+ORDER BY k
+"""
+
+
+@register("setop_except", oracle=SETOP_EXCEPT_ORACLE, tags=("setop",))
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT → anti join (buildExcept, logical_plan_builder.go:1476).
+    Subtracts customers with 2001+ orders (every customer has *some* order in
+    this fixture, so the unrestricted version would be empty)."""
+    a = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 300)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.expr("TIMESTAMP '2001-01-01 00:00:00'"))
+        .select(F.col("o_custkey").alias("k"))
+    )
+    return a.subtract(b).orderBy("k")
+
+
+SETOP_INTERSECT_ALL_ORACLE = """
+SELECT k, COUNT(*) AS cnt FROM (
+  SELECT o_custkey AS k FROM orders WHERE o_orderkey < 2000
+  INTERSECT ALL
+  SELECT o_custkey AS k FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+) i GROUP BY k ORDER BY k
+"""
+
+
+@register("setop_intersect_all", oracle=SETOP_INTERSECT_ALL_ORACLE, tags=("setop",))
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics) — Spark-native intersectAll."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderkey") < 2000).select(
+        F.col("o_custkey").alias("k")
+    )
+    b = orders.where(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000)
+    ).select(F.col("o_custkey").alias("k"))
+    return (
+        a.intersectAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (§2.5) — all three reference processors:
+# aggWindowProcessor (whole partition), rowFrame, rangeFrame
+# (executor/window.go:188-236).
+
+WINDOW_RANK_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER()   OVER w AS rn,
+       RANK()         OVER w AS rnk,
+       DENSE_RANK()   OVER w AS drnk,
+       CAST(PERCENT_RANK() OVER w AS DOUBLE) AS prnk,
+       CAST(CUME_DIST()    OVER w AS DOUBLE) AS cd,
+       NTILE(4)       OVER w AS nt
+FROM orders
+WHERE o_custkey < 40
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("window_rank_family", oracle=WINDOW_RANK_ORACLE, tags=("window",))
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank/percent_rank/cume_dist/ntile (reference
+    impls: executor/aggfuncs/row_number.go, func_rank.go, func_cume_dist.go,
+    func_percent_rank.go, func_ntile.go)."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 40)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).cast("double").alias("prnk"),
+        F.cume_dist().over(w).cast("double").alias("cd"),
+        F.ntile(4).over(w).alias("nt"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+WINDOW_LEAD_LAG_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       LAG(o_orderkey)      OVER w AS prev_key,
+       LEAD(o_orderkey)     OVER w AS next_key,
+       LAG(o_orderkey, 2, -1) OVER w AS prev2_key,
+       FIRST_VALUE(o_orderkey) OVER w AS first_key,
+       LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+       NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+FROM orders
+WHERE o_custkey < 40
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("window_lead_lag", oracle=WINDOW_LEAD_LAG_ORACLE, tags=("window",))
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag (with default), first/last/nth value (func_lead_lag.go,
+    func_value.go)."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 40)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.lag("o_orderkey", 2, -1).over(w).alias("prev2_key"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+WINDOW_ROWS_FRAME_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER w AS DOUBLE) AS moving_sum,
+       COUNT(*) OVER w AS frame_rows
+FROM orders
+WHERE o_custkey < 40
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("window_rows_frame", oracle=WINDOW_ROWS_FRAME_ORACLE, tags=("window",))
+def window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frame moving aggregate (rowFrameWindowProcessor,
+    executor/window.go:206)."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 40)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+        .over(w)
+        .cast("double")
+        .alias("moving_sum"),
+        F.count(F.lit(1)).over(w).alias("frame_rows"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+WINDOW_RANGE_FRAME_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS near_cnt
+FROM orders
+WHERE o_custkey < 40
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("window_range_frame", oracle=WINDOW_RANGE_FRAME_ORACLE, tags=("window",))
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric order key (rangeFrameWindowProcessor,
+    executor/window.go:217)."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 40)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rangeBetween(-500, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("near_cnt"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+WINDOW_PARTITION_AGG_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+         AS cust_total,
+       CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE)
+         / CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+         AS share
+FROM orders
+WHERE o_custkey < 40
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("window_partition_agg", oracle=WINDOW_PARTITION_AGG_ORACLE, tags=("window",))
+def window_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition aggregate window, no ORDER BY (aggWindowProcessor,
+    executor/window.go:188)."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 40)
+    w = Window.partitionBy("o_custkey")
+    total = (
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)")).over(w).cast("double")
+    )
+    own = F.col("o_totalprice").cast("decimal(15,2)").cast("double")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        total.alias("cust_total"),
+        (own / total).alias("share"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / offset / distinct / sample (§2.6, §2.1).
+
+LIMIT_OFFSET_ORACLE = """
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15 OFFSET 10
+"""
+
+
+@register("limit_offset", oracle=LIMIT_OFFSET_ORACLE, tags=("sort",))
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + OFFSET + LIMIT (LimitExec with offset,
+    executor/executor.go:1064)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(10)
+        .limit(15)
+    )
+
+
+DISTINCT_ORACLE = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("distinct_op", oracle=DISTINCT_ORACLE, tags=("agg",))
+def distinct_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SAMPLE_ORACLE = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_orderkey % 20 = 3
+ORDER BY o_orderkey
+"""
+
+
+@register("sample_deterministic", oracle=SAMPLE_ORACLE, tags=("scan",))
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sample — the oracle-checkable analogue of
+    TABLESAMPLE REGIONS() (executor/sample.go:42); Spark's df.sample covers
+    the probabilistic path but is seed-engine-specific."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderkey") % 20 == 3)
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregate-function inventory (§2.4).
+
+AGG_GROUP_CONCAT_ORACLE = """
+SELECT l_returnflag,
+       (SELECT string_agg(s, ',' ORDER BY s)
+        FROM (SELECT DISTINCT l_linestatus AS s FROM lineitem li
+              WHERE li.l_returnflag = l.l_returnflag) d) AS statuses
+FROM (SELECT DISTINCT l_returnflag FROM lineitem) l
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_group_concat", oracle=AGG_GROUP_CONCAT_ORACLE, tags=("agg",))
+def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP_CONCAT(DISTINCT ... ORDER BY ...) (func_group_concat.go) →
+    concat_ws over sort_array(collect_set)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias(
+                "statuses"
+            )
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_BIT_OPS_ORACLE = """
+SELECT o_custkey,
+       BIT_AND(o_orderkey) AS band,
+       BIT_OR(o_orderkey)  AS bor,
+       BIT_XOR(o_orderkey) AS bxor
+FROM orders
+WHERE o_custkey < 30
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@register("agg_bit_ops", oracle=AGG_BIT_OPS_ORACLE, tags=("agg",))
+def agg_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bit_and/bit_or/bit_xor aggregates (func_bitfuncs.go)."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 30)
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.expr("BIT_AND(o_orderkey)").alias("band"),
+            F.expr("BIT_OR(o_orderkey)").alias("bor"),
+            F.expr("BIT_XOR(o_orderkey)").alias("bxor"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# Variance/stddev via exact decimal moments: both engines evaluate the same
+# double expression over exact decimal sums, so results are bit-identical
+# (Spark's native var_pop uses a different merge order than DuckDB's — fine
+# numerically, but not hash-identical; the capability parity is the formula).
+_MOMENTS = (
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE)",
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE)",
+)
+AGG_VAR_STDDEV_ORACLE = f"""
+SELECT l_returnflag,
+       ({_MOMENTS[0]} - {_MOMENTS[1]} * {_MOMENTS[1]} / COUNT(*)) / COUNT(*) AS var_pop,
+       ({_MOMENTS[0]} - {_MOMENTS[1]} * {_MOMENTS[1]} / COUNT(*)) / (COUNT(*) - 1) AS var_samp,
+       SQRT(({_MOMENTS[0]} - {_MOMENTS[1]} * {_MOMENTS[1]} / COUNT(*)) / COUNT(*)) AS stddev_pop,
+       SQRT(({_MOMENTS[0]} - {_MOMENTS[1]} * {_MOMENTS[1]} / COUNT(*)) / (COUNT(*) - 1)) AS stddev_samp
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_var_stddev", oracle=AGG_VAR_STDDEV_ORACLE, tags=("agg",))
+def agg_var_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """var_pop/var_samp/stddev_pop/stddev_samp (func_varpop.go) computed from
+    exact decimal moments for cross-engine determinism."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    m2, m1 = _MOMENTS
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.expr(f"({m2} - {m1} * {m1} / COUNT(*)) / COUNT(*)").alias("var_pop"),
+            F.expr(f"({m2} - {m1} * {m1} / COUNT(*)) / (COUNT(*) - 1)").alias(
+                "var_samp"
+            ),
+            F.expr(f"SQRT(({m2} - {m1} * {m1} / COUNT(*)) / COUNT(*))").alias(
+                "stddev_pop"
+            ),
+            F.expr(
+                f"SQRT(({m2} - {m1} * {m1} / COUNT(*)) / (COUNT(*) - 1))"
+            ).alias("stddev_samp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_COUNT_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS distinct_supp,
+       COUNT(DISTINCT l_partkey) AS distinct_part,
+       COUNT(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_count_distinct", oracle=AGG_COUNT_DISTINCT_ORACLE, tags=("agg",))
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate (func_count_distinct.go;
+    the reference falls back to single-threaded agg for these — Spark expands
+    to expand+two-phase agg instead)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("distinct_supp"),
+            F.countDistinct("l_partkey").alias("distinct_part"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_MINMAX_FIRST_ORACLE = """
+SELECT o_custkey,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       ARG_MIN(o_orderdate, o_orderkey) AS first_order_date,
+       MIN(o_orderkey) AS first_order_key
+FROM orders
+WHERE o_custkey < 50
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@register("agg_minmax_first", oracle=AGG_MINMAX_FIRST_ORACLE, tags=("agg",))
+def agg_minmax_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max + deterministic firstrow analogue via min_by (reference
+    func_first_row.go is order-dependent; min_by makes it deterministic)."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min_by("o_orderdate", "o_orderkey").alias("first_order_date"),
+            F.min("o_orderkey").alias("first_order_key"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+AGG_PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       CAST(quantile_cont(l_quantity, 0.5)  AS DOUBLE) AS median_qty,
+       CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS p25_qty,
+       CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS p75_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_percentile", oracle=AGG_PERCENTILE_ORACLE, tags=("agg",))
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile (continuous interpolation) — reference
+    approx_percentile (func_percentile.go:50) is sketch-based; the exact
+    variant is the oracle-checkable one.  l_quantity is integral so the
+    interpolation arithmetic is FP-exact in both engines."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.expr("CAST(percentile(l_quantity, 0.5) AS DOUBLE)").alias("median_qty"),
+            F.expr("CAST(percentile(l_quantity, 0.25) AS DOUBLE)").alias("p25_qty"),
+            F.expr("CAST(percentile(l_quantity, 0.75) AS DOUBLE)").alias("p75_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("agg_approx_sketches", oracle=None, tags=("agg", "approx"))
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++ vs the reference's hash-sample sketch,
+    func_count_distinct.go:491) and percentile_approx (vs func_percentile.go).
+    Sketch outputs are engine-specific → rows-only check; exact counterparts
+    are oracle-checked in agg_count_distinct / agg_percentile."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("agg_rollup", oracle=AGG_ROLLUP_ORACLE, tags=("agg",))
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — beyond reference parity (no GROUPING SETS support
+    there, SURVEY §2.4); native in Spark."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE)"
+            ).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CTEs (§2.8).
+
+CTE_NONRECURSIVE_ORACLE = """
+WITH big_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+)
+SELECT c_mktsegment, COUNT(*) AS big_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS total_orders
+FROM big_cust JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("cte_nonrecursive", oracle=CTE_NONRECURSIVE_ORACLE, tags=("cte",))
+def cte_nonrecursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-recursive CTE referenced once; Catalyst inlines it (the reference
+    materializes via CTEExec only when recursive or multiply-referenced)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 15)
+    )
+    return (
+        big_cust.join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("big_customers"),
+            F.sum("n_orders").cast("bigint").alias("total_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+CTE_RECURSIVE_ORACLE = """
+WITH RECURSIVE e_knows AS (
+  SELECT a.o_custkey AS src, b.o_custkey AS dst
+  FROM orders a JOIN orders b ON a.o_orderkey = b.o_orderkey - 1
+  WHERE a.o_custkey <> b.o_custkey
+), reach(id, depth) AS (
+  SELECT c_custkey AS id, 0 AS depth FROM customer WHERE c_custkey < 5
+  UNION
+  SELECT e.dst AS id, r.depth + 1 AS depth
+  FROM reach r JOIN e_knows e ON e.src = r.id
+  WHERE r.depth < 3
+)
+SELECT depth, COUNT(*) AS n_reached FROM (
+  SELECT id, MIN(depth) AS depth FROM reach GROUP BY id
+) m GROUP BY depth ORDER BY depth
+"""
+
+
+@register("cte_recursive", oracle=CTE_RECURSIVE_ORACLE, tags=("cte", "graph"))
+def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (CTEExec fixpoint, executor/cte.go:38-60) as a
+    driver-side iteration: 3-hop BFS reachability over the e_knows graph with
+    UNION-DISTINCT visited semantics, then min-depth per vertex."""
+    from tidb_spark.catalog import graph_views, load_all
+
+    tables = load_all(spark, sf_dir)
+    e_knows = graph_views(tables)["e_knows"]
+    seed = (
+        tables["customer"]
+        .where(F.col("c_custkey") < 5)
+        .select(F.col("c_custkey").alias("id"), F.lit(0).alias("depth"))
+    )
+
+    def step(frontier: DataFrame) -> DataFrame:
+        return (
+            frontier.where(F.col("depth") < 3)
+            .join(e_knows, frontier["id"] == e_knows["src"])
+            .select(F.col("dst").alias("id"), (F.col("depth") + 1).alias("depth"))
+        )
+
+    reach = recursive_cte(seed, step, distinct_keys=["id"])
+    return (
+        reach.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_reached"))
+        .orderBy("depth")
+    )
