@@ -1,0 +1,118 @@
+"""ANY SHORTEST path: distributed BFS over DataFrames.
+
+Reference: ``GraphAnyShortestExec`` (``executor/graph_shortest.go:21``) runs
+one sequential BFS per source row (``computeShortest`` ``:141-190``) with a
+predecessor map, emitting src row + path string (``"[1,2,3]"`` or
+``"Unreachable"``, ``deliverRes`` ``:90-111``) + dst row for every
+(source, destination) pair.
+
+Here all sources run in ONE distributed BFS: the frontier DataFrame carries
+``(root, id, path)`` and each round is frontier ⋈ edges → dedup → anti-join
+visited.  Determinism: the reference's "any" path depends on storage-key
+iteration order; we canonicalize to the lexicographically-smallest shortest
+path (per-round ``min(path)`` per (root, vertex) — the min of concatenations
+is the concatenation of mins, so per-round propagation is globally correct).
+
+Scale (100 TB): the per-round work is an equi-join shuffle-partitioned on the
+frontier id; ``localCheckpoint`` truncates lineage each round; ``max_hops``
+bounds the iteration (unbounded BFS on a 100 TB edge set is a driver-side
+loop whose round count — not data volume — is the limiting factor).  Path
+arrays make the frontier rows wide; for huge graphs swap the ``path`` column
+for a predecessor table and reconstruct afterwards — same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tidb_spark.graph.model import EdgeTable
+
+UNREACHABLE = "Unreachable"
+
+
+def bfs_min_paths(
+    sources: DataFrame,
+    edge: EdgeTable,
+    *,
+    max_hops: int = 30,
+) -> DataFrame:
+    """BFS from every row of ``sources`` (column ``root``) along OUT edges.
+
+    Returns (root, id, path array<bigint>, dist) for every reached vertex,
+    where path is the lexicographically-smallest shortest path root→id
+    (inclusive of both endpoints).
+    """
+    edges = edge.df.select(
+        F.col(edge.src_col).cast("long").alias("__src"),
+        F.col(edge.dst_col).cast("long").alias("__dst"),
+    )
+    seed = sources.select(
+        F.col("root").cast("long").alias("root"),
+        F.col("root").cast("long").alias("id"),
+        F.array(F.col("root").cast("long")).alias("path"),
+        F.lit(0).alias("dist"),
+    ).dropDuplicates(["root"])
+
+    visited = seed.localCheckpoint(eager=True)
+    frontier = visited
+
+    for hop in range(1, max_hops + 1):
+        expanded = (
+            frontier.join(edges, frontier["id"] == edges["__src"])
+            .select(
+                "root",
+                F.col("__dst").alias("id"),
+                F.concat(F.col("path"), F.array(F.col("__dst"))).alias("path"),
+            )
+            # Lexicographic-min concatenated path == concatenation of the min
+            # prefix, so the per-round min is globally correct.
+            .groupBy("root", "id")
+            .agg(F.min("path").alias("path"))
+            .withColumn("dist", F.lit(hop))
+            .join(
+                visited.select("root", "id"), on=["root", "id"], how="left_anti"
+            )
+            .localCheckpoint(eager=True)
+        )
+        if expanded.isEmpty():
+            break
+        visited = visited.unionByName(expanded).localCheckpoint(eager=True)
+        frontier = expanded
+    return visited
+
+
+def any_shortest(
+    sources: DataFrame,
+    destinations: DataFrame,
+    edge: EdgeTable,
+    *,
+    max_hops: int = 30,
+) -> DataFrame:
+    """All (source, destination) pairs with the canonical shortest path.
+
+    ``sources``/``destinations``: one column ``root`` / ``dst_id``.
+    Output: (src_id, dst_id, path string, dist; dist = -1 and
+    ``"Unreachable"`` when no path within ``max_hops``) — the path-string
+    format of ``deliverRes`` (graph_shortest.go:93-106).
+    """
+    reached = bfs_min_paths(sources, edge, max_hops=max_hops)
+    pairs = sources.select(F.col("root").cast("long").alias("src_id")).crossJoin(
+        destinations.select(F.col("dst_id").cast("long").alias("dst_id"))
+    )
+    hits = reached.select(
+        F.col("root").alias("src_id"),
+        F.col("id").alias("dst_id"),
+        "path",
+        "dist",
+    )
+    return pairs.join(hits, on=["src_id", "dst_id"], how="left_outer").select(
+        "src_id",
+        "dst_id",
+        F.when(F.col("path").isNull(), F.lit(UNREACHABLE))
+        .otherwise(
+            F.concat(F.lit("["), F.concat_ws(",", F.col("path")), F.lit("]"))
+        )
+        .alias("path"),
+        F.coalesce(F.col("dist"), F.lit(-1)).alias("dist"),
+    )

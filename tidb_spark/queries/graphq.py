@@ -1,1 +1,321 @@
-"""Filled in incrementally."""
+"""Graph MATCH / ANY SHORTEST query corpus (SURVEY §2.9).
+
+Mirrors the reference's graph tests (``executor/write_test.go:4246-4281``)
+over the FIXTURES.md derived graph: one-hop OUT/IN/BOTH with per-vertex and
+per-edge WHERE, multi-hop chains, implicit destinations, comma-path UNION
+ALL, and ANY SHORTEST with the ``[1,2,3]`` / ``Unreachable`` path format.
+
+Oracles inline the graph views as CTEs (the driver pre-registers only the 10
+base tables).  ANY SHORTEST determinism: canonicalized to the
+lexicographically-smallest shortest path (the reference's "any" is
+storage-order dependent); self-pairs get dist 0 / path ``[x]``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_spark.graph.match import match, union_paths
+from tidb_spark.graph.model import default_graph
+from tidb_spark.graph.shortest import any_shortest
+from tidb_spark.queries import register
+
+E_KNOWS_CTE = """e_knows AS (
+  SELECT a.o_custkey AS src, b.o_custkey AS dst
+  FROM orders a JOIN orders b ON a.o_orderkey = b.o_orderkey - 1
+  WHERE a.o_custkey <> b.o_custkey
+)"""
+
+E_ORDERED_CTE = """e_ordered AS (
+  SELECT o_custkey AS src, o_orderkey + 10000000 AS dst,
+         o_orderdate, o_totalprice
+  FROM orders
+)"""
+
+V_ORDER_CTE = """v_order AS (
+  SELECT o_orderkey + 10000000 AS id, o_orderstatus FROM orders
+)"""
+
+
+MATCH_OUT_ORACLE = f"""
+WITH {E_KNOWS_CTE}
+SELECT a.c_custkey AS src_id, b.c_custkey AS dst_id, b.c_mktsegment AS dst_segment
+FROM customer a
+JOIN e_knows e ON a.c_custkey = e.src
+JOIN customer b ON e.dst = b.c_custkey
+WHERE a.c_mktsegment = 'BUILDING' AND a.c_custkey < 100
+ORDER BY src_id, dst_id
+"""
+
+
+@register("graph_match_out", oracle=MATCH_OUT_ORACLE, tags=("graph",))
+def graph_match_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM MATCH (v_customer WHERE ...).OUT(e_knows).(v_customer) — one-hop
+    OUT expansion (executor/graph.go:210-232) as a join chain."""
+    g = default_graph(spark, sf_dir)
+    path = (
+        match(g)
+        .source(
+            "v_customer",
+            "a",
+            where=(F.col("a_c_mktsegment") == "BUILDING")
+            & (F.col("a_c_custkey") < 100),
+        )
+        .out("e_knows", "e")
+        .vertex("v_customer", "b")
+    )
+    return path.df().select(
+        F.col("a_c_custkey").alias("src_id"),
+        F.col("b_c_custkey").alias("dst_id"),
+        F.col("b_c_mktsegment").alias("dst_segment"),
+    ).orderBy("src_id", "dst_id")
+
+
+MATCH_IN_ORACLE = f"""
+WITH {E_ORDERED_CTE}, {V_ORDER_CTE}
+SELECT o.id AS order_vid, c.c_custkey AS cust_id, c.c_mktsegment
+FROM v_order o
+JOIN e_ordered e ON o.id = e.dst
+JOIN customer c ON e.src = c.c_custkey
+WHERE o.id < 10000300
+ORDER BY order_vid, cust_id
+"""
+
+
+@register("graph_match_in", oracle=MATCH_IN_ORACLE, tags=("graph",))
+def graph_match_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-direction expansion (reference scans the reverse GRAPH_EDGE_KEY
+    index, executor/graph.go:184-208; here the same join with sides
+    swapped)."""
+    g = default_graph(spark, sf_dir)
+    path = (
+        match(g)
+        .source("v_order", "o", where=F.col("o_id") < 10_000_300)
+        .in_("e_ordered", "e")
+        .vertex("v_customer", "c")
+    )
+    return path.df().select(
+        F.col("o_id").alias("order_vid"),
+        F.col("c_c_custkey").alias("cust_id"),
+        F.col("c_c_mktsegment").alias("c_mktsegment"),
+    ).orderBy("order_vid", "cust_id")
+
+
+MATCH_BOTH_ORACLE = f"""
+WITH {E_KNOWS_CTE}
+SELECT e1.src AS src_id, e1.dst AS dst_id
+FROM e_knows e1
+WHERE e1.src < 500
+  AND EXISTS (SELECT 1 FROM e_knows e2 WHERE e2.src = e1.dst AND e2.dst = e1.src)
+ORDER BY src_id, dst_id
+"""
+
+
+@register("graph_match_both", oracle=MATCH_BOTH_ORACLE, tags=("graph",))
+def graph_match_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH-direction: forward edges with a reverse twin
+    (executor/graph.go:234-265 probes reverse-edge existence per forward
+    edge; here a left-semi self-join).  Implicit destination → only the
+    destination id is exposed (hidden-column rule)."""
+    g = default_graph(spark, sf_dir)
+    path = (
+        match(g)
+        .source("v_customer", "a", where=F.col("a_c_custkey") < 500)
+        .both("e_knows", "e")
+    )
+    return path.df().select(
+        F.col("e_src").alias("src_id"),
+        F.col("e_dst").alias("dst_id"),
+    ).orderBy("src_id", "dst_id")
+
+
+MATCH_2HOP_ORACLE = f"""
+WITH {E_KNOWS_CTE}
+SELECT a.c_custkey AS a_id, b.c_custkey AS b_id, c.c_custkey AS c_id
+FROM customer a
+JOIN e_knows e1 ON a.c_custkey = e1.src
+JOIN customer b ON e1.dst = b.c_custkey
+JOIN e_knows e2 ON b.c_custkey = e2.src
+JOIN customer c ON e2.dst = c.c_custkey
+WHERE a.c_custkey < 20 AND b.c_acctbal > 0 AND c.c_custkey <> a.c_custkey
+ORDER BY a_id, b_id, c_id
+"""
+
+
+@register("graph_match_2hop", oracle=MATCH_2HOP_ORACLE, tags=("graph",))
+def graph_match_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop chain with a mid-vertex filter and an endpoint inequality
+    (buildGraphPathSimple chains Selections between edge scans,
+    logical_plan_builder.go:6579-6708)."""
+    g = default_graph(spark, sf_dir)
+    path = (
+        match(g)
+        .source("v_customer", "a", where=F.col("a_c_custkey") < 20)
+        .out("e_knows", "e1")
+        .vertex("v_customer", "b", where=F.col("b_c_acctbal") > 0)
+        .out("e_knows", "e2")
+        .vertex("v_customer", "c")
+    )
+    return (
+        path.df()
+        .where(F.col("c_c_custkey") != F.col("a_c_custkey"))
+        .select(
+            F.col("a_c_custkey").alias("a_id"),
+            F.col("b_c_custkey").alias("b_id"),
+            F.col("c_c_custkey").alias("c_id"),
+        )
+        .orderBy("a_id", "b_id", "c_id")
+    )
+
+
+MATCH_MULTIPATH_ORACLE = f"""
+WITH {E_KNOWS_CTE}
+SELECT src_id, dst_id FROM (
+  SELECT a.c_custkey AS src_id, e.dst AS dst_id
+  FROM customer a JOIN e_knows e ON a.c_custkey = e.src
+  WHERE a.c_mktsegment = 'BUILDING' AND a.c_custkey < 300
+  UNION ALL
+  SELECT a.c_custkey AS src_id, e.dst AS dst_id
+  FROM customer a JOIN e_knows e ON a.c_custkey = e.src
+  WHERE a.c_mktsegment = 'MACHINERY' AND a.c_custkey < 300
+) u
+ORDER BY src_id, dst_id
+"""
+
+
+@register("graph_match_multipath", oracle=MATCH_MULTIPATH_ORACLE, tags=("graph",))
+def graph_match_multipath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comma-separated MATCH paths → UNION ALL (buildGraph,
+    logical_plan_builder.go:6484-6506)."""
+    g = default_graph(spark, sf_dir)
+
+    def path_for(segment: str):
+        return (
+            match(g)
+            .source(
+                "v_customer",
+                "a",
+                where=(F.col("a_c_mktsegment") == segment)
+                & (F.col("a_c_custkey") < 300),
+            )
+            .out("e_knows", "e")
+        )
+
+    unioned = union_paths(path_for("BUILDING"), path_for("MACHINERY"))
+    return unioned.select(
+        F.col("a_c_custkey").alias("src_id"), F.col("e_dst").alias("dst_id")
+    ).orderBy("src_id", "dst_id")
+
+
+MATCH_EDGE_PROPS_ORACLE = f"""
+WITH {E_ORDERED_CTE}, {V_ORDER_CTE}
+SELECT a.c_custkey AS src_id, o.id AS order_vid,
+       CAST(e.o_totalprice AS DOUBLE) AS totalprice
+FROM customer a
+JOIN e_ordered e ON a.c_custkey = e.src
+JOIN v_order o ON e.dst = o.id
+WHERE a.c_custkey < 500 AND e.o_totalprice > 300000 AND o.o_orderstatus = 'F'
+ORDER BY src_id, order_vid
+"""
+
+
+@register("graph_match_edge_props", oracle=MATCH_EDGE_PROPS_ORACLE, tags=("graph",))
+def graph_match_edge_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge WHERE (parser/parser.y:8993-9002) on an edge table with
+    properties, plus destination-vertex filter."""
+    g = default_graph(spark, sf_dir)
+    path = (
+        match(g)
+        .source("v_customer", "a", where=F.col("a_c_custkey") < 500)
+        .out("e_ordered", "e", where=F.col("e_o_totalprice") > 300_000)
+        .vertex("v_order", "o", where=F.col("o_o_orderstatus") == "F")
+    )
+    return path.df().select(
+        F.col("a_c_custkey").alias("src_id"),
+        F.col("o_id").alias("order_vid"),
+        F.col("e_o_totalprice").cast("double").alias("totalprice"),
+    ).orderBy("src_id", "order_vid")
+
+
+ANY_SHORTEST_ORACLE = f"""
+WITH RECURSIVE {E_KNOWS_CTE},
+walk(root, id, path, dist) AS (
+  SELECT c_custkey, c_custkey, [CAST(c_custkey AS BIGINT)], 0
+  FROM customer WHERE c_custkey < 3
+  UNION ALL
+  SELECT w.root, e.dst, list_append(w.path, CAST(e.dst AS BIGINT)), w.dist + 1
+  FROM walk w JOIN e_knows e ON e.src = w.id
+  WHERE w.dist < 4 AND NOT list_contains(w.path, CAST(e.dst AS BIGINT))
+),
+best AS (
+  SELECT root, id, path, dist,
+         ROW_NUMBER() OVER (PARTITION BY root, id ORDER BY dist, path) AS rn
+  FROM walk
+)
+SELECT s.root AS src_id, d.dst_id,
+       COALESCE('[' || array_to_string(b.path, ',') || ']', 'Unreachable') AS path,
+       COALESCE(b.dist, -1) AS dist
+FROM (SELECT c_custkey AS root FROM customer WHERE c_custkey < 3) s
+CROSS JOIN (SELECT c_custkey AS dst_id FROM customer
+            WHERE c_custkey BETWEEN 10 AND 13) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON b.root = s.root AND b.id = d.dst_id
+ORDER BY src_id, dst_id
+"""
+
+
+@register("graph_any_shortest", oracle=ANY_SHORTEST_ORACLE, tags=("graph", "bfs"))
+def graph_any_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY SHORTEST (v).OUT(e_knows).(v2): distributed BFS emitting the
+    reference's path-string format (graph_shortest.go:93-106), canonicalized
+    to the lexicographically-smallest shortest path, bounded at 4 hops."""
+    g = default_graph(spark, sf_dir)
+    customer = g.vertex("v_customer").df
+    sources = customer.where(F.col("c_custkey") < 3).select(
+        F.col("c_custkey").alias("root")
+    )
+    dsts = customer.where(F.col("c_custkey").between(10, 13)).select(
+        F.col("c_custkey").alias("dst_id")
+    )
+    return any_shortest(sources, dsts, g.edge("e_knows"), max_hops=4).orderBy(
+        "src_id", "dst_id"
+    )
+
+
+ANY_SHORTEST_LEN_ORACLE = f"""
+WITH RECURSIVE {E_KNOWS_CTE},
+reach(root, id, dist) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+  UNION
+  SELECT r.root, e.dst, r.dist + 1
+  FROM reach r JOIN e_knows e ON e.src = r.id
+  WHERE r.dist < 6
+),
+best AS (SELECT root, id, MIN(dist) AS dist FROM reach GROUP BY root, id)
+SELECT s.root AS src_id, d.dst_id, COALESCE(b.dist, -1) AS dist
+FROM (SELECT c_custkey AS root FROM customer WHERE c_custkey < 10) s
+CROSS JOIN (SELECT c_custkey AS dst_id FROM customer
+            WHERE c_custkey BETWEEN 100 AND 120) d
+LEFT JOIN best b ON b.root = s.root AND b.id = d.dst_id
+ORDER BY src_id, dst_id
+"""
+
+
+@register("graph_any_shortest_len", oracle=ANY_SHORTEST_LEN_ORACLE, tags=("graph", "bfs"))
+def graph_any_shortest_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path distances for a 10×21 source/destination grid,
+    bounded at 6 hops (-1 = unreachable)."""
+    g = default_graph(spark, sf_dir)
+    customer = g.vertex("v_customer").df
+    sources = customer.where(F.col("c_custkey") < 10).select(
+        F.col("c_custkey").alias("root")
+    )
+    dsts = customer.where(F.col("c_custkey").between(100, 120)).select(
+        F.col("c_custkey").alias("dst_id")
+    )
+    return (
+        any_shortest(sources, dsts, g.edge("e_knows"), max_hops=6)
+        .select("src_id", "dst_id", "dist")
+        .orderBy("src_id", "dst_id")
+    )
