@@ -1,0 +1,417 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are expressed as DataFrame ops (shuffles/joins, no driver-side
+loops, no Python row UDFs) so they scale to 100 TB corpora:
+
+- exact:        hash-groupBy on a normalized fingerprint (one shuffle).
+- n-gram Jaccard (exact near-dup): shingle inverted index → candidate pairs
+                (docs sharing ≥1 shingle) → exact Jaccard from distinct-
+                shingle counts.  The candidate join is the classic
+                posting-list self-join; hot shingles are the skew risk at
+                scale — cap posting length (drop ubiquitous shingles, they
+                carry no discriminative signal, standard practice).
+- MinHash+LSH:  k-shingles → H minhashes (array_min over JVM-side hash
+                transforms) → B bands → band-bucket join for candidates →
+                optional exact-Jaccard verification.  Scales as
+                O(candidates), not O(n²).
+- SimHash:      token-hash bit-vote signature; near-dups via banded
+                signature chunks + Hamming verification.
+
+Determinism: all hash constants are fixed; xxhash64 is Spark's stable
+64-bit hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: (x mod p)*a + b with a,b,x' < p stays < 2^62,
+# so the universal-hash arithmetic never overflows a signed 64-bit long.
+_MERSENNE_PRIME = (1 << 31) - 1
+
+
+def _hash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash family
+    h_i(x) = (a_i * x + b_i) mod p."""
+    params = []
+    state = seed
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (_MERSENNE_PRIME - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE_PRIME
+        params.append((a, b))
+    return params
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups on normalized text.
+
+    Returns (fingerprint, canonical_id, dup_count) per duplicate group —
+    one shuffle on the fingerprint hash."""
+    return (
+        df.select(
+            F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def char_shingles(col: Column, k: int = 8) -> Column:
+    """Distinct k-character shingles of the normalized text as an array
+    column.
+
+    WARNING — convenience form for small inputs only: Spark evaluates
+    higher-order-function lambdas interpreted (outside whole-stage codegen),
+    ~20µs/element.  The scale path is :func:`shingle_posting`, which
+    explodes positions first so substring+hash run codegen'd."""
+    normalized = normalize_text(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(normalized) - (k - 1), F.lit(1))),
+            lambda i: normalized.substr(i, F.lit(k)),
+        )
+    )
+
+
+def shingle_hashes(col: Column, k: int = 8) -> Column:
+    """Distinct xxhash64 values of the k-shingles (non-negative).  Same
+    small-input warning as :func:`char_shingles`."""
+    return F.array_distinct(
+        F.transform(char_shingles(col, k), lambda s: F.abs(F.xxhash64(s)))
+    )
+
+
+def shingle_posting(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    distinct: bool = True,
+    with_pos: bool = False,
+) -> DataFrame:
+    """(doc, g [, pos]) posting table of k-shingle hashes — the scale path.
+
+    Explode the position range FIRST, then substring+xxhash64 as top-level
+    expressions: Generate + projection stay inside whole-stage codegen
+    (~100× the throughput of the array higher-order-function form, whose
+    lambdas Spark evaluates interpreted).  ``distinct`` dedups (doc, g) via
+    a map-side-combined aggregate; keep it off for consumers that are
+    duplicate-insensitive (MinHash min)."""
+    normalized = df.select(
+        F.col(id_col).alias("doc"), normalize_text(F.col(text_col)).alias("t")
+    )
+    # Small-file inputs arrive as few partitions while the explode below
+    # fans out ~|text| rows per doc; spread docs across all cores first
+    # (cheap: only raw text moves).  Skipped when the scan already yields
+    # enough partitions — at scale this branch never triggers, so the full
+    # corpus is never gratuitously shuffled.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        normalized = normalized.repartition(sc.defaultParallelism, "doc")
+    pos = normalized.select(
+        "doc",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - (k - 1), F.lit(1)))
+        ).alias("pos"),
+    )
+    posting = pos.select(
+        "doc",
+        "pos",
+        F.abs(F.xxhash64(F.substring(F.col("t"), F.col("pos"), k))).alias("g"),
+    )
+    if not with_pos:
+        posting = posting.drop("pos")
+        if distinct:
+            posting = posting.dropDuplicates(["doc", "g"])
+    return posting
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    threshold: float = 0.4,
+    max_posting: int | None = 1000,
+) -> DataFrame:
+    """Exact near-duplicate pairs by k-shingle Jaccard ≥ threshold.
+
+    Inverted-index candidate generation followed by exact Jaccard from
+    distinct-shingle counts: jac = |A∩B| / (|A|+|B|-|A∩B|).  ``max_posting``
+    drops shingles appearing in more documents (skew guard at scale)."""
+    posting = shingle_posting(df, text_col, id_col, k=k, distinct=True)
+    sizes = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    if max_posting is not None:
+        hot = (
+            posting.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .where(F.col("df_count") > max_posting)
+            .select("g")
+        )
+        posting = posting.join(hot, on="g", how="left_anti")
+    a = posting.select(F.col("doc").alias("d1"), "g")
+    b = posting.select(F.col("doc").alias("d2"), "g")
+    common = (
+        a.join(b, on="g")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"doc": "d1", "n": "n1"}), on="d1")
+        .join(sizes.withColumnsRenamed({"doc": "d2", "n": "n2"}), on="d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("c").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("c")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(col: Column, *, k: int = 8, num_hashes: int = 32) -> Column:
+    """MinHash signature array: per hash function, the min over shingle
+    hashes of (a*x + b) mod p — all inside one JVM expression tree."""
+    hashes = shingle_hashes(col, k)
+
+    # Closure factory: PySpark infers HOF lambda arity from the Python
+    # signature, so the unary lambda must capture (a, b) from the factory
+    # scope rather than via default args.
+    def _perm(a: int, b: int):
+        return lambda x: (x % _MERSENNE_PRIME * a + b) % _MERSENNE_PRIME
+
+    sigs = [
+        F.array_min(F.transform(hashes, _perm(a, b)))
+        for a, b in _hash_params(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    num_hashes: int = 32,
+    posting: DataFrame | None = None,
+) -> DataFrame:
+    """(doc, sig) per document, via the posting table → groupBy.
+
+    Distributed formulation: the posting explode keeps every hash expression
+    tiny and codegen'd, min() is duplicate-insensitive so the posting skips
+    its dedup shuffle, and map-side partial aggregation collapses to one row
+    per doc before the shuffle — shuffle volume is docs × num_hashes longs,
+    independent of text size.  Pass ``posting`` to reuse an existing
+    (persisted) posting table instead of recomputing it."""
+    if posting is None:
+        posting = shingle_posting(df, text_col, id_col, k=k, distinct=False)
+    mins = posting.groupBy("doc").agg(
+        *[
+            F.min((F.col("g") % _MERSENNE_PRIME * a + b) % _MERSENNE_PRIME).alias(
+                f"h{i}"
+            )
+            for i, (a, b) in enumerate(_hash_params(num_hashes))
+        ]
+    )
+    return mins.select(
+        "doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float | None = 0.4,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding; optionally
+    verified with exact Jaccard.
+
+    rows = num_hashes // bands per band; two docs collide in a band iff all
+    row minhashes agree → P(candidate) ≈ 1-(1-j^r)^b.  The band join
+    shuffles on (band_id, band_hash) — no all-pairs comparison anywhere."""
+    rows = num_hashes // bands
+    # One persisted distinct posting feeds BOTH the signature min-agg and
+    # the Jaccard verification collect_set — the text is normalized, hashed
+    # and deduped exactly once.  The signature frame is persisted too, since
+    # it feeds both sides of the band self-join.  (Both persists are tiny
+    # next to the corpus: (doc, g) pairs and docs × 32 longs.)
+    posting = shingle_posting(df, text_col, id_col, k=k, distinct=True).persist()
+    sig = minhash_signatures(
+        df, text_col, id_col, k=k, num_hashes=num_hashes, posting=posting
+    ).persist()
+    # Band join carries ONLY (doc, band_id, band_hash) — never shingle
+    # payloads.  Shingle sets are built just for docs that appear in a
+    # candidate pair (semi-join-restricted collect_set) and joined once per
+    # unique pair.
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_id"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), band * rows + 1, rows)
+                        ).alias("band_hash"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_id", "band.band_hash")
+    a = banded.select(F.col("doc").alias("d1"), "band_id", "band_hash")
+    b = banded.select(F.col("doc").alias("d2"), "band_id", "band_hash")
+    cand = (
+        a.join(b, on=["band_id", "band_hash"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    in_cand = (
+        cand.select(F.col("d1").alias("doc"))
+        .union(cand.select(F.col("d2").alias("doc")))
+        .distinct()
+    )
+    sets = (
+        posting.join(in_cand, on="doc", how="left_semi")
+        .groupBy("doc")
+        .agg(F.collect_set("g").alias("shingles"))
+    )
+    cand = cand.join(
+        sets.withColumnsRenamed({"doc": "d1", "shingles": "s1"}), on="d1"
+    ).join(sets.withColumnsRenamed({"doc": "d2", "shingles": "s2"}), on="d2")
+    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
+    union = F.size(F.array_union("s1", "s2")).cast("double")
+    return (
+        cand.select("d1", "d2", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= verify_threshold)
+    )
+
+
+def simhash(col: Column, *, bits: int = 32) -> Column:
+    """SimHash: per bit, sign of the sum of ±1 votes from token hashes."""
+    tokens = F.split(normalize_text(col), " ")
+    token_hashes = F.transform(tokens, lambda t: F.abs(F.xxhash64(t)))
+
+    def _vote(bit: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(1 << bit)) != 0, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for i in range(bits):
+        votes = F.aggregate(token_hashes, F.lit(0).cast("long"), _vote(i))
+        bit_cols.append(
+            F.when(votes > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, *, bits: int = 32
+) -> DataFrame:
+    """(doc, sig) via explode tokens → groupBy doc → per-bit vote sums.
+
+    Same distributed shape as :func:`minhash_signatures`: small expressions,
+    map-side combine to one row per doc, shuffle = docs × bits ints."""
+    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism, "doc")
+    tok = base.select(
+        "doc",
+        F.explode(F.split(normalize_text(F.col("_txt")), " ")).alias("t"),
+    ).select("doc", F.abs(F.xxhash64("t")).alias("h"))
+    votes = tok.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0)
+        )
+    return votes.select("doc", sig.alias("sig"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    bits: int = 32,
+    chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs whose SimHash Hamming distance ≤ max_hamming; banded
+    by signature chunks so only docs agreeing on ≥1 chunk are compared."""
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    # Persisted for the same reason as in minhash_lsh_pairs: both sides of
+    # the chunk self-join reuse one signature computation.
+    sig = simhash_signatures(df, text_col, id_col, bits=bits).persist()
+    banded = sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("sig"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "sig", "c.chunk_id", "c.chunk_val")
+    a = banded.select(F.col("doc").alias("d1"), F.col("sig").alias("sig1"), "chunk_id", "chunk_val")
+    b = banded.select(F.col("doc").alias("d2"), F.col("sig").alias("sig2"), "chunk_id", "chunk_val")
+    return (
+        a.join(b, on=["chunk_id", "chunk_val"])
+        .where(F.col("d1") < F.col("d2"))
+        .dropDuplicates(["d1", "d2"])
+        .select(
+            "d1",
+            "d2",
+            F.bit_count(
+                F.col("sig1").bitwiseXOR(F.col("sig2"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,335 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers:
+
+- brute-force top-k: broadcast the query set, Arrow-batched numpy dot
+  product (pandas UDF), per-query top-k via window row_number.  O(n·q·d) —
+  the exact baseline; at 100 TB this is the verification path, not the
+  serving path.
+- LSH (random hyperplanes): sign-bit bucket key; candidates share a bucket
+  (multi-probe = several independent tables).  Turns the scan into a
+  bucket-join — the scale path.
+- IVF: coarse quantizer (deterministic centroid sample), probe the nearest
+  clusters only.  The partition-pruning analogue for vectors: cluster id is
+  the partition key at rest, so a query touches nprobe/nlist of the data.
+
+Vector math runs in pandas UDFs (Arrow batch → numpy einsum/matmul), NOT
+array higher-order functions: Spark evaluates HOF lambdas interpreted, per
+element — ~100× slower than a vectorized numpy kernel for dense float work.
+The Column-expression forms (:func:`dot`, :func:`cosine`, …) are kept as
+single-expression conveniences for tiny arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
+
+from tidb_spark.data.dedup import _hash_params
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double, JVM-side (zip_with + aggregate fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def quantized_dot(a: Column, b: Column, scale: int = 1_000_000) -> Column:
+    """Exact integer dot product of floor-quantized vectors — bit-identical
+    across engines (used by the correctness oracle; FP dot products are
+    order/fma-sensitive)."""
+    q = lambda v: F.floor(v.cast("double") * scale).cast("long")  # noqa: E731
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: q(x) * q(y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched scorers (the hot path).
+
+
+@pandas_udf(DoubleType())
+def dot_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    A = np.vstack(a.to_numpy()).astype(np.float64)
+    B = np.vstack(b.to_numpy()).astype(np.float64)
+    return pd.Series(np.einsum("ij,ij->i", A, B))
+
+
+@pandas_udf(DoubleType())
+def cosine_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    A = np.vstack(a.to_numpy()).astype(np.float64)
+    B = np.vstack(b.to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(np.einsum("ij,ij->i", B, B))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return pd.Series(np.where(den == 0, 0.0, num / den))
+
+
+def quantized_dot_pd(scale: int = 1_000_000):
+    """Factory: pandas UDF computing the exact int64 dot of floor-quantized
+    vectors — bit-identical to the SQL `floor(cast(x as double)*scale)`
+    oracle formulation (float32 widens to float64 exactly)."""
+
+    @pandas_udf(LongType())
+    def _q(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.floor(np.vstack(a.to_numpy()).astype(np.float64) * scale).astype(
+            np.int64
+        )
+        B = np.floor(np.vstack(b.to_numpy()).astype(np.float64) * scale).astype(
+            np.int64
+        )
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return _q
+
+
+def allpairs_cosine_above(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """All pairs (v1 < v2) with cosine ≥ threshold_num/threshold_den, in
+    exact integer arithmetic on floor-quantized vectors.
+
+    Block-broadcast design: the quantized matrix is broadcast once; each
+    partition of the outer side computes an int64 block matmul against it
+    (mapInPandas), emitting only passing pairs — pair arrays never hit a
+    shuffle.  Exactness bound: dims·scale²·max(num,den)² must stay < 2^63.
+    Scales to ~10⁷ vectors per broadcast block; beyond that, tile the inner
+    side into multiple broadcast blocks (outer loop) or switch to the LSH
+    path."""
+    spark = SparkSession.getActiveSession()
+    pdf = vectors.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy().astype(np.int64)
+    M = np.floor(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * scale).astype(
+        np.int64
+    )
+    norms2 = np.einsum("ij,ij->i", M, M)
+    bc = spark.sparkContext.broadcast((ids, M, norms2))
+    num2, den2 = threshold_num * threshold_num, threshold_den * threshold_den
+
+    def gen(batches):
+        b_ids, b_m, b_n2 = bc.value
+        for pdf_blk in batches:
+            A = np.floor(
+                np.vstack(pdf_blk[vec_col].to_numpy()).astype(np.float64) * scale
+            ).astype(np.int64)
+            a_ids = pdf_blk[id_col].to_numpy().astype(np.int64)
+            a_n2 = np.einsum("ij,ij->i", A, A)
+            D = A @ b_m.T  # exact int64 block matmul
+            ok = (
+                (a_ids[:, None] < b_ids[None, :])
+                & (D > 0)
+                & (D * D * den2 >= num2 * a_n2[:, None] * b_n2[None, :])
+            )
+            i, j = np.nonzero(ok)
+            yield pd.DataFrame(
+                {"v1": a_ids[i], "v2": b_ids[j], "dot": D[i, j]}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        gen, schema="v1 long, v2 long, dot long"
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors per query row.
+
+    Output: (query_id, vec_id, score) — k rows per query, ties broken by
+    vec_id for determinism."""
+    scorer = {
+        "cosine": cosine_pd,
+        "dot": dot_pd,
+        "quantized_dot": quantized_dot_pd(),
+    }[metric]
+    scored = vectors.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        scorer(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def _hyperplane(dim: int, seed_a: int, seed_b: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane components."""
+    out = []
+    state = (seed_a * 2654435761 + seed_b) % (1 << 63)
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        out.append((state / float(1 << 63)) * 2.0 - 1.0)
+    return out
+
+
+def _plane_matrix(dim: int, planes: int, table: int) -> np.ndarray:
+    params = _hash_params(planes, seed=1000 + table)
+    return np.array([_hyperplane(dim, a, b) for a, b in params])  # planes × dim
+
+
+def lsh_bucket(vec: Column, dim: int, *, planes: int = 16, table: int = 0):
+    """Random-hyperplane LSH bucket id: one sign bit per plane, computed as
+    one Arrow-batched matmul against the plane matrix."""
+    P = _plane_matrix(dim, planes, table)
+    weights = (1 << np.arange(planes)).astype(np.int64)
+
+    @pandas_udf(LongType())
+    def _bucket(v: pd.Series) -> pd.Series:
+        V = np.vstack(v.to_numpy()).astype(np.float64)
+        bits = (V @ P.T) > 0
+        return pd.Series(bits @ weights)
+
+    return _bucket(vec)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    planes: int = 12,
+    tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: exact rescoring restricted to LSH bucket matches
+    across ``tables`` independent hash tables."""
+    cand = None
+    for t in range(tables):
+        v = vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            lsh_bucket(F.col(vec_col), dim, planes=planes, table=t).alias("bucket"),
+        )
+        q = queries.select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            lsh_bucket(F.col(query_vec_col), dim, planes=planes, table=t).alias(
+                "bucket"
+            ),
+        )
+        hits = v.join(F.broadcast(q), on="bucket").select(
+            query_id_col, id_col, query_vec_col, vec_col
+        )
+        cand = hits if cand is None else cand.unionByName(hits)
+    cand = cand.dropDuplicates([query_id_col, id_col])
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        cosine_pd(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat ANN: deterministic coarse centroids (every row with
+    ``id % ceil(n/nlist) == 0`` — a fixed sample standing in for k-means,
+    which would be an offline job at scale), assign vectors to their nearest
+    centroid, probe the ``nprobe`` nearest lists per query."""
+    centroids = (
+        vectors.withColumn(
+            "centroid_id", F.dense_rank().over(Window.orderBy(id_col)) - 1
+        )
+        .where(F.col("centroid_id") < nlist)
+        .select(F.col("centroid_id"), F.col(vec_col).alias("centroid_vec"))
+    )
+    assign_w = Window.partitionBy(id_col).orderBy(
+        F.col("cdist").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select(
+            id_col,
+            vec_col,
+            "centroid_id",
+            cosine_pd(F.col(vec_col), F.col("centroid_vec")).alias("cdist"),
+        )
+        .withColumn("r", F.row_number().over(assign_w))
+        .where(F.col("r") == 1)
+        .drop("r", "cdist")
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cdist").desc(), F.col("centroid_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            query_id_col,
+            query_vec_col,
+            "centroid_id",
+            cosine_pd(F.col(query_vec_col), F.col("centroid_vec")).alias("cdist"),
+        )
+        .withColumn("r", F.row_number().over(probe_w))
+        .where(F.col("r") <= nprobe)
+        .drop("r", "cdist")
+    )
+    scored = assigned.join(F.broadcast(probes), on="centroid_id").select(
+        query_id_col,
+        id_col,
+        cosine_pd(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+    )

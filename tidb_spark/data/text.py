@@ -1,0 +1,127 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.  All JVM-side column expressions (no Python UDFs) —
+at 100 TB these run inside whole-stage codegen on the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from tidb_spark.data.dedup import normalize_text, shingle_hashes
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    normalized = normalize_text(col)
+    return F.when(F.length(normalized) == 0, 0).otherwise(
+        F.size(F.split(normalized, " "))
+    ).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword proxy: count of word-piece units using a regex over
+    word boundaries + 4-char chunks (a deterministic stand-in for a real
+    tokenizer; the Spark plumbing — regexp over the scan — is the point)."""
+    words = F.split(normalize_text(col), " ")
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+
+
+def punct_ratio_micros(col: Column) -> Column:
+    """Punctuation chars per million chars (integer — FP-safe for oracles)."""
+    total = F.length(col)
+    punct = total - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(total == 0, 0).otherwise(
+        F.floor(punct.cast("double") * 1_000_000 / total.cast("double"))
+    ).cast("long")
+
+
+def stopword_hits(col: Column, stopwords: list[str]) -> Column:
+    """Total occurrences of the given (space-padded) stopwords."""
+    padded = F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
+    total = F.lit(0).cast("long")
+    for w in stopwords:
+        needle = f" {w} "
+        total = total + (
+            (F.length(padded) - F.length(F.regexp_replace(padded, needle, "")))
+            / len(needle)
+        ).cast("long")
+    return total
+
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of stopword hit counts, 'und' when no
+    list scores (deterministic tie-break: language name order)."""
+    scores = {
+        lang: stopword_hits(col, words) for lang, words in sorted(LANG_STOPWORDS.items())
+    }
+    best_score = F.greatest(*scores.values())
+    result = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        result = F.when(
+            (best_score > 0) & (scores[lang] == best_score), F.lit(lang)
+        ).otherwise(result)
+    return result
+
+
+def quality_score_micros(col: Column) -> Column:
+    """Composite quality score in [0, 1e6]: length band + punctuation
+    penalty + mean-word-length band — all integer arithmetic."""
+    normalized = normalize_text(col)
+    n_chars = F.length(normalized)
+    n_tokens = token_count(col)
+    mean_word_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        n_chars.cast("double") / n_tokens.cast("double")
+    )
+    length_ok = F.when((n_chars >= 50) & (n_chars <= 10_000), 400_000).otherwise(
+        100_000
+    )
+    word_ok = F.when((mean_word_len >= 3.0) & (mean_word_len <= 12.0), 400_000).otherwise(
+        100_000
+    )
+    punct_penalty = F.least(punct_ratio_micros(col), F.lit(200_000))
+    return (length_ok + word_ok - punct_penalty + F.lit(200_000)).cast("long")
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Whole-document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def winnowing_from_hashes(hashes: Column, *, window: int = 4) -> Column:
+    """Winnowing minima over an ALREADY-MATERIALIZED hash-array column.
+
+    ``hashes`` must be a bound column reference (e.g. produced by a prior
+    ``select``), not an inline expression: Catalyst evaluates a lambda body
+    per element, so an inline hash-array expression would be recomputed for
+    every window position — O(n²) per document."""
+    n = F.size(hashes)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return F.array_distinct(windows)
+
+
+def winnowing_fingerprints(col: Column, *, k: int = 8, window: int = 4) -> Column:
+    """Winnowing (Schleimer et al., SIGMOD'03): distinct minima of each
+    sliding window over the k-gram rolling-hash sequence — a compact,
+    position-robust fingerprint set.
+
+    Convenience single-expression form; for anything beyond tiny inputs use
+    ``shingle_hashes`` in one select, then :func:`winnowing_from_hashes` on
+    the materialized column (see that function's warning)."""
+    return winnowing_from_hashes(shingle_hashes(col, k), window=window)
