@@ -1,0 +1,95 @@
+"""Structured Streaming layer tests: the SAME transformation run over a
+readStream source (availableNow → memory sink) must equal its batch run —
+Spark's unified-model contract.  Plus the genuinely stream-only operators:
+dropDuplicatesWithinWatermark and the applyInPandasWithState running
+counter, exercised across multiple micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+
+from tidb_spark.catalog import load_table
+from tidb_spark.streaming import events as ev
+from tests.conftest import TEST_SF_DIR, assert_frames_match
+
+
+def _sorted_pdf(df, cols):
+    return df.orderBy(*cols).toPandas()
+
+
+def test_stream_tumbling_equals_batch(spark):
+    batch = ev.tumbling_agg(load_table(spark, TEST_SF_DIR, "events"))
+    stream = ev.tumbling_agg(ev.events_stream(spark, TEST_SF_DIR))
+    out = ev.run_to_memory(stream, f"t_{uuid.uuid4().hex}", output_mode="complete")
+    assert_frames_match(
+        out.toPandas(), batch.toPandas(), "stream_tumbling_vs_batch"
+    )
+
+
+def test_stream_session_equals_batch(spark):
+    batch = ev.session_agg(load_table(spark, TEST_SF_DIR, "events"))
+    stream = ev.session_agg(
+        ev.with_watermark(ev.events_stream(spark, TEST_SF_DIR))
+    )
+    out = ev.run_to_memory(stream, f"s_{uuid.uuid4().hex}", output_mode="complete")
+    assert_frames_match(
+        out.toPandas(), batch.toPandas(), "stream_session_vs_batch"
+    )
+
+
+@pytest.fixture(scope="module")
+def multi_file_events(spark, tmp_path_factory):
+    """events split into 4 parquet files so maxFilesPerTrigger=1 yields 4
+    micro-batches (exercises cross-batch state)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    df = load_table(spark, TEST_SF_DIR, "events")
+    df.repartition(4).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    return out
+
+
+def test_dedup_within_watermark_stream(spark, multi_file_events):
+    sdf = ev.events_stream(spark, multi_file_events, max_files_per_trigger=1)
+    # Delay wider than the fixture's ~30-day span: no state expiry, so the
+    # stream dedup must equal batch-distinct.  (A shorter delay correctly
+    # re-emits keys whose state aged out — that's within-watermark
+    # semantics, not a bug.)
+    deduped = ev.dedup_within_watermark(sdf, "60 days")
+    out = ev.run_to_memory(deduped, f"d_{uuid.uuid4().hex}")
+    got = out.toPandas()
+    keys = load_table(spark, TEST_SF_DIR, "events").select(
+        "user_id", "event_type"
+    ).distinct()
+    # one surviving row per key, keys identical to batch-distinct
+    assert len(got) == keys.count()
+    assert (
+        got[["user_id", "event_type"]].drop_duplicates().shape[0] == len(got)
+    )
+
+
+def test_running_user_counts_stateful(spark, multi_file_events):
+    sdf = ev.events_stream(spark, multi_file_events, max_files_per_trigger=1)
+    out = ev.run_to_memory(
+        ev.running_user_counts(sdf), f"r_{uuid.uuid4().hex}"
+    )
+    got = out.toPandas()
+    # multiple micro-batches → at least one user appears in >1 batch row
+    assert got.groupby("user_id").size().max() > 1
+    # final totals equal the batch per-user counts
+    finals = got.sort_values("total_events").groupby("user_id").last()
+    batch_counts = (
+        load_table(spark, TEST_SF_DIR, "events")
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+    )
+    for uid, row in finals.iterrows():
+        assert row["total_events"] == batch_counts[uid], uid
+    # per-batch increments sum to the total
+    sums = got.groupby("user_id")["batch_events"].sum()
+    for uid in sums.index:
+        assert sums[uid] == batch_counts[uid], uid

@@ -1,1 +1,124 @@
-"""Filled in incrementally."""
+"""Event-time windowing query corpus over the ``events`` fixture.
+
+Each entry runs the SAME transformation functions the Structured Streaming
+layer uses (tidb_spark/streaming/events.py) — Spark's unified model means
+one implementation serves batch and stream; tests/test_streaming.py proves
+stream == batch on these exact transformations.
+
+Oracles: tumbling/sliding windows are epoch-aligned (DuckDB time_bucket /
+date_trunc mirror Spark's window()); sessions are lag/cumsum
+sessionization; sums are decimal-accumulated then presented as double so
+both engines agree bit-exactly (FP sum order is engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tidb_spark.catalog import load_table
+from tidb_spark.queries import register
+from tidb_spark.streaming import events as ev
+
+_SUM = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+TUMBLING_ORACLE = f"""
+SELECT date_trunc('hour', ts)                    AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR  AS window_end,
+       event_type,
+       COUNT(*)   AS n_events,
+       {_SUM}     AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+@register("stream_tumbling_hour", oracle=TUMBLING_ORACLE, tags=("streaming",))
+def stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows per event_type (window() — the
+    same call a readStream pipeline makes)."""
+    df = load_table(spark, sf_dir, "events")
+    return ev.tumbling_agg(df, "1 hour").orderBy("window_start", "event_type")
+
+
+SLIDING_ORACLE = f"""
+WITH hopped AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - i.i * INTERVAL 15 MINUTE AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (SELECT UNNEST(range(4)) AS i) i
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {_SUM}   AS sum_value
+FROM hopped
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+@register("stream_sliding_1h_15m", oracle=SLIDING_ORACLE, tags=("streaming",))
+def stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows hopping every 15 minutes: each event lands in 4
+    windows (oracle: explicit hop expansion via range join)."""
+    df = load_table(spark, sf_dir, "events")
+    return ev.sliding_agg(df, "1 hour", "15 minutes").orderBy(
+        "window_start", "event_type"
+    )
+
+
+SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {_SUM}   AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+@register("stream_session_30m", oracle=SESSION_ORACLE, tags=("streaming",))
+def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap-based session windows (session_window, gap 30 min);
+    oracle sessionizes with the classic lag/cumsum pattern and mirrors
+    Spark's end = last event + gap."""
+    df = load_table(spark, sf_dir, "events")
+    return ev.session_agg(df, "30 minutes").orderBy("user_id", "session_start")
+
+
+DEDUP_ORACLE = """
+SELECT user_id, event_type,
+       MIN(ts)       AS first_ts,
+       MIN(event_id) AS first_event_id,
+       COUNT(*)      AS n_dups
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
+@register("stream_dedup_keys", oracle=DEDUP_ORACLE, tags=("streaming",))
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyed dedup (earliest per (user, type)) — the batch
+    analog of dropDuplicatesWithinWatermark; the streaming form is tested in
+    tests/test_streaming.py."""
+    df = load_table(spark, sf_dir, "events")
+    return ev.earliest_per_key(df).orderBy("user_id", "event_type")
