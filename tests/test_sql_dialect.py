@@ -1,0 +1,164 @@
+"""Dialect-layer tests: pure-string translator checks (no Spark), engine
+execution of MySQL-isms with pinned expected values, and SQL-MATCH vs
+DataFrame-builder equivalence.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tidb_spark.sqlshim.translate import translate
+from tests.conftest import TEST_SF_DIR
+
+
+@pytest.mark.parametrize(
+    "src, expected",
+    [
+        (
+            "SELECT a FROM t LIMIT 2, 3",
+            "SELECT a FROM t LIMIT 3 OFFSET 2",
+        ),
+        (
+            "SELECT 'LIMIT 1, 2' AS s FROM t LIMIT 1, 2",
+            "SELECT 'LIMIT 1, 2' AS s FROM t LIMIT 2 OFFSET 1",
+        ),
+        ("SELECT a REGEXP 'x' FROM t", "SELECT a RLIKE 'x' FROM t"),
+        (
+            "SELECT DATE_FORMAT(d, '%Y-%m') FROM t",
+            "SELECT date_format(d, 'yyyy-MM') FROM t",
+        ),
+        (
+            "SELECT 'DATE_FORMAT(d, %Y)' FROM t",
+            "SELECT 'DATE_FORMAT(d, %Y)' FROM t",
+        ),
+        (
+            "SELECT STR_TO_DATE('2024-03-05', '%Y-%m-%d')",
+            "SELECT to_date('2024-03-05', 'yyyy-MM-dd')",
+        ),
+        (
+            "SELECT STR_TO_DATE(s, '%Y-%m-%d %H:%i:%s')",
+            "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss')",
+        ),
+        (
+            "SELECT DATE_ADD(d, INTERVAL 1 DAY)",
+            "SELECT (d + INTERVAL 1 DAY)",
+        ),
+        (
+            "SELECT DATE_FORMAT(DATE_ADD(d, INTERVAL 1 DAY), '%Y')",
+            "SELECT date_format((d + INTERVAL 1 DAY), 'yyyy')",
+        ),
+        (
+            "SELECT GROUP_CONCAT(x SEPARATOR '|') FROM t",
+            "SELECT concat_ws('|', collect_list(x)) FROM t",
+        ),
+        (
+            "SELECT GROUP_CONCAT(DISTINCT x) FROM t",
+            "SELECT concat_ws(',', sort_array(collect_set(x), true)) FROM t",
+        ),
+        (
+            "SELECT GROUP_CONCAT(x ORDER BY x DESC) FROM t",
+            "SELECT concat_ws(',', sort_array(collect_list(x), false)) FROM t",
+        ),
+        (
+            "SELECT JSON_EXTRACT(j, '$.a') FROM t",
+            "SELECT get_json_object(j, '$.a') FROM t",
+        ),
+    ],
+)
+def test_translate(src, expected):
+    assert translate(src) == expected
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from tidb_spark.engine import Engine
+
+    return Engine(spark, TEST_SF_DIR)
+
+
+def test_scalar_shims(engine):
+    row = engine.sql(
+        "SELECT FIELD('b', 'a', 'b', 'c') AS f, CONV('ff', 16, 10) AS c, "
+        "INET_ATON('1.2.3.4') AS ia, INET_NTOA(16909060) AS inn, "
+        "MAKE_SET(5, 'x', 'y', 'z') AS ms"
+    ).collect()[0]
+    assert (row.f, row.c, row.ia, row.inn, row.ms) == (
+        2,
+        "255",
+        16909060,
+        "1.2.3.4",
+        "x,z",
+    )
+
+
+def test_json_mutators(engine):
+    row = engine.sql(
+        """SELECT JSON_SET('{"a": 1}', '$.b', 2) AS js,
+                  JSON_INSERT('{"a": 1}', '$.a', 9) AS ji,
+                  JSON_REPLACE('{"a": 1}', '$.a', 9) AS jr,
+                  JSON_REMOVE('{"a": 1, "b": 2}', '$.b') AS jd,
+                  JSON_MERGE_PATCH('{"a": 1}', '{"b": 2, "a": null}') AS jm,
+                  JSON_UNQUOTE('"x"') AS ju,
+                  JSON_VALID('[1, 2]') AS jv,
+                  JSON_DEPTH('{"a": [1]}') AS jp,
+                  JSON_CONTAINS('[1, 2, 3]', '2') AS jc,
+                  JSON_OBJECT('a', 1) AS jo,
+                  JSON_ARRAY(1, 2) AS ja"""
+    ).collect()[0]
+    assert row.js == '{"a":1,"b":2}'
+    assert row.ji == '{"a":1}'
+    assert row.jr == '{"a":9}'
+    assert row.jd == '{"a":1}'
+    assert row.jm == '{"b":2}'
+    assert row.ju == "x"
+    assert row.jv is True
+    assert row.jp == 3
+    assert row.jc is True
+    assert row.jo == '{"a":1}'
+    assert row.ja == "[1,2]"
+
+
+def test_match_sql_equals_builder(engine, spark):
+    from tidb_spark.graph.match import match
+
+    via_sql = engine.sql(
+        "SELECT COUNT(*) AS n FROM MATCH (v_customer AS a)"
+        ".OUT(e_knows).(v_customer AS b)"
+    ).collect()[0].n
+    via_df = (
+        match(engine.graph)
+        .source("v_customer", "a")
+        .out("e_knows")
+        .vertex("v_customer", "b")
+        .df()
+        .count()
+    )
+    assert via_sql == via_df
+
+
+def test_match_sql_both_and_multihop(engine):
+    n_both = engine.sql(
+        "SELECT COUNT(*) AS n FROM MATCH (v_customer AS a)"
+        ".BOTH(e_knows).(v_customer AS b)"
+    ).collect()[0].n
+    n_two_hop = engine.sql(
+        "SELECT COUNT(*) AS n FROM MATCH (v_customer AS a)"
+        ".OUT(e_knows).OUT(e_knows)"
+    ).collect()[0].n
+    assert n_both > 0 and n_two_hop > 0
+
+
+def test_match_any_shortest_sql(engine):
+    rows = engine.sql(
+        "SELECT src.c_custkey AS s, path, dist, dst.c_custkey AS d "
+        "FROM MATCH ANY SHORTEST (v_customer AS src WHERE src.c_custkey <= 1)"
+        ".OUT(e_knows).(v_customer AS dst WHERE dst.c_custkey IN (5, 6)) "
+        "ORDER BY s, d"
+    ).collect()
+    assert len(rows) == 4  # 2 sources × 2 destinations
+    for r in rows:
+        if r.dist >= 0:
+            assert r.path.startswith(f"[{r.s},") or r.path == f"[{r.s}]"
+            assert r.path.endswith(f",{r.d}]")
+        else:
+            assert r.path == "Unreachable"

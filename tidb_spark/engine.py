@@ -1,0 +1,142 @@
+"""Engine: the user-facing entry point — MySQL-dialect SQL over the bound
+catalog, including graph MATCH clauses.
+
+Replaces the reference's query lifecycle (SURVEY.md §3: parse → compile →
+optimize → volcano execution, session/session.go:1402 → executor/) with:
+dialect translation (tidb_spark/sqlshim) → MATCH lowering (join chains /
+distributed BFS) → ``spark.sql`` → Catalyst + AQE.  Control-plane statements
+(§2.13) surface as thin methods: ``explain`` (executor/explain.go),
+``analyze`` (executor/analyze.go — stats for the CBO), ``show_tables``
+(executor/show.go).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_spark.catalog import DEFAULT_SF_DIR, register_views
+from tidb_spark.functions.mysql import register_shim_udfs
+from tidb_spark.graph.model import GraphSchema, default_graph
+from tidb_spark.graph.shortest import any_shortest
+from tidb_spark.sqlshim import match_clause as mc
+from tidb_spark.sqlshim.translate import translate
+
+_view_counter = itertools.count()
+
+
+class Engine:
+    """One engine per (SparkSession, dataset dir): binds the catalog, the
+    graph schema, and the MySQL shim functions, then answers SQL."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir or DEFAULT_SF_DIR
+        self.tables = register_views(spark, self.sf_dir)
+        self.graph: GraphSchema = default_graph(spark, self.sf_dir)
+        register_shim_udfs(spark)
+
+    # -- DDL surface (graph): SOURCE KEY / DESTINATION KEY registration ----
+
+    def create_vertex_table(self, name: str, df: DataFrame, id_col: str) -> None:
+        """Register a vertex table (any table with an int handle PK,
+        SURVEY §1.4) and expose it to SQL."""
+        self.graph.add_vertex_table(name, df, id_col)
+        df.createOrReplaceTempView(name)
+
+    def create_edge_table(
+        self,
+        name: str,
+        df: DataFrame,
+        src_col: str,
+        dst_col: str,
+        src_table: str,
+        dst_table: str,
+    ) -> None:
+        """Register an edge table — the DDL equivalent of
+        ``src BIGINT SOURCE KEY REFERENCES t, dst BIGINT DESTINATION KEY
+        REFERENCES t`` (ddl/ddl_api.go:1946-2025)."""
+        self.graph.add_edge_table(name, df, src_col, dst_col, src_table, dst_table)
+        df.createOrReplaceTempView(name)
+
+    # -- query surface ------------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        """Execute one MySQL-dialect statement (with optional FROM MATCH)."""
+        query = translate(query)
+        parsed = mc.find_and_parse(query)
+        if parsed is not None:
+            start, end, path = parsed
+            if path.shortest:
+                replacement, preds = self._lower_any_shortest(path)
+            else:
+                replacement, preds = mc.lower_simple_path(self.graph, path)
+            query = mc.splice(query, start, end, replacement, preds)
+        return self.spark.sql(query)
+
+    def _lower_any_shortest(self, path: mc.MatchPath) -> tuple[str, list[str]]:
+        """MATCH ANY SHORTEST → run the distributed BFS now, bind the result
+        as a temp view, and join it back to the vertex tables so the outer
+        statement sees src/dst rows plus ``path``/``dist`` columns — the
+        GraphAnyShortestExec output shape (executor/graph_shortest.go:90-139).
+        The reference restricts to one OUT hop with explicit destination
+        (logical_plan_builder.go:6710-6712); so do we."""
+        if not (
+            len(path.hops) == 1
+            and path.hops[0].direction == "OUT"
+            and path.hops[0].dest is not None
+        ):
+            raise ValueError("unsupported any shortest path query")
+        src, hop = path.source, path.hops[0]
+        dst = hop.dest
+        src_pk = self.graph.vertex(src.table).id_col
+        dst_pk = self.graph.vertex(dst.table).id_col
+        sources = self.spark.sql(
+            f"SELECT {src.alias}.{src_pk} AS root FROM {src.table} AS "
+            f"{src.alias}" + (f" WHERE {src.where}" if src.where else "")
+        )
+        dests = self.spark.sql(
+            f"SELECT {dst.alias}.{dst_pk} AS dst_id FROM {dst.table} AS "
+            f"{dst.alias}" + (f" WHERE {dst.where}" if dst.where else "")
+        )
+        result = any_shortest(sources, dests, self.graph.edge(hop.edge))
+        view = f"__match_shortest_{next(_view_counter)}"
+        result.createOrReplaceTempView(view)
+        preds = []
+        if src.where:
+            preds.append(f"({src.where})")
+        if dst.where:
+            preds.append(f"({dst.where})")
+        chain = (
+            f"{src.table} AS {src.alias} "
+            f"JOIN {view} ON {view}.src_id = {src.alias}.{src_pk} "
+            f"JOIN {dst.table} AS {dst.alias} "
+            f"ON {view}.dst_id = {dst.alias}.{dst_pk}"
+        )
+        return chain, preds
+
+    # -- control plane (§2.13) ----------------------------------------------
+
+    def explain(self, query: str, mode: str = "formatted") -> str:
+        """EXPLAIN: the optimized/physical plan text (executor/explain.go)."""
+        df = self.sql(query)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), mode
+        )
+
+    def analyze(self, table: str) -> DataFrame:
+        """ANALYZE TABLE … COMPUTE STATISTICS equivalent for temp-view-bound
+        parquet: returns per-column count/distinct/nulls (the reference
+        builds histogram+CMSketch+TopN, statistics/*; Spark's CBO reads
+        catalog stats — for temp views we surface the numbers)."""
+        df = self.tables[table]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in df.columns:
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}__ndv"))
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        return df.agg(*aggs)
+
+    def show_tables(self) -> list[str]:
+        return sorted(self.tables)

@@ -21,6 +21,8 @@ MD5/SHA1/SHA2, and the JSON read family (get_json_object/json_tuple).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -194,3 +196,222 @@ def _sql(c: ColumnOrName) -> str:
     if isinstance(c, str):
         return c
     raise TypeError("div() shim takes column names (SQL fragment)")
+
+
+# ---------------------------------------------------------------------------
+# Session-registered SQL shims (dialect completeness — these are control/
+# dialect surface, not data-plane hot paths; the hot path stays JVM-side).
+# JSON mutators mirror types/json/binary.go + expression/builtin_json.go.
+
+import json as _json
+
+
+def _json_path_steps(path: str) -> list:
+    """Parse a MySQL JSON path ('$', '$.a.b', '$[2]', '$.a[0].b')."""
+    if not path or not path.startswith("$"):
+        raise ValueError(f"invalid JSON path: {path!r}")
+    steps: list = []
+    i = 1
+    while i < len(path):
+        if path[i] == ".":
+            m = re.compile(r"\.([A-Za-z_][A-Za-z0-9_]*|\"[^\"]+\")").match(path, i)
+            if not m:
+                raise ValueError(f"invalid JSON path: {path!r}")
+            steps.append(m.group(1).strip('"'))
+            i = m.end()
+        elif path[i] == "[":
+            m = re.compile(r"\[(\d+)\]").match(path, i)
+            if not m:
+                raise ValueError(f"invalid JSON path: {path!r}")
+            steps.append(int(m.group(1)))
+            i = m.end()
+        else:
+            raise ValueError(f"invalid JSON path: {path!r}")
+    return steps
+
+
+def _json_modify(doc: str, path: str, value_json: str, mode: str) -> str | None:
+    """Shared walker for JSON_SET / JSON_INSERT / JSON_REPLACE / JSON_REMOVE
+    (builtin_json.go ModifySet/ModifyInsert/ModifyReplace/Remove)."""
+    if doc is None:
+        return None
+    data = _json.loads(doc)
+    steps = _json_path_steps(path)
+    if not steps:
+        return doc
+    parent = data
+    for s in steps[:-1]:
+        if isinstance(parent, dict) and isinstance(s, str) and s in parent:
+            parent = parent[s]
+        elif isinstance(parent, list) and isinstance(s, int) and s < len(parent):
+            parent = parent[s]
+        else:
+            return _json.dumps(data, separators=(",", ":"))
+    last = steps[-1]
+    exists = (
+        isinstance(parent, dict) and isinstance(last, str) and last in parent
+    ) or (isinstance(parent, list) and isinstance(last, int) and last < len(parent))
+    if mode == "remove":
+        if exists:
+            del parent[last]
+    else:
+        val = _json.loads(value_json) if value_json is not None else None
+        writable = isinstance(parent, dict) and isinstance(last, str) or (
+            isinstance(parent, list) and isinstance(last, int) and last < len(parent)
+        )
+        if mode == "set" and writable:
+            parent[last] = val
+        elif mode == "insert" and not exists and isinstance(parent, dict):
+            parent[last] = val
+        elif mode == "replace" and exists:
+            parent[last] = val
+    return _json.dumps(data, separators=(",", ":"))
+
+
+def _sql_value_to_json(v) -> str:
+    """SQL string arg → JSON text for the modify shims (strings become JSON
+    strings; pass numbers/bools/objects pre-encoded)."""
+    if v is None:
+        return "null"
+    s = str(v)
+    try:
+        _json.loads(s)
+        return s
+    except (ValueError, TypeError):
+        return _json.dumps(s)
+
+
+def register_shim_udfs(spark) -> None:
+    """Register MySQL-named SQL functions absent from Spark SQL, so
+    translated statements can call them verbatim."""
+    reg = spark.udf.register
+
+    reg("conv", lambda n, f, t: (
+        None if n is None else _conv(str(n), int(f), int(t))
+    ), "string")
+    reg("inet_aton", lambda ip: (
+        None if ip is None else _inet_aton_py(ip)
+    ), "long")
+    reg("inet_ntoa", lambda n: (
+        None if n is None else ".".join(
+            str((int(n) >> s) & 0xFF) for s in (24, 16, 8, 0)
+        )
+    ), "string")
+    reg("export_set", lambda bits, on, off: (
+        None if bits is None else ",".join(
+            (on if (int(bits) >> i) & 1 else off) for i in range(64)
+        )
+    ), "string")
+    reg("json_set", lambda d, p, v: _json_modify(d, p, _sql_value_to_json(v), "set"), "string")
+    reg("json_insert", lambda d, p, v: _json_modify(d, p, _sql_value_to_json(v), "insert"), "string")
+    reg("json_replace", lambda d, p, v: _json_modify(d, p, _sql_value_to_json(v), "replace"), "string")
+    reg("json_remove", lambda d, p: _json_modify(d, p, None, "remove"), "string")
+    reg("json_merge_patch", _json_merge_patch_py, "string")
+    reg("json_unquote", lambda s: (
+        None if s is None else (
+            _json.loads(s) if s.startswith('"') and s.endswith('"') else s
+        )
+    ), "string")
+    reg("json_valid", _json_valid_py, "boolean")
+    reg("json_depth", _json_depth_py, "int")
+    reg("json_keys", lambda d: (
+        None if d is None else (
+            _json.dumps(sorted(_json.loads(d).keys()), separators=(",", ":"))
+            if isinstance(_json.loads(d), dict) else None
+        )
+    ), "string")
+    reg("json_length", lambda d: (
+        None if d is None else (
+            len(v) if isinstance((v := _json.loads(d)), (dict, list)) else 1
+        )
+    ), "int")
+    reg("json_contains", lambda d, c: (
+        None if d is None or c is None
+        else _json_contains_py(_json.loads(d), _json.loads(c))
+    ), "boolean")
+
+
+def _conv(n: str, from_base: int, to_base: int) -> str | None:
+    try:
+        v = int(n, from_base)
+    except ValueError:
+        return "0"
+    if v == 0:
+        return "0"
+    digits = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    neg, v = v < 0, abs(v)
+    out = ""
+    while v:
+        out = digits[v % to_base] + out
+        v //= to_base
+    return ("-" if neg else "") + out
+
+
+def _inet_aton_py(ip: str) -> int | None:
+    parts = ip.split(".")
+    if len(parts) != 4:
+        return None
+    try:
+        return sum(int(p) << s for p, s in zip(parts, (24, 16, 8, 0)))
+    except ValueError:
+        return None
+
+
+def _json_merge_patch_py(a: str, b: str) -> str | None:
+    if a is None or b is None:
+        return None
+
+    def patch(x, y):
+        if not isinstance(y, dict):
+            return y
+        if not isinstance(x, dict):
+            x = {}
+        out = dict(x)
+        for k, v in y.items():
+            if v is None:
+                out.pop(k, None)
+            else:
+                out[k] = patch(out.get(k), v)
+        return out
+
+    return _json.dumps(
+        patch(_json.loads(a), _json.loads(b)), separators=(",", ":")
+    )
+
+
+def _json_valid_py(s: str) -> bool | None:
+    if s is None:
+        return None
+    try:
+        _json.loads(s)
+        return True
+    except (ValueError, TypeError):
+        return False
+
+
+def _json_depth_py(s: str) -> int | None:
+    if s is None:
+        return None
+
+    def depth(v):
+        if isinstance(v, dict):
+            return 1 + max((depth(x) for x in v.values()), default=0)
+        if isinstance(v, list):
+            return 1 + max((depth(x) for x in v), default=0)
+        return 1
+
+    return depth(_json.loads(s))
+
+
+def _json_contains_py(target, candidate) -> bool:
+    """MySQL JSON_CONTAINS semantics (types/json/binary_functions.go)."""
+    if isinstance(target, list):
+        if isinstance(candidate, list):
+            return all(_json_contains_py(target, c) for c in candidate)
+        return any(_json_contains_py(t, candidate) for t in target)
+    if isinstance(target, dict) and isinstance(candidate, dict):
+        return all(
+            k in target and _json_contains_py(target[k], v)
+            for k, v in candidate.items()
+        )
+    return target == candidate

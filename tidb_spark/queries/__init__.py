@@ -67,6 +67,7 @@ def _ensure_loaded() -> None:
         scalar,
         graphq,
         dataops,
+        dialectq,
         streamq,
     )
 

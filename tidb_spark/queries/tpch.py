@@ -702,3 +702,214 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# --------------------------------------------------------------------------
+# Q12 (adapted) — late-shipment priority counts.  Fixture lineitem has no
+# shipmode/commitdate/receiptdate, so "late" = shipped >90 days after the
+# order date and the group key is l_returnflag; the plan shape is Q12's:
+# join + conditional aggregation (reference corpus cmd/explaintest/t/tpch.test).
+Q12_ORACLE = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("tpch_q12", oracle=Q12_ORACLE, tags=("tpch", "join", "agg"))
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late shipments by priority class: shuffle join on orderkey, then
+    conditional (CASE) aggregation — Q12's shape on available columns."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    hi = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.expr("l_shipdate > o_orderdate + INTERVAL 90 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(f"SUM(CASE WHEN {hi} THEN 1 ELSE 0 END)").alias(
+                "high_line_count"
+            ),
+            F.expr(f"SUM(CASE WHEN NOT ({hi}) THEN 1 ELSE 0 END)").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier(s) by quarterly revenue: revenue "view" + max-join.
+Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, CAST(SUM({DISC_PRICE}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= {_ts('1996-01-01')} AND l_shipdate < {_ts('1996-04-01')}
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("tpch_q15", oracle=Q15_ORACLE, tags=("tpch", "agg", "subquery"))
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by 1996Q1 revenue.  The revenue CTE feeds both the join
+    and the scalar-max subquery (exchange reuse); broadcasting the 1-row max
+    makes the final filter shuffle-free."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    revenue = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.expr(_ts("1996-01-01")))
+            & (F.col("l_shipdate") < F.expr(_ts("1996-04-01")))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE)").alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        supplier.join(
+            revenue, F.col("s_suppkey") == F.col("supplier_no")
+        )
+        .join(
+            F.broadcast(max_rev),
+            F.col("total_revenue") == F.col("max_revenue"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 (adapted) — small-quantity-order revenue.  No p_container in the
+# fixture; the brand/size filter stands in.  Shape preserved: per-part avg
+# quantity (correlated scalar subquery, decorrelated to an aggregate+join)
+# gating a lineitem filter.
+Q17_ORACLE = f"""
+WITH agg AS (
+  SELECT l_partkey AS a_partkey,
+         0.2 * (CAST(SUM({QTY}) AS DOUBLE) / COUNT(*)) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM({PRICE}) AS DECIMAL(20,2)) AS DOUBLE) / CAST(7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN agg ON a_partkey = l_partkey
+WHERE p_brand = 'Brand#1' AND p_size < 15 AND l_quantity < qty_threshold
+"""
+
+
+@register("tpch_q17", oracle=Q17_ORACLE, tags=("tpch", "agg", "subquery"))
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity lineitems below 20% of the part's average quantity.
+    The per-part average is a separate aggregate joined back (what Catalyst
+    produces for the correlated form); part is broadcast."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    agg = lineitem.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.expr(f"0.2 * (CAST(SUM({QTY}) AS DOUBLE) / COUNT(*))").alias(
+            "qty_threshold"
+        )
+    )
+    sel_part = part.where((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15))
+    return (
+        lineitem.join(
+            F.broadcast(sel_part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .join(agg, F.col("a_partkey") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.expr(
+                f"CAST(CAST(SUM({PRICE}) AS DECIMAL(20,2)) AS DOUBLE) / CAST(7.0 AS DOUBLE)"
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 (adapted) — suppliers who kept orders waiting.  No commit/receipt
+# dates: "late" = shipped >60 days after order date.  Shape preserved:
+# exists (another supplier on the order) + not-exists (another supplier also
+# late) = semi join + anti join on the order key.
+Q21_ORACLE = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+),
+lines AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_name, COUNT(*) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late) l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lines l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@register("tpch_q21", oracle=Q21_ORACLE, tags=("tpch", "join", "semi", "anti"))
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sole late supplier on multi-supplier finished orders: left-semi
+    (another supplier exists) + left-anti (no other late supplier) joins,
+    matching the reference's Semi/AntiSemi joiner pair
+    (executor/joiner.go:173-184)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    late = (
+        lineitem.join(
+            orders.where(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .where(F.expr("l_shipdate > o_orderdate + INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    lines = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("s_key")
+    )
+    other_exists = lines.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("other_key")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("other_key")
+    )
+    sole_late = (
+        l1.join(
+            other_exists,
+            (l1["o_key"] == other_exists["o_key"])
+            & (l1["s_key"] != other_exists["other_key"]),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (l1["o_key"] == other_late["o_key"])
+            & (l1["s_key"] != other_late["other_key"]),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(
+            F.broadcast(_t(spark, sf_dir, "supplier")),
+            F.col("s_suppkey") == F.col("s_key"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )

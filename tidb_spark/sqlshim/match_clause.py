@@ -1,0 +1,217 @@
+"""``FROM MATCH`` clause parsing + lowering to SQL join chains / BFS calls.
+
+Mirrors the reference grammar (parser/parser.y:8861-9002; AST
+parser/ast/graph.go:25-79) and plan builder (buildGraphPathSimple
+planner/core/logical_plan_builder.go:6579-6708, buildGraphPathAnyShortest
+:6709-6780):
+
+- ``MATCH (v [AS a] [WHERE cond]) .OUT|IN|BOTH(e [AS ea]) [.(v2 ...)] ...``
+  lowers to an inner-join chain: OUT joins edge.src to the previous vertex
+  pk and the next vertex pk to edge.dst; IN swaps; BOTH keeps only edges
+  whose reverse also exists (executor/graph.go:234-265) then walks OUT.
+- Implicit destinations come from the edge DDL references
+  (:6629 ``SELECT * FROM MATCH (v).OUT(e).OUT(e).(v)``).
+- ``MATCH ANY SHORTEST (v ...).OUT(e).(v2 ...)`` — exactly one OUT hop with
+  explicit destination (:6710-6712) — is computed by the distributed BFS
+  (tidb_spark/graph/shortest.py) into a temp view joined back to the vertex
+  tables, exposing ``path`` and ``dist`` columns like GraphAnyShortestExec's
+  output (executor/graph_shortest.go:90-139).
+
+Vertex/edge WHERE conditions hoist into the statement's WHERE (paths are
+inner joins, so this is equivalent and lets Catalyst push them down).
+
+Unsupported in the SQL surface (use the DataFrame API): comma-separated
+multi-path MATCH (``tidb_spark.graph.match.union_paths``), ALL SHORTEST /
+TOP k (the reference errors on these too,
+logical_plan_builder.go:6567-6577).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from tidb_spark.sqlshim.translate import _split_segments
+
+_MATCH_RE = re.compile(r"\bMATCH\b", re.IGNORECASE)
+_ANY_SHORTEST_RE = re.compile(r"\s*ANY\s+SHORTEST\b", re.IGNORECASE)
+_VERTEX_RE = re.compile(
+    r"(?is)^\s*(\w+)\s*(?:AS\s+(\w+)\s*)?(?:WHERE\s+(.+?)\s*)?$"
+)
+_EDGE_RE = re.compile(r"(?is)^\s*(\w+)\s*(?:AS\s+(\w+)\s*)?$")
+_DIR_RE = re.compile(r"(?i)\s*\.\s*(OUT|IN|BOTH)\s*\(")
+
+
+@dataclass
+class VertexElem:
+    table: str
+    alias: str
+    where: str | None
+
+
+@dataclass
+class Hop:
+    direction: str  # OUT | IN | BOTH
+    edge: str
+    edge_alias: str
+    dest: VertexElem | None  # None = implicit from edge DDL refs
+
+
+@dataclass
+class MatchPath:
+    shortest: bool
+    source: VertexElem
+    hops: list[Hop] = field(default_factory=list)
+
+
+def _find_closing(sql: str, open_idx: int) -> int:
+    depth, i = 0, open_idx
+    while i < len(sql):
+        seg = sql[i]
+        if seg in "'\"":
+            m = re.compile(r"('(?:[^'\\]|\\.)*')|(\"(?:[^\"\\]|\\.)*\")").match(
+                sql, i
+            )
+            if m:
+                i = m.end()
+                continue
+        if seg == "(":
+            depth += 1
+        elif seg == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced parentheses in MATCH clause")
+
+
+def _parse_vertex(body: str) -> VertexElem:
+    m = _VERTEX_RE.match(body)
+    if not m:
+        raise ValueError(f"cannot parse MATCH vertex element: {body!r}")
+    table, alias, where = m.groups()
+    return VertexElem(table, alias or table, where)
+
+
+def find_and_parse(sql: str) -> tuple[int, int, MatchPath] | None:
+    """Locate the first MATCH table-ref in code; return (start, end, path)."""
+    for cand in _MATCH_RE.finditer(sql):
+        segs = _split_segments(sql[: cand.start()])
+        if segs and not segs[-1][0]:
+            continue  # inside a string literal
+        start = cand.start()
+        i = cand.end()
+        shortest = False
+        m = _ANY_SHORTEST_RE.match(sql, i)
+        if m:
+            shortest = True
+            i = m.end()
+        while i < len(sql) and sql[i].isspace():
+            i += 1
+        if i >= len(sql) or sql[i] != "(":
+            continue  # MATCH used as an identifier elsewhere
+        close = _find_closing(sql, i)
+        path = MatchPath(shortest, _parse_vertex(sql[i + 1 : close]))
+        i = close + 1
+        while True:
+            m = _DIR_RE.match(sql, i)
+            if not m:
+                break
+            open_idx = sql.index("(", m.end() - 1)
+            close = _find_closing(sql, open_idx)
+            em = _EDGE_RE.match(sql[open_idx + 1 : close])
+            if not em:
+                raise ValueError(
+                    f"cannot parse MATCH edge element: "
+                    f"{sql[open_idx + 1:close]!r}"
+                )
+            hop = Hop(
+                m.group(1).upper(), em.group(1), em.group(2) or em.group(1), None
+            )
+            path.hops.append(hop)
+            i = close + 1
+            # Optional explicit destination: ".(" follows.
+            dm = re.compile(r"\s*\.\s*\(").match(sql, i)
+            if dm:
+                vopen = sql.index("(", dm.start())
+                vclose = _find_closing(sql, vopen)
+                hop.dest = _parse_vertex(sql[vopen + 1 : vclose])
+                i = vclose + 1
+        return start, i, path
+    return None
+
+
+def _implicit_dest(schema, hop: Hop) -> VertexElem:
+    edge = schema.edge(hop.edge)
+    table = edge.src_table if hop.direction == "IN" else edge.dst_table
+    return VertexElem(table, table, None)
+
+
+def lower_simple_path(schema, path: MatchPath) -> tuple[str, list[str]]:
+    """(FROM-clause join chain, hoisted WHERE predicates)."""
+    preds: list[str] = []
+    src = path.source
+    frags = [f"{src.table} AS {src.alias}"]
+    if src.where:
+        preds.append(f"({src.where})")
+    used = {src.alias}
+
+    def _uniq(alias: str) -> str:
+        # Defaulted aliases (= table names) collide when a table/edge
+        # repeats along the path; suffix a hop ordinal like the reference's
+        # hidden-name disambiguation.
+        out, n = alias, 1
+        while out in used:
+            out = f"{alias}__{n}"
+            n += 1
+        used.add(out)
+        return out
+
+    prev_alias = src.alias
+    prev_pk = schema.vertex(src.table).id_col
+    for hop in path.hops:
+        edge = schema.edge(hop.edge)
+        ealias = _uniq(hop.edge_alias)
+        dest = hop.dest or _implicit_dest(schema, hop)
+        dest.alias = _uniq(dest.alias)
+        if hop.direction == "IN":
+            near_col, far_col = edge.dst_col, edge.src_col
+        else:
+            near_col, far_col = edge.src_col, edge.dst_col
+        if hop.direction == "BOTH":
+            # Forward edges whose reverse also exists (graph.go:234-265).
+            edge_sql = (
+                f"(SELECT * FROM {edge.name} __e WHERE EXISTS "
+                f"(SELECT 1 FROM {edge.name} __r "
+                f"WHERE __r.{edge.src_col} = __e.{edge.dst_col} "
+                f"AND __r.{edge.dst_col} = __e.{edge.src_col}))"
+            )
+        else:
+            edge_sql = edge.name
+        frags.append(
+            f"JOIN {edge_sql} AS {ealias} "
+            f"ON {ealias}.{near_col} = {prev_alias}.{prev_pk}"
+        )
+        dest_pk = schema.vertex(dest.table).id_col
+        frags.append(
+            f"JOIN {dest.table} AS {dest.alias} "
+            f"ON {dest.alias}.{dest_pk} = {ealias}.{far_col}"
+        )
+        if dest.where:
+            preds.append(f"({dest.where})")
+        prev_alias, prev_pk = dest.alias, dest_pk
+    return " ".join(frags), preds
+
+
+def splice(sql: str, start: int, end: int, replacement: str, preds: list[str]) -> str:
+    """Replace sql[start:end] with the lowered FROM fragment and AND the
+    hoisted predicates into the statement's WHERE clause."""
+    out = sql[:start] + replacement + sql[end:]
+    if not preds:
+        return out
+    conj = " AND ".join(preds)
+    tail_at = start + len(replacement)
+    m = re.compile(r"\s*WHERE\b", re.IGNORECASE).match(out, tail_at)
+    if m:
+        return out[: m.end()] + f" {conj} AND" + out[m.end() :]
+    return out[:tail_at] + f" WHERE {conj}" + out[tail_at:]
