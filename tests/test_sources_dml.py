@@ -1,0 +1,79 @@
+"""LOAD DATA / SELECT INTO OUTFILE roundtrips and ManagedTable DML
+(INSERT / REPLACE / UPDATE / DELETE / point gets) against pandas-computed
+expectations.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidb_spark.catalog import load_table
+from tidb_spark.sources.csvio import load_data, select_into_outfile
+from tidb_spark.sources.dml import ManagedTable
+from tests.conftest import TEST_SF_DIR
+
+SCHEMA = "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+
+
+@pytest.fixture()
+def nation(spark):
+    return load_table(spark, TEST_SF_DIR, "nation")
+
+
+def test_csv_roundtrip(spark, nation, tmp_path):
+    out = str(tmp_path / "nation_csv")
+    select_into_outfile(nation, out, terminated_by="|", header=False)
+    back = load_data(spark, out, SCHEMA, terminated_by="|")
+    assert sorted(back.collect()) == sorted(nation.collect())
+
+
+def test_csv_header_and_ignore_lines(spark, nation, tmp_path):
+    out = str(tmp_path / "nation_hdr")
+    select_into_outfile(nation, out, header=True)
+    back = load_data(spark, out, SCHEMA, ignore_lines=1)
+    assert back.count() == nation.count()
+    # general-N skip: each part file loses its first 2 rows
+    n_files = len(
+        [f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".csv")]
+    )
+    skipped = load_data(spark, out, SCHEMA, ignore_lines=2)
+    assert skipped.count() == nation.count() + n_files - 2 * n_files
+
+
+def test_dml_lifecycle(spark, nation, tmp_path):
+    t = ManagedTable(
+        spark, str(tmp_path / "t"), key_cols=["n_nationkey"], df=nation
+    )
+    n0 = nation.count()
+
+    new_rows = spark.createDataFrame(
+        [(1000, "NEWLAND", 0), (1001, "OTHERLAND", 1)],
+        schema=SCHEMA,
+    )
+    t.insert(new_rows)
+    assert t.df().count() == n0 + 2
+
+    # REPLACE: overwrite key 1000, add key 1002
+    repl = spark.createDataFrame(
+        [(1000, "REPLACED", 4), (1002, "THIRDLAND", 2)], schema=SCHEMA
+    )
+    t.replace(repl)
+    assert t.df().count() == n0 + 3
+    assert t.point_get({"n_nationkey": 1000}).collect()[0].n_name == "REPLACED"
+
+    t.update(
+        F.col("n_regionkey") == 4,
+        {"n_name": F.concat(F.col("n_name"), F.lit("_X"))},
+    )
+    assert t.point_get({"n_nationkey": 1000}).collect()[0].n_name == "REPLACED_X"
+
+    t.delete(F.col("n_nationkey") >= 1000)
+    assert t.df().count() == n0
+    assert t.batch_point_get("n_nationkey", [1000, 1001, 1002]).count() == 0
+    # original rows untouched
+    assert sorted(r.n_nationkey for r in t.df().collect()) == sorted(
+        r.n_nationkey for r in nation.collect()
+    )

@@ -851,3 +851,42 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_reached"))
         .orderBy("depth")
     )
+
+
+# --------------------------------------------------------------------------
+# Point lookups (executor/point_get.go:75, executor/batch_point_get.go:46):
+# in Spark, PK lookups are pushed-down scan filters — parquet row-group
+# min/max stats prune everything but the matching pages.
+
+POINT_GET_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal
+FROM customer WHERE c_custkey = 42
+"""
+
+
+@register("point_get", oracle=POINT_GET_ORACLE, tags=("scan", "pointget"))
+def point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PointGetExecutor equivalent: unique-key lookup as a pushed filter
+    (PushedFilters: [EqualTo(c_custkey,42)] in the scan node)."""
+    return _t(spark, sf_dir, "customer").where(F.col("c_custkey") == 42).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+
+
+BATCH_POINT_GET_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer WHERE c_custkey IN (1, 5, 42, 99, 12345678)
+ORDER BY c_custkey
+"""
+
+
+@register("batch_point_get", oracle=BATCH_POINT_GET_ORACLE, tags=("scan", "pointget"))
+def batch_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BatchPointGetExec equivalent: IN-list lookup, pushed to the scan
+    (In(c_custkey, [...]) filter; absent keys — 12345678 — drop out)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey").isin(1, 5, 42, 99, 12345678))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )

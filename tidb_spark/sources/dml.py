@@ -1,0 +1,127 @@
+"""DML over parquet-backed managed tables — the reference's write path
+(Insert executor/insert.go:41, Replace executor/replace.go:38, Update
+executor/update.go:39, Delete executor/delete.go:36) re-expressed as
+copy-on-write DataFrame rewrites.
+
+The reference mutates a row-oriented KV store per statement; the columnar
+equivalent (SURVEY §1.1: our storage is parquet) is rewrite-on-write, which
+is exactly what lakehouse formats do under MERGE/DELETE.  This class is the
+log-less core of that: each statement computes the surviving + new rows as
+one DataFrame and atomically swaps the table directory (write to a fresh
+versioned dir, then repoint — readers of the old version are unaffected,
+writers are last-wins; a production deployment layers Delta/Iceberg's
+transaction log on top for concurrent-writer isolation).
+
+Scale: every operation is a full-plan DataFrame (anti-join for keys, filter
+for predicates) — shuffles only on the key columns, no driver-side rows.
+Partition-pruned rewrites (only touched partitions) are the natural
+optimization once a partition column is declared.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+class ManagedTable:
+    """A versioned parquet table supporting INSERT / REPLACE / UPDATE /
+    DELETE.  ``key_cols`` plays the primary-key role REPLACE and point
+    lookups need (the reference's handle / unique key)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_cols: list[str],
+        *,
+        df: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.root = root
+        self.key_cols = key_cols
+        os.makedirs(root, exist_ok=True)
+        self._version = self._latest_version()
+        if df is not None and self._version < 0:
+            self._write(df)
+
+    # -- storage ------------------------------------------------------------
+
+    def _latest_version(self) -> int:
+        versions = [
+            int(d[1:])
+            for d in os.listdir(self.root)
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        return max(versions, default=-1)
+
+    def _path(self, version: int) -> str:
+        return os.path.join(self.root, f"v{version}")
+
+    def _write(self, df: DataFrame) -> None:
+        nxt = self._version + 1
+        df.write.mode("errorifexists").parquet(self._path(nxt))
+        self._version = nxt
+        # Retire all but the previous version (kept briefly for readers
+        # mid-scan; a real deployment uses log-based retention).
+        for v in range(nxt - 1):
+            old = self._path(v)
+            if os.path.exists(old):
+                shutil.rmtree(old, ignore_errors=True)
+
+    def df(self) -> DataFrame:
+        if self._version < 0:
+            raise ValueError(f"table at {self.root} has no data")
+        return self.spark.read.parquet(self._path(self._version))
+
+    # -- DML (executor/insert.go, replace.go, update.go, delete.go) --------
+
+    def insert(self, rows: DataFrame) -> None:
+        """INSERT: append (duplicate keys allowed, like a keyless insert;
+        use replace() for the unique-key path)."""
+        self._write(self.df().unionByName(rows))
+
+    def replace(self, rows: DataFrame) -> None:
+        """REPLACE INTO: delete existing rows with matching keys, then
+        insert — MySQL REPLACE semantics (executor/replace.go:38) as an
+        anti-join + union."""
+        survivors = self.df().join(
+            rows.select(*self.key_cols).distinct(), on=self.key_cols, how="left_anti"
+        )
+        self._write(survivors.unionByName(rows))
+
+    def update(self, where: Column, assignments: dict[str, Column]) -> None:
+        """UPDATE … SET col = expr WHERE …: rewrite matching rows via
+        CASE-typed projection (one pass, no join)."""
+        from pyspark.sql import functions as F
+
+        cur = self.df()
+        updated = cur.select(
+            *[
+                F.when(where, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in cur.columns
+            ]
+        )
+        self._write(updated)
+
+    def delete(self, where: Column) -> None:
+        """DELETE WHERE …: keep the complement."""
+        self._write(self.df().where(~where))
+
+    def point_get(self, key_values: dict) -> DataFrame:
+        """PointGetExecutor (executor/point_get.go:75): unique-key lookup as
+        a pushed-down filter — the scan prunes row groups on key min/max."""
+        df = self.df()
+        for col, val in key_values.items():
+            df = df.where(df[col] == val)
+        return df
+
+    def batch_point_get(self, col: str, values: list) -> DataFrame:
+        """BatchPointGetExec (executor/batch_point_get.go:46): IN-list
+        lookup, pushed to the scan."""
+        df = self.df()
+        return df.where(df[col].isin(values))
