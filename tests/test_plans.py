@@ -1,0 +1,107 @@
+"""Plan-property golden tests — the Spark analogue of the reference's
+EXPLAIN corpus (cmd/explaintest/: .test SQL + golden plans).  Instead of
+full plan text (fragile across Spark versions), we assert the properties
+that matter at 100 TB: filter/column pushdown into the parquet scan,
+broadcast for dimension joins, partial+final aggregation, and no
+Python-row UDFs in relational plans.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from tidb_spark.queries import all_queries
+from tests.conftest import TEST_SF_DIR
+
+_QS = all_queries()
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = _QS[name].spark(spark, TEST_SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q6_scan_pushdown(spark):
+    """Filters and projection must reach the lineitem scan (the reference
+    pushes them to the coprocessor, table_reader.go:63)."""
+    p = plan_of(spark, "tpch_q6")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m, p
+    assert "GreaterThanOrEqual(l_shipdate" in m.group(1)
+    assert "LessThan(l_quantity" in m.group(1)
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
+    read_cols = {c.split(":")[0] for c in schema.split(",")}
+    assert read_cols == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }, read_cols
+
+
+def test_point_get_pushdown(spark):
+    p = plan_of(spark, "point_get")
+    assert "EqualTo(c_custkey,42)" in p
+
+
+def test_dimension_joins_broadcast(spark):
+    """Small dims (region/nation/customer at this SF) must broadcast —
+    no shuffle join for the dimension side (the IndexLookUpJoin analogue)."""
+    for q in ("tpch_q3", "tpch_q5", "tpch_q10"):
+        p = plan_of(spark, q)
+        assert "BroadcastHashJoin" in p, q
+        assert "SortMergeJoin" not in p, q
+
+
+def test_q1_partial_final_agg(spark):
+    """Aggregation must split map-side partial + final — the reference's
+    HashAggExec partial/final worker split (executor/aggregate.go:127-163)."""
+    p = plan_of(spark, "tpch_q1", mode="simple")
+    assert p.count("HashAggregate") >= 2
+    assert re.search(r"partial_sum|partial_avg|functions=\[partial", p) or (
+        "HashAggregate" in p and "Exchange" in p
+    )
+
+
+def test_no_python_row_udfs_in_relational_plans(spark):
+    """Relational/TPC-H plans must stay JVM-side: no BatchEvalPython
+    (row-at-a-time Python UDF) nodes anywhere."""
+    for q in ("tpch_q1", "tpch_q5", "tpch_q9", "window_rank_family",
+              "agg_rollup", "join_null_safe"):
+        p = plan_of(spark, q, mode="simple")
+        assert "BatchEvalPython" not in p, q
+
+
+def test_vector_scorers_are_arrow_batched(spark):
+    """Similarity scoring must be Arrow-batched (ArrowEvalPython /
+    mapInPandas), never row-at-a-time Python."""
+    p = plan_of(spark, "sim_topk_cosine", mode="simple")
+    assert "ArrowEvalPython" in p or "MapInPandas" in p, p
+    assert "BatchEvalPython" not in p
+
+
+def test_or_predicate_single_scan(spark):
+    """OR of two range predicates stays ONE scan + filter (the reference
+    needs IndexMergeReaderExecutor, index_merge_reader.go:67 — columnar
+    scans make the union free)."""
+    from tidb_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, TEST_SF_DIR, "customer").where(
+        (F.col("c_custkey") < 10) | (F.col("c_acctbal") > 9000)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Or(LessThan(c_custkey,10),GreaterThan(c_acctbal,9000" in p.replace(
+        " ", ""
+    )

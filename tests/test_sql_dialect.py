@@ -162,3 +162,16 @@ def test_match_any_shortest_sql(engine):
             assert r.path.endswith(f",{r.d}]")
         else:
             assert r.path == "Unreachable"
+
+
+def test_parameterized_sql(engine):
+    named = engine.sql(
+        "SELECT COUNT(*) AS n FROM customer WHERE c_custkey < :k", {"k": 10}
+    ).collect()[0].n
+    positional = engine.sql(
+        "SELECT COUNT(*) AS n FROM customer WHERE c_custkey < ?", [10]
+    ).collect()[0].n
+    plain = engine.sql(
+        "SELECT COUNT(*) AS n FROM customer WHERE c_custkey < 10"
+    ).collect()[0].n
+    assert named == positional == plain

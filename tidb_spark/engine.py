@@ -63,8 +63,12 @@ class Engine:
 
     # -- query surface ------------------------------------------------------
 
-    def sql(self, query: str) -> DataFrame:
-        """Execute one MySQL-dialect statement (with optional FROM MATCH)."""
+    def sql(self, query: str, args: dict | list | None = None) -> DataFrame:
+        """Execute one MySQL-dialect statement (with optional FROM MATCH).
+
+        ``args`` binds named (``:name``) or positional (``?``) parameters —
+        the prepared-statement surface (executor/prepared.go; Catalyst
+        re-plans per execution, replacing the reference's plan cache)."""
         query = translate(query)
         parsed = mc.find_and_parse(query)
         if parsed is not None:
@@ -74,6 +78,8 @@ class Engine:
             else:
                 replacement, preds = mc.lower_simple_path(self.graph, path)
             query = mc.splice(query, start, end, replacement, preds)
+        if args is not None:
+            return self.spark.sql(query, args)
         return self.spark.sql(query)
 
     def _lower_any_shortest(self, path: mc.MatchPath) -> tuple[str, list[str]]:

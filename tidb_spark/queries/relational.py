@@ -890,3 +890,40 @@ def batch_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# JSON aggregates (executor/aggfuncs/func_json_arrayagg.go,
+# func_json_objectagg.go): JSON_ARRAYAGG / JSON_OBJECTAGG.  MySQL's output
+# order is unspecified; we pin sorted order on both sides so the text
+# compares exactly.
+
+AGG_JSON_ORACLE = """
+SELECT n_regionkey,
+       CAST(to_json(list_sort(list(n_name))) AS VARCHAR) AS names_json,
+       CAST(json_group_object(n_name, n_nationkey) AS VARCHAR) AS obj_json
+FROM (SELECT * FROM nation ORDER BY n_name)
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("agg_json", oracle=AGG_JSON_ORACLE, tags=("agg", "json"))
+def agg_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON_ARRAYAGG → to_json(sort_array(collect_list)); JSON_OBJECTAGG →
+    to_json(map_from_entries(sorted (k,v) structs))."""
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.to_json(F.array_sort(F.collect_list("n_name"))).alias("names_json"),
+            F.to_json(
+                F.map_from_entries(
+                    F.array_sort(
+                        F.collect_list(F.struct("n_name", "n_nationkey"))
+                    )
+                )
+            ).alias("obj_json"),
+        )
+        .orderBy("n_regionkey")
+    )
