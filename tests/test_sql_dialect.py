@@ -175,3 +175,61 @@ def test_parameterized_sql(engine):
         "SELECT COUNT(*) AS n FROM customer WHERE c_custkey < 10"
     ).collect()[0].n
     assert named == positional == plain
+
+
+def test_sql_dml_lifecycle(engine, spark):
+    from tidb_spark.catalog import load_table
+
+    nation = load_table(spark, TEST_SF_DIR, "nation")
+    engine.create_table("nation_w", nation, key_cols=["n_nationkey"])
+    n0 = nation.count()
+
+    engine.sql("INSERT INTO nation_w VALUES (1000, 'NEWLAND', 9)")
+    assert engine.sql("SELECT COUNT(*) AS n FROM nation_w").collect()[0].n == n0 + 1
+
+    engine.sql("REPLACE INTO nation_w VALUES (1000, 'REPLACED', 8)")
+    row = engine.sql(
+        "SELECT n_name, n_regionkey FROM nation_w WHERE n_nationkey = 1000"
+    ).collect()[0]
+    assert (row.n_name, row.n_regionkey) == ("REPLACED", 8)
+
+    engine.sql(
+        "UPDATE nation_w SET n_name = CONCAT(n_name, '_X') WHERE n_nationkey = 1000"
+    )
+    assert engine.sql(
+        "SELECT n_name FROM nation_w WHERE n_nationkey = 1000"
+    ).collect()[0].n_name == "REPLACED_X"
+
+    engine.sql("DELETE FROM nation_w WHERE n_nationkey >= 1000")
+    assert engine.sql("SELECT COUNT(*) AS n FROM nation_w").collect()[0].n == n0
+
+    # column-list insert: unnamed columns become NULL
+    engine.sql("INSERT INTO nation_w (n_nationkey, n_name) VALUES (2000, 'PARTIAL')")
+    row = engine.sql(
+        "SELECT n_regionkey FROM nation_w WHERE n_nationkey = 2000"
+    ).collect()[0]
+    assert row.n_regionkey is None
+
+    # read-only base tables refuse DML
+    with pytest.raises(Exception, match="not writable"):
+        engine.sql("DELETE FROM nation WHERE n_nationkey = 1")
+
+
+def test_show_create_table(engine):
+    ddl = engine.show_create_table("e_knows")
+    assert "SOURCE KEY REFERENCES v_customer" in ddl
+    assert "DESTINATION KEY REFERENCES v_customer" in ddl
+    vddl = engine.show_create_table("v_customer")
+    assert "PRIMARY KEY" in vddl
+
+
+def test_unsupported_path_types(engine):
+    with pytest.raises(ValueError, match="unsupported path pattern"):
+        engine.sql(
+            "SELECT 1 FROM MATCH ALL SHORTEST (v_customer AS a)"
+            ".OUT(e_knows).(v_customer AS b)"
+        )
+    with pytest.raises(NotImplementedError, match="multi-path"):
+        engine.sql(
+            "SELECT 1 FROM MATCH (v_customer AS a), (v_customer AS b)"
+        )

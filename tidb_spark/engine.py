@@ -13,6 +13,9 @@ distributed BFS) → ``spark.sql`` → Catalyst + AQE.  Control-plane statements
 from __future__ import annotations
 
 import itertools
+import os
+import re
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -21,21 +24,36 @@ from tidb_spark.catalog import DEFAULT_SF_DIR, register_views
 from tidb_spark.functions.mysql import register_shim_udfs
 from tidb_spark.graph.model import GraphSchema, default_graph
 from tidb_spark.graph.shortest import any_shortest
+from tidb_spark.sources.dml import ManagedTable
 from tidb_spark.sqlshim import match_clause as mc
 from tidb_spark.sqlshim.translate import translate
 
 _view_counter = itertools.count()
+
+_DML_RE = re.compile(
+    r"(?is)^\s*(?:(INSERT|REPLACE)\s+INTO\s+(\w+)\s+(.*)"
+    r"|(UPDATE)\s+(\w+)\s+SET\s+(.*)"
+    r"|(DELETE)\s+FROM\s+(\w+)\s*(?:WHERE\s+(.*))?)$"
+)
 
 
 class Engine:
     """One engine per (SparkSession, dataset dir): binds the catalog, the
     graph schema, and the MySQL shim functions, then answers SQL."""
 
-    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str | None = None,
+        *,
+        workspace: str | None = None,
+    ):
         self.spark = spark
         self.sf_dir = sf_dir or DEFAULT_SF_DIR
         self.tables = register_views(spark, self.sf_dir)
         self.graph: GraphSchema = default_graph(spark, self.sf_dir)
+        self.workspace = workspace or tempfile.mkdtemp(prefix="tidb_spark_ws_")
+        self.managed: dict[str, ManagedTable] = {}
         register_shim_udfs(spark)
 
     # -- DDL surface (graph): SOURCE KEY / DESTINATION KEY registration ----
@@ -61,6 +79,78 @@ class Engine:
         self.graph.add_edge_table(name, df, src_col, dst_col, src_table, dst_table)
         df.createOrReplaceTempView(name)
 
+    def create_table(
+        self, name: str, df: DataFrame, key_cols: list[str]
+    ) -> ManagedTable:
+        """Create a writable (managed, copy-on-write parquet) table in the
+        engine workspace and expose it to SQL — the DML target surface
+        (read-only dataset views cannot be mutated)."""
+        mt = ManagedTable(
+            self.spark, os.path.join(self.workspace, name), key_cols, df=df
+        )
+        self.managed[name] = mt
+        self._refresh_view(name)
+        return mt
+
+    def _refresh_view(self, name: str) -> None:
+        df = self.managed[name].df()
+        df.createOrReplaceTempView(name)
+        self.tables[name] = df
+
+    def _run_dml(self, m: re.Match) -> DataFrame:
+        """INSERT / REPLACE / UPDATE / DELETE statements → ManagedTable ops
+        (executor/insert.go, replace.go, update.go, delete.go)."""
+        verb = (m.group(1) or m.group(4) or m.group(7)).upper()
+        name = m.group(2) or m.group(5) or m.group(8)
+        if name not in self.managed:
+            raise ValueError(
+                f"table {name!r} is not writable; engine.create_table() "
+                "creates a managed copy-on-write table"
+            )
+        mt = self.managed[name]
+        if verb in ("INSERT", "REPLACE"):
+            body = m.group(3).strip()
+            vm = re.match(r"(?is)^(?:\(([^)]*)\)\s*)?VALUES\s+(.*)$", body)
+            if vm:
+                cols = (
+                    [c.strip().strip("`") for c in vm.group(1).split(",")]
+                    if vm.group(1)
+                    else [f.name for f in mt.df().schema.fields]
+                )
+                rows = self.spark.sql(
+                    f"SELECT * FROM (VALUES {vm.group(2)}) AS "
+                    f"__v({', '.join(cols)})"
+                )
+                # Unnamed columns default to NULL (MySQL would use column
+                # defaults; the managed table has none).
+                full = rows
+                for f in mt.df().schema.fields:
+                    if f.name not in cols:
+                        full = full.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+                full = full.select(*[f.name for f in mt.df().schema.fields])
+            else:
+                full = self.spark.sql(body)
+            (mt.insert if verb == "INSERT" else mt.replace)(full)
+        elif verb == "UPDATE":
+            body = m.group(6)
+            wm = re.search(r"(?is)\bWHERE\s+(.*)$", body)
+            where = F.expr(wm.group(1)) if wm else F.lit(True)
+            set_part = body[: wm.start()] if wm else body
+            from tidb_spark.sqlshim.translate import _split_args
+
+            assignments = {}
+            for frag in _split_args(set_part):  # string/paren-aware commas
+                col, expr = frag.split("=", 1)
+                assignments[col.strip().strip("`")] = F.expr(expr.strip())
+            mt.update(where, assignments)
+        else:  # DELETE
+            where = F.expr(m.group(9)) if m.group(9) else F.lit(True)
+            mt.delete(where)
+        self._refresh_view(name)
+        return self.tables[name]
+
     # -- query surface ------------------------------------------------------
 
     def sql(self, query: str, args: dict | list | None = None) -> DataFrame:
@@ -70,6 +160,9 @@ class Engine:
         the prepared-statement surface (executor/prepared.go; Catalyst
         re-plans per execution, replacing the reference's plan cache)."""
         query = translate(query)
+        dm = _DML_RE.match(query)
+        if dm and dm.group(0):
+            return self._run_dml(dm)
         parsed = mc.find_and_parse(query)
         if parsed is not None:
             start, end, path = parsed
@@ -146,3 +239,33 @@ class Engine:
 
     def show_tables(self) -> list[str]:
         return sorted(self.tables)
+
+    def show_create_table(self, name: str) -> str:
+        """SHOW CREATE TABLE, round-tripping the graph DDL extensions
+        (SOURCE KEY / DESTINATION KEY — executor/show.go:922) for edge
+        tables."""
+
+        def _sql_type(dt) -> str:
+            return dt.simpleString().upper()
+
+        if name in self.graph.edges:
+            e = self.graph.edge(name)
+            cols = []
+            for f in e.df.schema.fields:
+                line = f"  `{f.name}` {_sql_type(f.dataType)}"
+                if f.name == e.src_col:
+                    line += f" SOURCE KEY REFERENCES {e.src_table}"
+                elif f.name == e.dst_col:
+                    line += f" DESTINATION KEY REFERENCES {e.dst_table}"
+                cols.append(line)
+            body = ",\n".join(cols)
+            return f"CREATE TABLE `{name}` (\n{body}\n)"
+        df = self.tables[name] if name in self.tables else self.graph.vertex(name).df
+        cols = [f"  `{f.name}` {_sql_type(f.dataType)}" for f in df.schema.fields]
+        if name in self.graph.vertices:
+            pk = self.graph.vertex(name).id_col
+            for i, f in enumerate(df.schema.fields):
+                if f.name == pk:
+                    cols[i] += " PRIMARY KEY"
+        body = ",\n".join(cols)
+        return f"CREATE TABLE `{name}` (\n{body}\n)"

@@ -43,10 +43,13 @@ def bfs_min_paths(
     where path is the lexicographically-smallest shortest path root→id
     (inclusive of both endpoints).
     """
+    # The edge list is probed every round — persist the 2-column projection
+    # once (for derived edge views, e.g. a self-join, this also freezes the
+    # derivation instead of re-running it per hop).
     edges = edge.df.select(
         F.col(edge.src_col).cast("long").alias("__src"),
         F.col(edge.dst_col).cast("long").alias("__dst"),
-    )
+    ).localCheckpoint(eager=True)
     seed = sources.select(
         F.col("root").cast("long").alias("root"),
         F.col("root").cast("long").alias("id"),
@@ -54,8 +57,13 @@ def bfs_min_paths(
         F.lit(0).alias("dist"),
     ).dropDuplicates(["root"])
 
-    visited = seed.localCheckpoint(eager=True)
-    frontier = visited
+    frontier = seed.localCheckpoint(eager=True)
+    # Visited state = the list of per-round checkpointed frontiers; their
+    # lazy union serves the anti-join.  (Re-checkpointing one growing
+    # `visited` frame would rewrite O(V) rows every round — the union of
+    # already-checkpointed pieces costs nothing extra.)
+    rounds = [frontier]
+    visited_ids = frontier.select("root", "id")
 
     for hop in range(1, max_hops + 1):
         expanded = (
@@ -70,16 +78,18 @@ def bfs_min_paths(
             .groupBy("root", "id")
             .agg(F.min("path").alias("path"))
             .withColumn("dist", F.lit(hop))
-            .join(
-                visited.select("root", "id"), on=["root", "id"], how="left_anti"
-            )
+            .join(visited_ids, on=["root", "id"], how="left_anti")
             .localCheckpoint(eager=True)
         )
         if expanded.isEmpty():
             break
-        visited = visited.unionByName(expanded).localCheckpoint(eager=True)
+        rounds.append(expanded)
+        visited_ids = visited_ids.unionByName(expanded.select("root", "id"))
         frontier = expanded
-    return visited
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 def any_shortest(

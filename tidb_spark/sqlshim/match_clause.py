@@ -35,6 +35,11 @@ from tidb_spark.sqlshim.translate import _split_segments
 
 _MATCH_RE = re.compile(r"\bMATCH\b", re.IGNORECASE)
 _ANY_SHORTEST_RE = re.compile(r"\s*ANY\s+SHORTEST\b", re.IGNORECASE)
+# Parsed-but-unimplemented path types — the reference errors on these too
+# (logical_plan_builder.go:6567-6577).
+_UNSUPPORTED_PATH_RE = re.compile(
+    r"\s*(ALL\s+SHORTEST|TOP\s+\d+|ALL\b|ANY\b(?!\s+SHORTEST))", re.IGNORECASE
+)
 _VERTEX_RE = re.compile(
     r"(?is)^\s*(\w+)\s*(?:AS\s+(\w+)\s*)?(?:WHERE\s+(.+?)\s*)?$"
 )
@@ -106,6 +111,9 @@ def find_and_parse(sql: str) -> tuple[int, int, MatchPath] | None:
         if m:
             shortest = True
             i = m.end()
+        elif _UNSUPPORTED_PATH_RE.match(sql, i):
+            # Same behavior (and message) as the reference planner.
+            raise ValueError("unsupported path pattern type in MATCH")
         while i < len(sql) and sql[i].isspace():
             i += 1
         if i >= len(sql) or sql[i] != "(":
@@ -137,6 +145,16 @@ def find_and_parse(sql: str) -> tuple[int, int, MatchPath] | None:
                 vclose = _find_closing(sql, vopen)
                 hop.dest = _parse_vertex(sql[vopen + 1 : vclose])
                 i = vclose + 1
+        if re.compile(r"\s*,\s*\(").match(sql, i):
+            # Comma-separated multi-path (the reference unions the paths,
+            # buildGraph :6484-6506): supported in the DataFrame API
+            # (tidb_spark.graph.match.union_paths), not the SQL surface —
+            # UNION ALL of join chains needs schema-aligned projections the
+            # text layer cannot infer.
+            raise NotImplementedError(
+                "multi-path MATCH is not supported in SQL; use "
+                "tidb_spark.graph.match.union_paths"
+            )
         return start, i, path
     return None
 
