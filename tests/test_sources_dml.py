@@ -77,3 +77,29 @@ def test_dml_lifecycle(spark, nation, tmp_path):
     assert sorted(r.n_nationkey for r in t.df().collect()) == sorted(
         r.n_nationkey for r in nation.collect()
     )
+
+
+def test_partitioned_table_prunes(spark, nation, tmp_path):
+    """Directory partitioning (the RANGE/HASH/LIST analogue) must prune:
+    a partition-key predicate reads only the matching directory."""
+    import contextlib, io, re as _re
+
+    t = ManagedTable(
+        spark,
+        str(tmp_path / "p"),
+        key_cols=["n_nationkey"],
+        partition_by=["n_regionkey"],
+        df=nation,
+    )
+    df = t.df().where(F.col("n_regionkey") == 2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "n_regionkey" in m.group(1), p
+    expected = nation.where(F.col("n_regionkey") == 2).count()
+    assert df.count() == expected
+    # DML still works on partitioned layout
+    t.delete(F.col("n_regionkey") == 2)
+    assert t.df().count() == nation.count() - expected

@@ -927,3 +927,99 @@ def agg_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Subquery rewrites (planner/core/expression_rewriter.go:216,396,459: scalar
+# subquery → MaxOneRow+apply, IN → semi-apply, EXISTS → semi join; the
+# decorrelation rule rule_decorrelate.go pulls them into joins).  Catalyst
+# does the identical rewrites natively — these queries pin that behavior.
+
+SUBQ_SCALAR_ORACLE = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer) * 1.8
+ORDER BY c_custkey
+"""
+
+
+@register("subq_scalar", oracle=SUBQ_SCALAR_ORACLE, tags=("subquery",))
+def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (MaxOneRowExec parity: Catalyst enforces
+    single-row in the rewrite)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__subq_customer")
+    return spark.sql(
+        """SELECT c_custkey, c_acctbal FROM __subq_customer
+           WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM __subq_customer) * 1.8
+           ORDER BY c_custkey"""
+    )
+
+
+SUBQ_CORRELATED_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+ORDER BY o_orderkey
+"""
+
+
+@register("subq_correlated", oracle=SUBQ_CORRELATED_ORACLE, tags=("subquery",))
+def subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — the apply → decorrelated aggregate+join
+    rewrite (rule_decorrelate.go; Catalyst: DecorrelateInnerQuery)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__subq_orders")
+    return spark.sql(
+        """SELECT o_orderkey, o_totalprice FROM __subq_orders o
+           WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                                     FROM __subq_orders o2
+                                     WHERE o2.o_custkey = o.o_custkey)
+           ORDER BY o_orderkey"""
+    )
+
+
+SUBQ_EXISTS_BOOL_ORACLE = """
+SELECT c_custkey,
+       EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_totalprice > 400000) AS has_big_order
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@register("subq_exists_bool", oracle=SUBQ_EXISTS_BOOL_ORACLE, tags=("subquery",))
+def subq_exists_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a projected boolean — the reference's LeftOuterSemi join
+    (planner/core/logical_plans.go:59-76 'EXISTS as boolean column')."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__subq_c2")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__subq_o2")
+    return spark.sql(
+        """SELECT c_custkey,
+                  EXISTS(SELECT 1 FROM __subq_o2 WHERE o_custkey = c_custkey
+                         AND o_totalprice > 400000) AS has_big_order
+           FROM __subq_c2 ORDER BY c_custkey"""
+    )
+
+
+SUBQ_IN_NOTIN_ORACLE = """
+SELECT c_custkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+ORDER BY c_custkey
+"""
+
+
+@register("subq_in_notin", oracle=SUBQ_IN_NOTIN_ORACLE, tags=("subquery",))
+def subq_in_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN → semi join, NOT IN → null-aware anti join (the joiner pair in
+    executor/joiner.go:173-184)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__subq_c3")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__subq_o3")
+    return spark.sql(
+        """SELECT c_custkey FROM __subq_c3
+           WHERE c_custkey IN (SELECT o_custkey FROM __subq_o3
+                               WHERE o_orderstatus = 'F')
+             AND c_custkey NOT IN (SELECT o_custkey FROM __subq_o3
+                                   WHERE o_totalprice > 450000)
+           ORDER BY c_custkey"""
+    )

@@ -38,10 +38,18 @@ class ManagedTable:
         key_cols: list[str],
         *,
         df: DataFrame | None = None,
+        partition_by: list[str] | None = None,
     ):
+        """``partition_by`` declares directory partitioning — the columnar
+        equivalent of the reference's RANGE/HASH/LIST table partitioning
+        (parser/model/model.go:820-822): equality/range predicates on the
+        partition columns prune whole directories at plan time (the
+        rule_partition_processor.go analogue is Spark's native partition
+        pruning + dynamic partition pruning for join keys)."""
         self.spark = spark
         self.root = root
         self.key_cols = key_cols
+        self.partition_by = partition_by or []
         os.makedirs(root, exist_ok=True)
         self._version = self._latest_version()
         if df is not None and self._version < 0:
@@ -62,7 +70,10 @@ class ManagedTable:
 
     def _write(self, df: DataFrame) -> None:
         nxt = self._version + 1
-        df.write.mode("errorifexists").parquet(self._path(nxt))
+        writer = df.write.mode("errorifexists")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self._path(nxt))
         self._version = nxt
         # Retire all but the previous version (kept briefly for readers
         # mid-scan; a real deployment uses log-based retention).
