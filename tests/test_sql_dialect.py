@@ -233,3 +233,21 @@ def test_unsupported_path_types(engine):
         engine.sql(
             "SELECT 1 FROM MATCH (v_customer AS a), (v_customer AS b)"
         )
+
+
+def test_encryption_functions(engine):
+    """builtin_encryption.go parity: AES round-trip (Spark native),
+    SHA1/CRC32 (native), COMPRESS/UNCOMPRESS (MySQL 4-byte-prefix zlib
+    shims)."""
+    row = engine.sql(
+        "SELECT CAST(aes_decrypt(aes_encrypt('secret', '0123456789abcdef'), "
+        "'0123456789abcdef') AS STRING) AS aes_rt, "
+        "sha1('abc') AS s1, crc32('abc') AS c32, "
+        "UNCOMPRESS(COMPRESS('hello world hello world')) AS comp_rt, "
+        "UNCOMPRESS(COMPRESS('')) AS comp_empty"
+    ).collect()[0]
+    assert row.aes_rt == "secret"
+    assert row.s1 == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert row.c32 == 891568578
+    assert row.comp_rt == "hello world hello world"
+    assert row.comp_empty == ""

@@ -93,3 +93,21 @@ def test_running_user_counts_stateful(spark, multi_file_events):
     sums = got.groupby("user_id")["batch_events"].sum()
     for uid in sums.index:
         assert sums[uid] == batch_counts[uid], uid
+
+
+def test_stream_stream_interval_join(spark):
+    """Stream-stream time-interval join == the identical batch join."""
+    from pyspark.sql import functions as F
+
+    batch = load_table(spark, TEST_SF_DIR, "events")
+    b = ev.click_error_interval_join(
+        batch.where(F.col("event_type") == "click"),
+        batch.where(F.col("event_type") == "error"),
+    )
+    sdf = ev.events_stream(spark, TEST_SF_DIR)
+    s = ev.click_error_interval_join(
+        sdf.where(F.col("event_type") == "click").withWatermark("ts", "1 hour"),
+        sdf.where(F.col("event_type") == "error").withWatermark("ts", "1 hour"),
+    )
+    out = ev.run_to_memory(s, f"j_{uuid.uuid4().hex}")
+    assert_frames_match(out.toPandas(), b.toPandas(), "stream_interval_join")

@@ -325,6 +325,7 @@ def register_shim_udfs(spark) -> None:
             len(v) if isinstance((v := _json.loads(d)), (dict, list)) else 1
         )
     ), "int")
+    register_compress_udfs(spark)
     reg("json_contains", lambda d, c: (
         None if d is None or c is None
         else _json_contains_py(_json.loads(d), _json.loads(c))
@@ -415,3 +416,35 @@ def _json_contains_py(target, candidate) -> bool:
             for k, v in candidate.items()
         )
     return target == candidate
+
+
+# -- COMPRESS / UNCOMPRESS (builtin_encryption.go): MySQL format is a
+# 4-byte little-endian uncompressed-length prefix + zlib stream; empty
+# string compresses to empty.
+
+import struct as _struct
+import zlib as _zlib
+
+
+def _compress_py(data) -> bytes | None:
+    if data is None:
+        return None
+    raw = data if isinstance(data, (bytes, bytearray)) else str(data).encode()
+    if not raw:
+        return b""
+    return _struct.pack("<I", len(raw)) + _zlib.compress(raw)
+
+
+def _uncompress_py(blob) -> str | None:
+    if blob is None:
+        return None
+    if not blob:
+        return ""
+    n = _struct.unpack("<I", bytes(blob[:4]))[0]
+    out = _zlib.decompress(bytes(blob[4:]))
+    return out[:n].decode("utf-8", errors="replace")
+
+
+def register_compress_udfs(spark) -> None:
+    spark.udf.register("compress", _compress_py, "binary")
+    spark.udf.register("uncompress", _uncompress_py, "string")

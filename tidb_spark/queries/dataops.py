@@ -398,3 +398,40 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", F.col("frame_no").cast("long").alias("frame_no"), "frame_sha")
         .orderBy("media_id", "frame_no")
     )
+
+
+TEXT_QUALITY_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, text, {_NORM} AS n,
+         length({_NORM}) AS nc,
+         CASE WHEN length({_NORM}) = 0 THEN 0
+              ELSE len(string_split({_NORM}, ' ')) END AS nt,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE CAST(FLOOR((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1000000.0 / length(text)) AS BIGINT)
+              END AS pm
+  FROM documents
+)
+SELECT doc_id,
+       (CASE WHEN nc BETWEEN 50 AND 10000 THEN 400000 ELSE 100000 END
+        + CASE WHEN nt > 0 AND CAST(nc AS DOUBLE) / nt BETWEEN 3.0 AND 12.0
+               THEN 400000 ELSE 100000 END
+        - LEAST(pm, 200000) + 200000) AS quality_micros,
+       CAST(list_sum(list_transform(string_split(n, ' '),
+                     w -> CAST(CEIL(length(w) / 4.0) AS BIGINT))) AS BIGINT)
+         AS bpe_tokens
+FROM s
+ORDER BY doc_id
+"""
+
+
+@register("text_quality", oracle=TEXT_QUALITY_ORACLE, tags=("text",))
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length band + mean-word-length band −
+    punctuation penalty, all integer micro-units) and BPE-ish subword
+    count — the heuristic filter stage of a training-data pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.quality_score_micros(F.col("text")).alias("quality_micros"),
+        tx.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    ).orderBy("doc_id")

@@ -122,3 +122,29 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py."""
     df = load_table(spark, sf_dir, "events")
     return ev.earliest_per_key(df).orderBy("user_id", "event_type")
+
+
+INTERVAL_JOIN_ORACLE = """
+SELECT c.user_id,
+       c.event_id AS click_id, c.ts AS click_ts,
+       e.event_id AS error_id, e.ts AS error_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+ORDER BY click_id, error_id
+"""
+
+
+@register("stream_interval_join", oracle=INTERVAL_JOIN_ORACLE, tags=("streaming", "join"))
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user click→error pairs within 10 minutes — the stream-stream
+    time-interval join run in batch mode (tests prove the readStream form
+    is identical)."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    return ev.click_error_interval_join(
+        events.where(F.col("event_type") == "click"),
+        events.where(F.col("event_type") == "error"),
+    ).orderBy("click_id", "error_id")

@@ -139,6 +139,37 @@ def dedup_within_watermark(df: DataFrame, delay: str = "1 hour") -> DataFrame:
     )
 
 
+def click_error_interval_join(
+    clicks: DataFrame, errors: DataFrame, *, gap: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: per user, each click pairs with errors
+    in (click_ts, click_ts + gap].  On streaming inputs both sides must be
+    watermarked (state eviction follows the interval bound); identical code
+    runs in batch.  Output is keyed (user_id, click_id, error_id)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    e = errors.select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    return c.join(
+        e,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") > F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {gap}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "error_id",
+        "error_ts",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator (applyInPandasWithState).
 
