@@ -105,3 +105,51 @@ def test_or_predicate_single_scan(spark):
     assert "Or(LessThan(c_custkey,10),GreaterThan(c_acctbal,9000" in p.replace(
         " ", ""
     )
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
+    """Same-bucketed fact tables join with NO exchange — the at-rest
+    co-location strategy for 100 TB fact-fact joins (coprocessor-locality
+    analogue)."""
+    from pyspark.sql import functions as F
+
+    from tidb_spark.catalog import load_table
+    from tidb_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    lineitem = load_table(spark, TEST_SF_DIR, "lineitem").withColumn(
+        "o_orderkey", F.col("l_orderkey")
+    )
+    write_bucketed(orders, "orders_b", ["o_orderkey"], num_buckets=4)
+    write_bucketed(lineitem, "lineitem_b", ["o_orderkey"], num_buckets=4)
+    # Force the shuffle-join path: at this SF everything broadcasts, which
+    # would mask the bucketing effect (at 100 TB neither side broadcasts).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "orders_b", "lineitem_b", ["o_orderkey"])
+        p_buf = io.StringIO()
+        with contextlib.redirect_stdout(p_buf):
+            joined.explain("formatted")
+        p = p_buf.getvalue()
+        assert "Exchange" not in p, p
+        # correctness unchanged vs the plain (shuffling) join
+        plain = orders.join(lineitem, on="o_orderkey")
+        assert joined.count() == plain.count()
+        # disabling bucketing brings the exchange back (proves the bucket
+        # metadata — not data size — removed it)
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+        try:
+            buf2 = io.StringIO()
+            with contextlib.redirect_stdout(buf2):
+                bucketed_join(
+                    spark, "orders_b", "lineitem_b", ["o_orderkey"]
+                ).explain("formatted")
+            assert "Exchange" in buf2.getvalue()
+        finally:
+            spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
