@@ -3,8 +3,9 @@
 The reference ships a TPC-H EXPLAIN-plan corpus
 (``cmd/explaintest/t/tpch.test``, Q1 at ``:100``); these are the same query
 shapes re-expressed as PySpark DataFrame plans over the TESTDATA fixtures.
-Adaptations (FIXTURES.md): no ``partsupp`` table (Q2/Q11/Q16/Q20 omitted,
-Q9 profit drops supplycost), lineitem has no commit/receipt dates or shipmode
+Adaptations (FIXTURES.md): no ``partsupp`` table (Q2/Q11/Q16/Q20 run against
+a lineitem-derived partsupp — see PARTSUPP_SQL below — and Q9 profit drops
+supplycost), lineitem has no commit/receipt dates or shipmode
 (Q4's EXISTS uses shipdate-vs-orderdate, Q12 omitted), no ``o_shippriority``
 (Q3 drops the column), no ``c_phone`` (Q22 uses ``c_nationkey`` as country
 code).
@@ -912,4 +913,252 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2/Q11/Q16/Q20 (adapted) — the four partsupp queries.  The fixture has no
+# partsupp table (FIXTURES.md), so part-supplier relationships are DERIVED
+# from lineitem: ps = distinct (l_partkey, l_suppkey) with
+# ps_supplycost := MIN(l_extendedprice) (min is order-independent and
+# bit-exact on doubles, unlike a float sum).  Query shapes are preserved
+# from the reference corpus (cmd/explaintest/t/tpch.test): Q2's correlated
+# min-cost scalar subquery, Q11's HAVING-vs-global-scalar, Q16's NOT-IN +
+# count-distinct, Q20's nested IN chain.
+PARTSUPP_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice) AS ps_supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp (see PARTSUPP_SQL) as a DataFrame."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    )
+
+
+Q2_ORACLE = f"""
+WITH partsupp AS ({PARTSUPP_SQL}),
+eur AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost,
+         s_acctbal, s_name, s_suppkey, n_name
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey,
+       ps_supplycost AS supplycost
+FROM part JOIN eur ON p_partkey = ps_partkey
+WHERE p_size < 10 AND p_type = 'STANDARD'
+  AND ps_supplycost = (SELECT MIN(e2.ps_supplycost) FROM eur e2
+                       WHERE e2.ps_partkey = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+LIMIT 100
+"""
+
+
+@register("tpch_q2", oracle=Q2_ORACLE, tags=("tpch", "join", "subquery"))
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier per European part (Q2 shape: correlated scalar
+    MIN subquery).  Decorrelated form: the region-restricted partsupp frame
+    feeds both the per-part MIN aggregate and the equality join back —
+    Catalyst reuses the exchange; dims (supplier/nation/region/part) all
+    broadcast.  s_suppkey is in the sort key so the LIMIT is total-ordered
+    (deterministic under cost ties)."""
+    partsupp = _partsupp(spark, sf_dir)
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") < 10) & (F.col("p_type") == "STANDARD")
+    )
+    eur = (
+        partsupp.join(
+            F.broadcast(supplier), F.col("s_suppkey") == F.col("ps_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "ps_partkey", "ps_suppkey", "ps_supplycost",
+            "s_acctbal", "s_name", "s_suppkey", "n_name",
+        )
+    )
+    mins = eur.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eur.join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            mins,
+            (F.col("m_partkey") == F.col("ps_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "s_suppkey",
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+Q11_ORACLE = f"""
+WITH nsl AS (
+  SELECT l_partkey, CAST(l_quantity AS DECIMAL(15,2)) AS q
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+)
+SELECT l_partkey AS ps_partkey, CAST(SUM(q) AS DOUBLE) AS part_value
+FROM nsl
+GROUP BY l_partkey
+HAVING SUM(q) * 1000 > (SELECT SUM(q) FROM nsl)
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+@register("tpch_q11", oracle=Q11_ORACLE, tags=("tpch", "agg", "subquery"))
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important parts by shipped-quantity share for one nation (Q11 shape:
+    HAVING against a global-scalar subquery).  The nation-restricted frame
+    feeds both the per-part aggregate and the 1-row global sum, which is
+    broadcast into the HAVING filter; quantity stays DECIMAL end-to-end so
+    the share comparison is exact."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    nsl = (
+        lineitem.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", F.expr(f"{QTY}").alias("q"))
+    )
+    total = nsl.agg(F.sum("q").alias("total_q"))
+    return (
+        nsl.groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            F.expr("CAST(SUM(q) AS DOUBLE)").alias("part_value"),
+            F.sum("q").alias("_sum_q"),
+        )
+        .join(F.broadcast(total))
+        .where(F.col("_sum_q") * 1000 > F.col("total_q"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+Q16_ORACLE = f"""
+WITH partsupp AS ({PARTSUPP_SQL})
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#9'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("tpch_q16", oracle=Q16_ORACLE, tags=("tpch", "agg", "antijoin"))
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier count per part attribute group (Q16 shape: NOT-IN anti join
+    + COUNT DISTINCT).  The complaints filter is adapted to s_acctbal < 0
+    (no s_comment in the fixture); the NOT IN lowers to a broadcast
+    null-aware anti join, and count-distinct runs the standard two-phase
+    expand/partial split."""
+    partsupp = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#9")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    complaints = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_key"))
+    )
+    return (
+        partsupp.join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            F.broadcast(complaints),
+            F.col("ps_suppkey") == F.col("bad_key"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q20_ORACLE = f"""
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l_shipdate >= {_ts('1997-01-01')} AND l_shipdate < {_ts('1998-01-01')}
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 50
+  )
+ORDER BY s_name
+"""
+
+
+@register("tpch_q20", oracle=Q20_ORACLE, tags=("tpch", "semi", "subquery"))
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who moved real volume of 'small%' parts in 1997 (Q20 shape:
+    IN → semi join over an aggregated subquery that itself contains an IN →
+    semi join; the availqty threshold is adapted to an absolute shipped-
+    quantity threshold).  part keys broadcast into the inner semi join; the
+    aggregated supplier-key set broadcasts into the outer one."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    small_parts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    movers = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.expr(_ts("1997-01-01")))
+            & (F.col("l_shipdate") < F.expr(_ts("1998-01-01")))
+        )
+        .join(
+            F.broadcast(small_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.expr(f"SUM({QTY})").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
