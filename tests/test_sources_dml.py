@@ -103,3 +103,82 @@ def test_partitioned_table_prunes(spark, nation, tmp_path):
     # DML still works on partitioned layout
     t.delete(F.col("n_regionkey") == 2)
     assert t.df().count() == nation.count() - expected
+
+
+def test_merge_upsert_lifecycle(spark, nation, tmp_path):
+    """MERGE / INSERT … ON DUPLICATE KEY UPDATE / INSERT IGNORE semantics
+    (executor/insert.go:43,79,191-202 — the reference's dup-key paths)."""
+    from tidb_spark.sources.dml import new_value
+
+    t = ManagedTable(
+        spark, str(tmp_path / "m"), key_cols=["n_nationkey"], df=nation
+    )
+    n0 = nation.count()
+
+    incoming = spark.createDataFrame(
+        [(0, "RENAMED_0", 9), (1000, "NEWLAND", 0)], schema=SCHEMA
+    )
+    # default upsert: matched row fully overwritten, new key inserted
+    t.upsert(incoming)
+    assert t.df().count() == n0 + 1
+    got = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in t.df().collect()}
+    assert got[0] == ("RENAMED_0", 9)
+    assert got[1000] == ("NEWLAND", 0)
+
+    # custom assignment mixing old and new values
+    t.upsert(
+        spark.createDataFrame([(1000, "IGNORED", 5)], schema=SCHEMA),
+        assignments={"n_regionkey": new_value("n_regionkey") + F.col("n_regionkey")},
+    )
+    got = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in t.df().collect()}
+    assert got[1000] == ("NEWLAND", 5)  # name kept, region 0+5
+
+    # INSERT IGNORE: existing key dropped, new key kept
+    t.insert_ignore(
+        spark.createDataFrame(
+            [(1000, "CLOBBER", 7), (1001, "FRESH", 2)], schema=SCHEMA
+        )
+    )
+    got = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in t.df().collect()}
+    assert got[1000] == ("NEWLAND", 5)
+    assert got[1001] == ("FRESH", 2)
+
+    # MERGE with a delete clause: matched rows satisfying the condition go
+    t.merge(
+        spark.createDataFrame([(1000, "x", 0), (1001, "x", 0)], schema=SCHEMA),
+        when_matched_delete=F.col("n_name") == "NEWLAND",
+        when_not_matched_insert=False,
+    )
+    keys = {r.n_nationkey for r in t.df().collect()}
+    assert 1000 not in keys and 1001 in keys
+
+
+def test_sql_odku_and_insert_ignore(spark, nation, tmp_path):
+    """SQL surface: INSERT … ON DUPLICATE KEY UPDATE with VALUES(col) refs
+    and INSERT IGNORE, through Engine.sql."""
+    from tidb_spark.engine import Engine
+
+    eng = Engine(spark, TEST_SF_DIR, workspace=str(tmp_path / "ws"))
+    eng.create_table("nat", nation, key_cols=["n_nationkey"])
+    n0 = nation.count()
+
+    eng.sql(
+        "INSERT INTO nat VALUES (0, 'ZERO', 40), (2000, 'SQLLAND', 3) "
+        "ON DUPLICATE KEY UPDATE n_name = VALUES(n_name), "
+        "n_regionkey = n_regionkey + VALUES(n_regionkey)"
+    )
+    got = {
+        r.n_nationkey: (r.n_name, r.n_regionkey)
+        for r in eng.sql("SELECT * FROM nat").collect()
+    }
+    assert len(got) == n0 + 1
+    assert got[0][0] == "ZERO" and got[0][1] >= 40  # old region + 40
+    assert got[2000] == ("SQLLAND", 3)
+
+    eng.sql("INSERT IGNORE INTO nat VALUES (2000, 'NOPE', 9), (2001, 'YES', 1)")
+    got = {
+        r.n_nationkey: (r.n_name, r.n_regionkey)
+        for r in eng.sql("SELECT * FROM nat").collect()
+    }
+    assert got[2000] == ("SQLLAND", 3)
+    assert got[2001] == ("YES", 1)

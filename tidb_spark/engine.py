@@ -31,10 +31,15 @@ from tidb_spark.sqlshim.translate import translate
 _view_counter = itertools.count()
 
 _DML_RE = re.compile(
-    r"(?is)^\s*(?:(INSERT|REPLACE)\s+INTO\s+(\w+)\s+(.*)"
-    r"|(UPDATE)\s+(\w+)\s+SET\s+(.*)"
-    r"|(DELETE)\s+FROM\s+(\w+)\s*(?:WHERE\s+(.*))?)$"
+    r"(?is)^\s*(?:(?P<iverb>INSERT|REPLACE)(?P<ignore>\s+IGNORE)?\s+INTO\s+"
+    r"(?P<itab>\w+)\s+(?P<ibody>.*)"
+    r"|(?P<uverb>UPDATE)\s+(?P<utab>\w+)\s+SET\s+(?P<ubody>.*)"
+    r"|(?P<dverb>DELETE)\s+FROM\s+(?P<dtab>\w+)\s*(?:WHERE\s+(?P<dwhere>.*))?)$"
 )
+
+_ODKU_RE = re.compile(r"(?is)^(.*?)\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*)$")
+
+_VALUES_REF_RE = re.compile(r"(?i)\bVALUES\s*\(\s*`?(\w+)`?\s*\)")
 
 
 class Engine:
@@ -100,8 +105,8 @@ class Engine:
     def _run_dml(self, m: re.Match) -> DataFrame:
         """INSERT / REPLACE / UPDATE / DELETE statements → ManagedTable ops
         (executor/insert.go, replace.go, update.go, delete.go)."""
-        verb = (m.group(1) or m.group(4) or m.group(7)).upper()
-        name = m.group(2) or m.group(5) or m.group(8)
+        verb = (m.group("iverb") or m.group("uverb") or m.group("dverb")).upper()
+        name = m.group("itab") or m.group("utab") or m.group("dtab")
         if name not in self.managed:
             raise ValueError(
                 f"table {name!r} is not writable; engine.create_table() "
@@ -109,7 +114,11 @@ class Engine:
             )
         mt = self.managed[name]
         if verb in ("INSERT", "REPLACE"):
-            body = m.group(3).strip()
+            body = m.group("ibody").strip()
+            odku = None
+            om = _ODKU_RE.match(body)
+            if om and verb == "INSERT":
+                body, odku = om.group(1).strip(), om.group(2).strip()
             vm = re.match(r"(?is)^(?:\(([^)]*)\)\s*)?VALUES\s+(.*)$", body)
             if vm:
                 cols = (
@@ -132,9 +141,29 @@ class Engine:
                 full = full.select(*[f.name for f in mt.df().schema.fields])
             else:
                 full = self.spark.sql(body)
-            (mt.insert if verb == "INSERT" else mt.replace)(full)
+            if odku is not None:
+                # ON DUPLICATE KEY UPDATE (executor/insert.go:43): in each
+                # assignment, VALUES(col) is the incoming row, a bare column
+                # the existing one — new_value()'s prefixed name implements
+                # the former.
+                from tidb_spark.sources.dml import _NEW_PREFIX
+                from tidb_spark.sqlshim.translate import _split_args
+
+                assignments = {}
+                for frag in _split_args(odku):
+                    col, expr = frag.split("=", 1)
+                    assignments[col.strip().strip("`")] = F.expr(
+                        _VALUES_REF_RE.sub(
+                            lambda vm_: _NEW_PREFIX + vm_.group(1), expr.strip()
+                        )
+                    )
+                mt.upsert(full, assignments)
+            elif m.group("ignore") and verb == "INSERT":
+                mt.insert_ignore(full)
+            else:
+                (mt.insert if verb == "INSERT" else mt.replace)(full)
         elif verb == "UPDATE":
-            body = m.group(6)
+            body = m.group("ubody")
             wm = re.search(r"(?is)\bWHERE\s+(.*)$", body)
             where = F.expr(wm.group(1)) if wm else F.lit(True)
             set_part = body[: wm.start()] if wm else body
@@ -146,7 +175,9 @@ class Engine:
                 assignments[col.strip().strip("`")] = F.expr(expr.strip())
             mt.update(where, assignments)
         else:  # DELETE
-            where = F.expr(m.group(9)) if m.group(9) else F.lit(True)
+            where = (
+                F.expr(m.group("dwhere")) if m.group("dwhere") else F.lit(True)
+            )
             mt.delete(where)
         self._refresh_view(name)
         return self.tables[name]

@@ -20,10 +20,24 @@ optimization once a partition column is declared.
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
+
+# Prefix under which merge()/upsert() expose the INCOMING row's columns to
+# assignment expressions (the MySQL ``VALUES(col)`` binding,
+# executor/insert.go:191-202); the old row's columns keep their plain names.
+_NEW_PREFIX = "__new_"
+
+
+def new_value(col: str) -> Column:
+    """The incoming row's value of ``col`` inside a merge/upsert assignment —
+    the DataFrame-API spelling of MySQL's ``VALUES(col)``."""
+    from pyspark.sql import functions as F
+
+    return F.col(_NEW_PREFIX + col)
 
 
 class ManagedTable:
@@ -122,6 +136,92 @@ class ManagedTable:
     def delete(self, where: Column) -> None:
         """DELETE WHERE …: keep the complement."""
         self._write(self.df().where(~where))
+
+    def merge(
+        self,
+        source: DataFrame,
+        *,
+        when_matched_update: dict[str, Column | str] | None = None,
+        when_matched_delete: Column | None = None,
+        when_not_matched_insert: bool = True,
+    ) -> None:
+        """MERGE INTO (lakehouse-style), generalizing the reference's
+        INSERT … ON DUPLICATE KEY UPDATE (executor/insert.go:43,79,191-202):
+        one full-outer join on the key columns decides, per row, update /
+        delete / insert / keep.
+
+        Assignment expressions (and the delete condition) see the OLD row's
+        columns by their plain names and the incoming row's via
+        :func:`new_value` (``VALUES(col)`` in the SQL surface).  Source rows
+        are deduplicated on the key (batch semantics: one outcome per key).
+
+        Scale: exactly one shuffle on the key columns (the outer join); the
+        per-row CASE projection is codegen'd — no driver-side rows, same
+        plan shape at 100 TB."""
+        from pyspark.sql import functions as F
+
+        cur = self.df()
+        cols = cur.columns
+        src = source.dropDuplicates(self.key_cols)
+        # Align the source to the target schema (absent columns → NULL).
+        aligned = src
+        for f in cur.schema.fields:
+            if f.name not in src.columns:
+                aligned = aligned.withColumn(f.name, F.lit(None).cast(f.dataType))
+        s = aligned.select(
+            *[F.col(c).alias(_NEW_PREFIX + c) for c in cols],
+            F.lit(True).alias("__s"),
+        )
+        t = cur.withColumn("__t", F.lit(True))
+        cond = functools.reduce(
+            Column.__and__,
+            [
+                F.col(k).eqNullSafe(F.col(_NEW_PREFIX + k))
+                for k in self.key_cols
+            ],
+        )
+        joined = t.join(s, cond, "full_outer")
+        matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+        if not when_not_matched_insert:
+            joined = joined.where(F.col("__t").isNotNull())
+        if when_matched_delete is not None:
+            joined = joined.where(
+                ~F.coalesce(matched & when_matched_delete, F.lit(False))
+            )
+        upd = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in (when_matched_update or {}).items()
+        }
+        out = []
+        for c in cols:
+            old, new = F.col(c), F.col(_NEW_PREFIX + c)
+            on_match = upd.get(c, old)
+            out.append(
+                F.when(matched, on_match)
+                .when(F.col("__t").isNotNull(), old)
+                .otherwise(new)
+                .alias(c)
+            )
+        self._write(joined.select(*out))
+
+    def upsert(
+        self, rows: DataFrame, assignments: dict[str, Column | str] | None = None
+    ) -> None:
+        """INSERT … ON DUPLICATE KEY UPDATE (executor/insert.go:43): insert
+        new-key rows; for existing keys apply ``assignments`` (default:
+        overwrite every non-key column with the incoming value)."""
+        if assignments is None:
+            assignments = {
+                c: new_value(c)
+                for c in self.df().columns
+                if c not in self.key_cols
+            }
+        self.merge(rows, when_matched_update=assignments)
+
+    def insert_ignore(self, rows: DataFrame) -> None:
+        """INSERT IGNORE: drop incoming rows whose key already exists
+        (ast OnDuplicateKeyHandlingIgnore, parser/ast/dml.go:1784)."""
+        self.merge(rows, when_matched_update=None)
 
     def point_get(self, key_values: dict) -> DataFrame:
         """PointGetExecutor (executor/point_get.go:75): unique-key lookup as
