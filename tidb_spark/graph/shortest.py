@@ -30,6 +30,15 @@ from tidb_spark.graph.model import EdgeTable
 
 UNREACHABLE = "Unreachable"
 
+# Frontier/visited frames at or below this row count are broadcast into the
+# per-round joins: a BFS frontier starts tiny, so the expansion join and the
+# visited anti-join then need NO shuffle — only the per-round min-path
+# aggregation does.  Beyond the threshold (possible at 100 TB once the
+# frontier saturates a big component) the loop falls back to shuffle joins;
+# the counts driving the decision are free because each round's frame is
+# already materialized by its eager checkpoint.
+_BROADCAST_MAX_ROWS = 2_000_000
+
 
 def bfs_min_paths(
     sources: DataFrame,
@@ -64,10 +73,22 @@ def bfs_min_paths(
     # already-checkpointed pieces costs nothing extra.)
     rounds = [frontier]
     visited_ids = frontier.select("root", "id")
+    frontier_rows = frontier.count()
+    visited_rows = frontier_rows
 
     for hop in range(1, max_hops + 1):
+        f = (
+            F.broadcast(frontier)
+            if frontier_rows <= _BROADCAST_MAX_ROWS
+            else frontier
+        )
+        v = (
+            F.broadcast(visited_ids)
+            if visited_rows <= _BROADCAST_MAX_ROWS
+            else visited_ids
+        )
         expanded = (
-            frontier.join(edges, frontier["id"] == edges["__src"])
+            f.join(edges, f["id"] == edges["__src"])
             .select(
                 "root",
                 F.col("__dst").alias("id"),
@@ -78,13 +99,15 @@ def bfs_min_paths(
             .groupBy("root", "id")
             .agg(F.min("path").alias("path"))
             .withColumn("dist", F.lit(hop))
-            .join(visited_ids, on=["root", "id"], how="left_anti")
+            .join(v, on=["root", "id"], how="left_anti")
             .localCheckpoint(eager=True)
         )
-        if expanded.isEmpty():
+        frontier_rows = expanded.count()
+        if frontier_rows == 0:
             break
         rounds.append(expanded)
         visited_ids = visited_ids.unionByName(expanded.select("root", "id"))
+        visited_rows += frontier_rows
         frontier = expanded
     out = rounds[0]
     for r in rounds[1:]:

@@ -22,6 +22,10 @@ from pyspark.sql import DataFrame
 
 DEFAULT_MAX_ITERATION = 1000
 
+# Same adaptive-broadcast policy as graph/shortest.py: visited/accumulated
+# sets at or below this many rows broadcast into the per-round anti-join.
+_BROADCAST_MAX_ROWS = 2_000_000
+
 
 def recursive_cte(
     seed: DataFrame,
@@ -40,27 +44,43 @@ def recursive_cte(
 
     Returns the accumulated result with the seed's schema.
     """
+    from pyspark.sql import functions as F
+
     columns = seed.columns
     if distinct_keys is not None:
         seed = seed.dropDuplicates(distinct_keys)
-    accumulated = seed.localCheckpoint(eager=True)
-    frontier = accumulated
+    # Accumulated state = the list of per-round checkpointed frames; their
+    # lazy union serves reads.  (Re-checkpointing one growing frame would
+    # rewrite O(result) rows every round; the union of already-materialized
+    # pieces costs nothing extra.)
+    rounds = [seed.localCheckpoint(eager=True)]
+    accumulated_rows = rounds[0].count()
+    frontier = rounds[0]
+
+    def _accumulated() -> DataFrame:
+        out = rounds[0]
+        for r in rounds[1:]:
+            out = out.unionByName(r)
+        return out
 
     for iteration in range(max_iteration):
         produced = step(frontier).select(*columns)
         if distinct_keys is not None:
+            seen = _accumulated().select(*distinct_keys)
+            # Small accumulated sets broadcast into the anti-join (no
+            # shuffle); past the threshold fall back to a shuffled anti-join
+            # — the row counts are free, every piece is checkpointed.
+            if accumulated_rows <= _BROADCAST_MAX_ROWS:
+                seen = F.broadcast(seen)
             produced = produced.dropDuplicates(distinct_keys).join(
-                accumulated.select(*distinct_keys),
-                on=distinct_keys,
-                how="left_anti",
+                seen, on=distinct_keys, how="left_anti"
             )
         if checkpoint_every and iteration % checkpoint_every == 0:
             produced = produced.localCheckpoint(eager=True)
         if produced.isEmpty():
-            return accumulated
-        accumulated = accumulated.unionByName(produced).localCheckpoint(
-            eager=True
-        )
+            return _accumulated()
+        rounds.append(produced)
+        accumulated_rows += produced.count()
         frontier = produced
     raise RuntimeError(
         f"recursive_cte: no fixpoint after {max_iteration} iterations "

@@ -831,7 +831,9 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidb_spark.catalog import graph_views, load_all
 
     tables = load_all(spark, sf_dir)
-    e_knows = graph_views(tables)["e_knows"]
+    # The edge view is a derived self-join probed every round — freeze it
+    # once (same policy as graph/shortest.py's edge checkpoint).
+    e_knows = graph_views(tables)["e_knows"].localCheckpoint(eager=True)
     seed = (
         tables["customer"]
         .where(F.col("c_custkey") < 5)
