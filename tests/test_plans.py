@@ -153,3 +153,51 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
         )
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """Salting must (1) preserve join semantics and (2) actually spread a
+    hot key's rows across partitions (the single-reducer hot-spot fix for
+    joins AQE's skew rewrite won't touch)."""
+    from pyspark.sql import functions as F
+
+    from tidb_spark.catalog import load_table
+    from tidb_spark.operators.skew import salted_join
+
+    lineitem = load_table(spark, TEST_SF_DIR, "lineitem")
+    # 3-value key -> maximally skewed shuffle
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "new"), ("R", "returned")],
+        "l_returnflag STRING, flag_desc STRING",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # At test scale AQE would coalesce the post-join shuffle to ONE partition,
+    # hiding the spread this test observes via spark_partition_id.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        plain = lineitem.join(dim, on="l_returnflag").select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "flag_desc"
+        )
+        salted = salted_join(lineitem, dim, ["l_returnflag"], salt=8).select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "flag_desc"
+        )
+        assert sorted(salted.collect()) == sorted(plain.collect())
+        spread = (
+            salted.where(F.col("l_returnflag") == "N")
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert spread > 1, "hot key still lands in a single partition"
+
+        # hot-key split variant: identical result, cold branch un-replicated
+        hot = spark.createDataFrame([("N",)], "l_returnflag STRING")
+        split = salted_join(
+            lineitem, dim, ["l_returnflag"], salt=8, hot_keys=hot
+        ).select("l_orderkey", "l_linenumber", "l_returnflag", "flag_desc")
+        assert sorted(split.collect()) == sorted(plain.collect())
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
