@@ -182,3 +182,75 @@ def test_sql_odku_and_insert_ignore(spark, nation, tmp_path):
     }
     assert got[2000] == ("SQLLAND", 3)
     assert got[2001] == ("YES", 1)
+
+
+def test_as_of_time_travel(spark, nation, tmp_path):
+    """Stale reads (AS OF TIMESTAMP — parser/ast/dml.go:276): versions are
+    retained with commit timestamps; as_of() resolves the newest version at
+    or before the timestamp, and pre-history timestamps error like the
+    reference's GC-safepoint check."""
+    import datetime as dt
+    import time
+
+    t = ManagedTable(
+        spark, str(tmp_path / "tt"), key_cols=["n_nationkey"], df=nation
+    )
+    n0 = nation.count()
+    t_before = time.time()
+    time.sleep(0.05)
+    t.delete(F.col("n_regionkey") == 2)
+    n1 = t.df().count()
+    assert n1 < n0
+    time.sleep(0.05)
+    t.insert(spark.createDataFrame([(3000, "LATE", 0)], schema=SCHEMA))
+
+    assert t.as_of(t_before).count() == n0
+    assert t.as_of(time.time()).count() == n1 + 1
+    # ISO-string form (UTC, like the session timezone)
+    iso = dt.datetime.fromtimestamp(t_before, dt.timezone.utc).isoformat()
+    assert t.as_of(iso).count() == n0
+    assert [v for v, _ in t.versions()] == [0, 1, 2]
+    with pytest.raises(ValueError, match="predates retained history"):
+        t.as_of(t_before - 3600)
+
+    # retention: with retain_versions=2, writing drops the oldest version
+    t2 = ManagedTable(
+        spark,
+        str(tmp_path / "tt2"),
+        key_cols=["n_nationkey"],
+        df=nation,
+        retain_versions=2,
+    )
+    t2.delete(F.lit(False))
+    t2.delete(F.lit(False))
+    assert [v for v, _ in t2.versions()] == [1, 2]
+    with pytest.raises(ValueError, match="not retained"):
+        t2.read_version(0)
+
+
+def test_sql_as_of(spark, nation, tmp_path):
+    """SQL surface: SELECT … FROM t AS OF TIMESTAMP '…' (with and without
+    alias) reads the historical snapshot while plain reads see the present."""
+    import datetime as dt
+    import time
+
+    from tidb_spark.engine import Engine
+
+    eng = Engine(spark, TEST_SF_DIR, workspace=str(tmp_path / "ws"))
+    eng.create_table("natv", nation, key_cols=["n_nationkey"])
+    n0 = nation.count()
+    before = dt.datetime.now(dt.timezone.utc).isoformat()
+    time.sleep(0.05)
+    eng.sql("DELETE FROM natv WHERE n_regionkey = 2")
+    n1 = eng.sql("SELECT COUNT(*) AS n FROM natv").collect()[0].n
+    assert n1 < n0
+    old = eng.sql(
+        f"SELECT COUNT(*) AS n FROM natv AS OF TIMESTAMP '{before}'"
+    ).collect()[0].n
+    assert old == n0
+    # aliased + qualified column reference
+    row = eng.sql(
+        f"SELECT x.n_nationkey FROM natv AS OF TIMESTAMP '{before}' AS x "
+        "WHERE x.n_regionkey = 2 ORDER BY x.n_nationkey LIMIT 1"
+    ).collect()
+    assert len(row) == 1

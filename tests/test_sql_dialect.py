@@ -251,3 +251,41 @@ def test_encryption_functions(engine):
     assert row.c32 == 891568578
     assert row.comp_rt == "hello world hello world"
     assert row.comp_empty == ""
+
+
+def test_drop_truncate_flashback(spark, tmp_path):
+    """DROP / TRUNCATE / FLASHBACK TABLE lifecycle (parser/ast/ddl.go:3859
+    FlashBackTableStmt: restore a dropped or truncated table)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tidb_spark.catalog import load_table
+    from tidb_spark.engine import Engine
+    from tests.conftest import TEST_SF_DIR
+
+    eng = Engine(spark, TEST_SF_DIR, workspace=str(tmp_path / "ws"))
+    nation = load_table(spark, TEST_SF_DIR, "nation")
+    eng.create_table("fb", nation, key_cols=["n_nationkey"])
+    n0 = nation.count()
+
+    # TRUNCATE → empty; FLASHBACK → restored
+    eng.sql("TRUNCATE TABLE fb")
+    assert eng.sql("SELECT COUNT(*) AS n FROM fb").collect()[0].n == 0
+    eng.sql("FLASHBACK TABLE fb")
+    assert eng.sql("SELECT COUNT(*) AS n FROM fb").collect()[0].n == n0
+
+    # DROP → unqueryable; FLASHBACK TO new name → data back under new name
+    eng.sql("DROP TABLE fb")
+    assert "fb" not in eng.show_tables()
+    with pytest.raises(Exception):
+        eng.sql("SELECT COUNT(*) FROM fb").collect()
+    eng.sql("FLASHBACK TABLE fb TO fb2")
+    assert eng.sql("SELECT COUNT(*) AS n FROM fb2").collect()[0].n == n0
+    # DML still works on the recovered table
+    eng.sql("DELETE FROM fb2 WHERE n_regionkey = 0")
+    left = nation.where(F.col("n_regionkey") != 0).count()
+    assert eng.sql("SELECT COUNT(*) AS n FROM fb2").collect()[0].n == left
+
+    # FLASHBACK on a healthy table errors like the reference
+    with pytest.raises(ValueError, match="neither dropped nor truncated"):
+        eng.sql("FLASHBACK TABLE fb2")

@@ -39,6 +39,16 @@ _DML_RE = re.compile(
 
 _ODKU_RE = re.compile(r"(?is)^(.*?)\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*)$")
 
+_AS_OF_RE = re.compile(
+    r"(?is)\b(\w+)\s+AS\s+OF\s+TIMESTAMP\s+'([^']+)'(?:\s+AS\s+(\w+))?"
+)
+
+_DDL_RE = re.compile(
+    r"(?is)^\s*(?:(?P<dverb>DROP|TRUNCATE)\s+TABLE\s+(?P<dtab>\w+)"
+    r"|(?P<fverb>FLASHBACK)\s+TABLE\s+(?P<ftab>\w+)(?:\s+TO\s+(?P<fnew>\w+))?)"
+    r"\s*;?\s*$"
+)
+
 _VALUES_REF_RE = re.compile(r"(?i)\bVALUES\s*\(\s*`?(\w+)`?\s*\)")
 
 
@@ -59,6 +69,7 @@ class Engine:
         self.graph: GraphSchema = default_graph(spark, self.sf_dir)
         self.workspace = workspace or tempfile.mkdtemp(prefix="tidb_spark_ws_")
         self.managed: dict[str, ManagedTable] = {}
+        self.dropped: dict[str, ManagedTable] = {}
         register_shim_udfs(spark)
 
     # -- DDL surface (graph): SOURCE KEY / DESTINATION KEY registration ----
@@ -101,6 +112,46 @@ class Engine:
         df = self.managed[name].df()
         df.createOrReplaceTempView(name)
         self.tables[name] = df
+
+    def _run_ddl(self, m: re.Match) -> None:
+        """DROP / TRUNCATE / FLASHBACK TABLE (ddl/ddl_api.go; FlashBackTable
+        restores a dropped or truncated table, parser/ast/ddl.go:3859).
+        DROP keeps the files and stashes the handle so FLASHBACK can
+        re-register it; TRUNCATE writes an empty version, so FLASHBACK
+        restores the pre-truncate version from retained history."""
+        verb = (m.group("dverb") or m.group("fverb")).upper()
+        if verb in ("DROP", "TRUNCATE"):
+            name = m.group("dtab")
+            if name not in self.managed:
+                raise ValueError(f"table {name!r} is not a managed table")
+            mt = self.managed[name]
+            if verb == "DROP":
+                del self.managed[name]
+                del self.tables[name]
+                self.spark.catalog.dropTempView(name)
+                self.dropped[name] = mt
+            else:
+                mt._pre_truncate_version = mt._version  # noqa: SLF001
+                mt._write(mt.df().where(F.lit(False)))  # noqa: SLF001
+                self._refresh_view(name)
+            return
+        name, new_name = m.group("ftab"), m.group("fnew")
+        if name in self.dropped:
+            mt = self.dropped.pop(name)
+            target = new_name or name
+            self.managed[target] = mt
+            self._refresh_view(target)
+            return
+        mt = self.managed.get(name)
+        pre = getattr(mt, "_pre_truncate_version", None) if mt else None
+        if pre is None:
+            raise ValueError(
+                f"FLASHBACK TABLE {name}: table was neither dropped nor "
+                "truncated (ERROR 1105: Can't find dropped/truncated table)"
+            )
+        mt._write(mt.read_version(pre))  # noqa: SLF001
+        mt._pre_truncate_version = None
+        self._refresh_view(name)
 
     def _run_dml(self, m: re.Match) -> DataFrame:
         """INSERT / REPLACE / UPDATE / DELETE statements → ManagedTable ops
@@ -191,9 +242,14 @@ class Engine:
         the prepared-statement surface (executor/prepared.go; Catalyst
         re-plans per execution, replacing the reference's plan cache)."""
         query = translate(query)
+        ddl = _DDL_RE.match(query)
+        if ddl:
+            self._run_ddl(ddl)
+            return self.spark.range(0).select(F.lit("OK").alias("status"))
         dm = _DML_RE.match(query)
         if dm and dm.group(0):
             return self._run_dml(dm)
+        query = self._rewrite_as_of(query)
         parsed = mc.find_and_parse(query)
         if parsed is not None:
             start, end, path = parsed
@@ -205,6 +261,22 @@ class Engine:
         if args is not None:
             return self.spark.sql(query, args)
         return self.spark.sql(query)
+
+    def _rewrite_as_of(self, query: str) -> str:
+        """``FROM t AS OF TIMESTAMP '…'`` (stale read, parser/ast/dml.go:276
+        → executor/stale_txn_test.go:143) on managed tables: bind the
+        historical snapshot as a temp view and re-alias it to the table
+        name, so the surrounding statement is unchanged."""
+
+        def repl(m: re.Match) -> str:
+            name, ts, alias = m.group(1), m.group(2), m.group(3)
+            if name not in self.managed:
+                return m.group(0)
+            view = f"__asof_{next(_view_counter)}"
+            self.managed[name].as_of(ts).createOrReplaceTempView(view)
+            return f"{view} AS {alias or name}"
+
+        return _AS_OF_RE.sub(repl, query)
 
     def _lower_any_shortest(self, path: mc.MatchPath) -> tuple[str, list[str]]:
         """MATCH ANY SHORTEST → run the distributed BFS now, bind the result

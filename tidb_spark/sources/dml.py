@@ -20,9 +20,11 @@ optimization once a partition column is declared.
 
 from __future__ import annotations
 
+import datetime as _dt
 import functools
 import os
 import shutil
+import time
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
@@ -53,17 +55,23 @@ class ManagedTable:
         *,
         df: DataFrame | None = None,
         partition_by: list[str] | None = None,
+        retain_versions: int = 8,
     ):
         """``partition_by`` declares directory partitioning — the columnar
         equivalent of the reference's RANGE/HASH/LIST table partitioning
         (parser/model/model.go:820-822): equality/range predicates on the
         partition columns prune whole directories at plan time (the
         rule_partition_processor.go analogue is Spark's native partition
-        pruning + dynamic partition pruning for join keys)."""
+        pruning + dynamic partition pruning for join keys).
+
+        ``retain_versions`` bounds history kept for stale reads
+        (:meth:`as_of`) — the GC-safepoint analogue of the reference's
+        stale-read window."""
         self.spark = spark
         self.root = root
         self.key_cols = key_cols
         self.partition_by = partition_by or []
+        self.retain_versions = max(1, retain_versions)
         os.makedirs(root, exist_ok=True)
         self._version = self._latest_version()
         if df is not None and self._version < 0:
@@ -82,24 +90,78 @@ class ManagedTable:
     def _path(self, version: int) -> str:
         return os.path.join(self.root, f"v{version}")
 
+    def _ts_path(self, version: int) -> str:
+        return os.path.join(self.root, f"v{version}.commit_ts")
+
+    def _commit_ts(self, version: int) -> float:
+        with open(self._ts_path(version)) as fh:
+            return float(fh.read().strip())
+
     def _write(self, df: DataFrame) -> None:
         nxt = self._version + 1
         writer = df.write.mode("errorifexists")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(self._path(nxt))
+        with open(self._ts_path(nxt), "w") as fh:
+            fh.write(repr(time.time()))
         self._version = nxt
-        # Retire all but the previous version (kept briefly for readers
-        # mid-scan; a real deployment uses log-based retention).
-        for v in range(nxt - 1):
+        # Retire versions beyond the retention window (the reference's GC
+        # safepoint bounds stale reads the same way; a production deployment
+        # uses log-based retention à la Delta/Iceberg).
+        for v in range(nxt - self.retain_versions + 1):
             old = self._path(v)
             if os.path.exists(old):
                 shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(self._ts_path(v)):
+                os.remove(self._ts_path(v))
 
     def df(self) -> DataFrame:
         if self._version < 0:
             raise ValueError(f"table at {self.root} has no data")
         return self.spark.read.parquet(self._path(self._version))
+
+    # -- stale reads (AS OF TIMESTAMP — parser/ast/dml.go:276, the
+    # reference's stale-read surface; executor/stale_txn_test.go:143) ------
+
+    def versions(self) -> list[tuple[int, float]]:
+        """Retained (version, commit epoch-seconds) pairs, oldest first."""
+        out = []
+        for d in sorted(os.listdir(self.root)):
+            if d.startswith("v") and d[1:].isdigit():
+                v = int(d[1:])
+                if os.path.exists(self._ts_path(v)):
+                    out.append((v, self._commit_ts(v)))
+        return out
+
+    def read_version(self, version: int) -> DataFrame:
+        path = self._path(version)
+        if not os.path.exists(path):
+            raise ValueError(
+                f"version {version} of table at {self.root} is not retained "
+                f"(retain_versions={self.retain_versions})"
+            )
+        return self.spark.read.parquet(path)
+
+    def as_of(self, ts: float | str | _dt.datetime) -> DataFrame:
+        """The table as of wall-clock ``ts`` (epoch seconds, ISO string, or
+        datetime): the newest retained version committed at or before it.
+        Mirrors ``SELECT … FROM t AS OF TIMESTAMP '…'``; like the
+        reference, a timestamp before retained history is an error (TiDB:
+        "snapshot is older than GC safe point")."""
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ts = ts.timestamp()
+        eligible = [v for v, cts in self.versions() if cts <= ts]
+        if not eligible:
+            raise ValueError(
+                f"no retained version of table at {self.root} is as old as "
+                f"{ts} (snapshot predates retained history)"
+            )
+        return self.read_version(max(eligible))
 
     # -- DML (executor/insert.go, replace.go, update.go, delete.go) --------
 
