@@ -289,3 +289,17 @@ def test_drop_truncate_flashback(spark, tmp_path):
     # FLASHBACK on a healthy table errors like the reference
     with pytest.raises(ValueError, match="neither dropped nor truncated"):
         eng.sql("FLASHBACK TABLE fb2")
+
+
+def test_explain_analyze(spark, tmp_path):
+    """EXPLAIN ANALYZE returns the post-AQE FINAL plan plus row count."""
+    from tidb_spark.engine import Engine
+    from tests.conftest import TEST_SF_DIR
+
+    eng = Engine(spark, TEST_SF_DIR, workspace=str(tmp_path / "ws"))
+    out = eng.explain_analyze(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+    )
+    assert out.startswith("-- rows: ")
+    assert int(out.splitlines()[0].split(":")[1]) > 0
+    assert "AdaptiveSparkPlan" in out and "isFinalPlan=true" in out

@@ -111,3 +111,46 @@ def test_stream_stream_interval_join(spark):
     )
     out = ev.run_to_memory(s, f"j_{uuid.uuid4().hex}")
     assert_frames_match(out.toPandas(), b.toPandas(), "stream_interval_join")
+
+
+def test_stream_merge_into_managed_table(spark, tmp_path):
+    """Streaming upsert sink: drain the events stream into a managed table
+    via per-batch MERGE; replaying the same source into the same table
+    updates in place (idempotent re-delivery) instead of duplicating."""
+    from pyspark.sql import functions as F
+
+    from tidb_spark.sources.dml import ManagedTable
+    from tidb_spark.streaming.events import events_stream, stream_merge_into
+
+    batch = load_table(spark, TEST_SF_DIR, "events")
+    n_events = batch.count()
+    empty = batch.where(F.lit(False)).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    table = ManagedTable(
+        spark, str(tmp_path / "evt"), key_cols=["event_id"], df=empty
+    )
+
+    def project(b):
+        return b.select("event_id", "user_id", "event_type", "value")
+
+    sdf = events_stream(spark, TEST_SF_DIR, max_files_per_trigger=1)
+    stream_merge_into(
+        sdf, table, checkpoint_dir=str(tmp_path / "ck1"), transform=project
+    )
+    assert table.df().count() == n_events
+
+    # replay with a FRESH checkpoint: every key re-delivered -> update path,
+    # no duplicates
+    sdf2 = events_stream(spark, TEST_SF_DIR)
+    stream_merge_into(
+        sdf2, table, checkpoint_dir=str(tmp_path / "ck2"), transform=project
+    )
+    assert table.df().count() == n_events
+
+    # resuming from the CONSUMED checkpoint delivers nothing new
+    sdf3 = events_stream(spark, TEST_SF_DIR)
+    stream_merge_into(
+        sdf3, table, checkpoint_dir=str(tmp_path / "ck1"), transform=project
+    )
+    assert table.df().count() == n_events

@@ -323,7 +323,22 @@ class Engine:
 
     def explain(self, query: str, mode: str = "formatted") -> str:
         """EXPLAIN: the optimized/physical plan text (executor/explain.go)."""
+        return self._explain_df(self.sql(query), mode)
+
+    def explain_analyze(self, query: str) -> str:
+        """EXPLAIN ANALYZE (executor/explain.go runtime-stats mode): execute
+        the statement, then return the FINAL adaptive plan — the post-AQE
+        physical plan actually run (runtime-re-planned joins, coalesced
+        partitions), not the initial estimate — plus the result row count."""
         df = self.sql(query)
+        # collect() (not count()) so THIS DataFrame's queryExecution runs —
+        # count() plans a separate aggregate and would leave this plan
+        # unexecuted (isFinalPlan=false).
+        n = len(df.collect())
+        plan = self._explain_df(df, "formatted")
+        return f"-- rows: {n}\n{plan}"
+
+    def _explain_df(self, df: DataFrame, mode: str) -> str:
         return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), mode
         )

@@ -232,3 +232,36 @@ def run_to_memory(
     )
     query.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def stream_merge_into(
+    sdf: DataFrame,
+    table,
+    *,
+    checkpoint_dir: str,
+    transform=None,
+) -> None:
+    """CDC-style streaming upsert: drain ``sdf`` (availableNow) and MERGE
+    each micro-batch into a :class:`~tidb_spark.sources.dml.ManagedTable`
+    by key — the lakehouse ``foreachBatch`` + MERGE pattern, giving the
+    engine's write path (executor/insert.go dup-key semantics) a streaming
+    front end.  ``transform`` (batch DataFrame -> batch DataFrame) runs
+    per micro-batch before the merge, e.g. reduce-to-latest-per-key.
+
+    Exactly-once-per-restart: the checkpoint tracks consumed source files,
+    and MERGE is idempotent for same-key re-delivery — replayed rows
+    update in place instead of duplicating (the standard Spark recipe for
+    end-to-end idempotent sinks)."""
+
+    def _sink(batch: DataFrame, _epoch: int) -> None:
+        if transform is not None:
+            batch = transform(batch)
+        table.upsert(batch)
+
+    query = (
+        sdf.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
