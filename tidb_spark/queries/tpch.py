@@ -969,11 +969,15 @@ LIMIT 100
 @register("tpch_q2", oracle=Q2_ORACLE, tags=("tpch", "join", "subquery"))
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-cost supplier per European part (Q2 shape: correlated scalar
-    MIN subquery).  Decorrelated form: the region-restricted partsupp frame
-    feeds both the per-part MIN aggregate and the equality join back —
-    Catalyst reuses the exchange; dims (supplier/nation/region/part) all
-    broadcast.  s_suppkey is in the sort key so the LIMIT is total-ordered
-    (deterministic under cost ties)."""
+    MIN subquery).  The correlated MIN is evaluated as a window-min over
+    ps_partkey instead of an aggregate + equality self-join — one pass over
+    the region-restricted partsupp frame (the self-join form scans and
+    aggregates it twice and ends in a sort-merge join; the window form is
+    a single partkey shuffle).  The part filter joins FIRST so the window
+    only sorts the selected parts' rows.  Dims all broadcast; s_suppkey is
+    in the sort key so the LIMIT is total-ordered under cost ties."""
+    from pyspark.sql import Window
+
     partsupp = _partsupp(spark, sf_dir)
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
@@ -992,16 +996,13 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_acctbal", "s_name", "s_suppkey", "n_name",
         )
     )
-    mins = eur.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
-        F.min("ps_supplycost").alias("min_cost")
-    )
     return (
         eur.join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
-        .join(
-            mins,
-            (F.col("m_partkey") == F.col("ps_partkey"))
-            & (F.col("ps_supplycost") == F.col("min_cost")),
+        .withColumn(
+            "min_cost",
+            F.min("ps_supplycost").over(Window.partitionBy("ps_partkey")),
         )
+        .where(F.col("ps_supplycost") == F.col("min_cost"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "s_suppkey",
             F.col("ps_supplycost").alias("supplycost"),
