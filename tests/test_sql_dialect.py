@@ -303,3 +303,66 @@ def test_explain_analyze(spark, tmp_path):
     assert out.startswith("-- rows: ")
     assert int(out.splitlines()[0].split(":")[1]) > 0
     assert "AdaptiveSparkPlan" in out and "isFinalPlan=true" in out
+
+
+def test_set_user_and_system_variables(spark, tmp_path):
+    """SET @var = expr / @@sysvar (executor/set.go:41-96): user variables
+    evaluate eagerly and substitute into later statements; unset vars read
+    as NULL; spark-prefixed sysvars reach the live conf."""
+    from tidb_spark.engine import Engine
+    from tests.conftest import TEST_SF_DIR
+
+    eng = Engine(spark, TEST_SF_DIR, workspace=str(tmp_path / "ws"))
+    eng.sql("SET @cutoff = 10")
+    eng.sql("SET @seg := UPPER('buil' || 'ding')")
+    n = eng.sql(
+        "SELECT COUNT(*) AS n FROM customer "
+        "WHERE c_custkey < @cutoff AND c_mktsegment = @seg"
+    ).collect()[0].n
+    expected = eng.sql(
+        "SELECT COUNT(*) AS n FROM customer "
+        "WHERE c_custkey < 10 AND c_mktsegment = 'BUILDING'"
+    ).collect()[0].n
+    assert n == expected and expected > 0
+    # variable referencing another variable
+    eng.sql("SET @cutoff2 = @cutoff * 2")
+    assert eng.sql("SELECT @cutoff2 AS v").collect()[0].v == 20
+    # string with a literal @ is untouched; unset var reads as NULL
+    row = eng.sql("SELECT 'a@b' AS s, @nope AS missing").collect()[0]
+    assert row.s == "a@b" and row.missing is None
+    # sysvar: recorded, spark.* names hit the conf
+    eng.sql("SET @@max_execution_time = 1000")
+    assert eng.sys_vars["max_execution_time"] == "1000"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    eng.sql("SET @@spark_sql_shuffle_partitions = '16'")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "16"
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_admin_checksum_table(spark, tmp_path):
+    """ADMIN CHECKSUM TABLE (executor/checksum.go): deterministic,
+    order-independent digest — unchanged under reshuffle, changed by data."""
+    from pyspark.sql import functions as F
+
+    from tidb_spark.catalog import load_table
+    from tidb_spark.engine import Engine
+    from tests.conftest import TEST_SF_DIR
+
+    eng = Engine(spark, TEST_SF_DIR, workspace=str(tmp_path / "ws"))
+    a = eng.sql("ADMIN CHECKSUM TABLE nation").collect()[0]
+    assert a.total_kvs == load_table(spark, TEST_SF_DIR, "nation").count()
+    b = eng.sql("ADMIN CHECKSUM TABLE nation").collect()[0]
+    assert (a.checksum, a.total_kvs, a.total_bytes) == (
+        b.checksum,
+        b.total_kvs,
+        b.total_bytes,
+    )
+    # same rows, different physical order -> same digest
+    nation = load_table(spark, TEST_SF_DIR, "nation")
+    eng.create_table("nat_shuffled", nation.repartition(7), ["n_nationkey"])
+    c = eng.sql("ADMIN CHECKSUM TABLE nat_shuffled").collect()[0]
+    assert c.checksum == a.checksum and c.total_kvs == a.total_kvs
+    # a data change moves the digest
+    eng.sql("UPDATE nat_shuffled SET n_name = 'X' WHERE n_nationkey = 0")
+    d = eng.sql("ADMIN CHECKSUM TABLE nat_shuffled").collect()[0]
+    assert d.checksum != a.checksum

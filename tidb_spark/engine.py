@@ -43,6 +43,16 @@ _AS_OF_RE = re.compile(
     r"(?is)\b(\w+)\s+AS\s+OF\s+TIMESTAMP\s+'([^']+)'(?:\s+AS\s+(\w+))?"
 )
 
+_SET_RE = re.compile(
+    r"(?is)^\s*SET\s+(?:(?P<user>@(?P<uname>\w+)\s*:?=\s*(?P<uexpr>.+))"
+    r"|(?P<sys>@@?(?:SESSION\.|GLOBAL\.)?(?P<sname>\w+)\s*=\s*(?P<sexpr>.+)))"
+    r"\s*;?\s*$"
+)
+
+_USER_VAR_RE = re.compile(r"(?<![@\w])@(\w+)\b")
+
+_CHECKSUM_RE = re.compile(r"(?is)^\s*ADMIN\s+CHECKSUM\s+TABLE\s+(\w+)\s*;?\s*$")
+
 _DDL_RE = re.compile(
     r"(?is)^\s*(?:(?P<dverb>DROP|TRUNCATE)\s+TABLE\s+(?P<dtab>\w+)"
     r"|(?P<fverb>FLASHBACK)\s+TABLE\s+(?P<ftab>\w+)(?:\s+TO\s+(?P<fnew>\w+))?)"
@@ -50,6 +60,31 @@ _DDL_RE = re.compile(
 )
 
 _VALUES_REF_RE = re.compile(r"(?i)\bVALUES\s*\(\s*`?(\w+)`?\s*\)")
+
+
+def _sql_literal(val) -> str:
+    """Render a Python value from Row.v as a SQL literal."""
+    import datetime as _dt
+
+    if val is None:
+        return "NULL"
+    if isinstance(val, bool):
+        return "TRUE" if val else "FALSE"
+    if isinstance(val, (int, float)):
+        return repr(val)
+    if isinstance(val, _dt.datetime):
+        return f"TIMESTAMP '{val.strftime('%Y-%m-%d %H:%M:%S')}'"
+    if isinstance(val, _dt.date):
+        return f"DATE '{val.isoformat()}'"
+    s = str(val).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
+def _strip_quotes(val: str) -> str:
+    val = val.strip()
+    if len(val) >= 2 and val[0] == val[-1] and val[0] in "'\"":
+        return val[1:-1]
+    return val
 
 
 class Engine:
@@ -70,6 +105,12 @@ class Engine:
         self.workspace = workspace or tempfile.mkdtemp(prefix="tidb_spark_ws_")
         self.managed: dict[str, ManagedTable] = {}
         self.dropped: dict[str, ManagedTable] = {}
+        # SET statement state (executor/set.go:41): @user variables hold a
+        # SQL literal; @@system variables are accepted and recorded (most
+        # reference sysvars tune its own executor — Spark conf is the
+        # analogue, surfaced but not interpreted).
+        self.user_vars: dict[str, str] = {}
+        self.sys_vars: dict[str, str] = {}
         register_shim_udfs(spark)
 
     # -- DDL surface (graph): SOURCE KEY / DESTINATION KEY registration ----
@@ -241,6 +282,13 @@ class Engine:
         ``args`` binds named (``:name``) or positional (``?``) parameters —
         the prepared-statement surface (executor/prepared.go; Catalyst
         re-plans per execution, replacing the reference's plan cache)."""
+        sm = _SET_RE.match(query)
+        if sm:
+            return self._run_set(sm)
+        cm = _CHECKSUM_RE.match(query)
+        if cm:
+            return self.checksum(cm.group(1))
+        query = self._substitute_user_vars(query)
         query = translate(query)
         ddl = _DDL_RE.match(query)
         if ddl:
@@ -261,6 +309,63 @@ class Engine:
         if args is not None:
             return self.spark.sql(query, args)
         return self.spark.sql(query)
+
+    def _run_set(self, m: re.Match) -> DataFrame:
+        """SET @var = expr / SET @@sysvar = value (executor/set.go:41-96).
+        User variables evaluate eagerly to a literal (UserVars semantics);
+        system variables are recorded — `spark.<conf>` names additionally
+        pass through to the live Spark conf, the engine's actual tuning
+        surface."""
+        if m.group("user"):
+            expr = self._substitute_user_vars(m.group("uexpr").strip())
+            expr = translate(expr)
+            val = self.spark.sql(f"SELECT ({expr}) AS v").collect()[0].v
+            self.user_vars[m.group("uname")] = _sql_literal(val)
+        else:
+            name, val = m.group("sname"), m.group("sexpr").strip()
+            self.sys_vars[name] = val
+            if name.startswith("spark"):
+                self.spark.conf.set(name.replace("_", "."), _strip_quotes(val))
+        return self.spark.range(0).select(F.lit("OK").alias("status"))
+
+    def _substitute_user_vars(self, query: str) -> str:
+        """Replace @name references (outside string literals) with the
+        variable's literal value — the read side of executor/set.go's
+        UserVars map."""
+        from tidb_spark.sqlshim.translate import _map_code
+
+        if "@" not in query:
+            return query
+
+        def sub(code: str) -> str:
+            # Unset user variables read as NULL (MySQL semantics).
+            return _USER_VAR_RE.sub(
+                lambda vm: self.user_vars.get(vm.group(1), "NULL"), code
+            )
+
+        return _map_code(query, sub)
+
+    def checksum(self, table: str) -> DataFrame:
+        """ADMIN CHECKSUM TABLE (executor/checksum.go:39): one
+        order-independent table digest — the sum of per-row xxhash64 over
+        all columns — plus row/byte tallies.  Distributed: per-partition
+        partial sums combine map-side; no row leaves the executor."""
+        df = self.tables[table]
+        # DECIMAL accumulation: a long sum of 2^63-range hashes overflows
+        # under ANSI mode; decimal is exact and order-independent.
+        row_hash = F.xxhash64(*[F.col(c).cast("string") for c in df.columns]).cast(
+            "decimal(20,0)"
+        )
+        return df.agg(
+            F.sum(row_hash).alias("checksum"),
+            F.count(F.lit(1)).alias("total_kvs"),
+            F.sum(
+                sum(
+                    (F.length(F.col(c).cast("string")) for c in df.columns),
+                    F.lit(0),
+                )
+            ).alias("total_bytes"),
+        )
 
     def _rewrite_as_of(self, query: str) -> str:
         """``FROM t AS OF TIMESTAMP '…'`` (stale read, parser/ast/dml.go:276
