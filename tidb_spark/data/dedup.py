@@ -254,14 +254,15 @@ def minhash_lsh_pairs(
     row minhashes agree → P(candidate) ≈ 1-(1-j^r)^b.  The band join
     shuffles on (band_id, band_hash) — no all-pairs comparison anywhere."""
     rows = num_hashes // bands
-    # One persisted distinct posting feeds BOTH the signature min-agg and
-    # the Jaccard verification collect_set — the text is normalized, hashed
-    # and deduped exactly once.  The signature frame is persisted too, since
-    # it feeds both sides of the band self-join.  (Both persists are tiny
-    # next to the corpus: (doc, g) pairs and docs × 32 longs.)
-    posting = shingle_posting(df, text_col, id_col, k=k, distinct=True).persist()
+    # The corpus-wide posting is never materialized: min() is duplicate-
+    # insensitive, so the signature agg consumes the non-distinct posting
+    # pipelined (explode → map-side-combined min shuffle of docs × H longs).
+    # Only the signature frame persists — it feeds both sides of the band
+    # self-join and is tiny (docs × num_hashes longs).  Verification
+    # shingle sets are built later for candidate docs only, so the big
+    # (doc, g) dedup shuffle of the old formulation never happens.
     sig = minhash_signatures(
-        df, text_col, id_col, k=k, num_hashes=num_hashes, posting=posting
+        df, text_col, id_col, k=k, num_hashes=num_hashes
     ).persist()
     # Band join carries ONLY (doc, band_id, band_hash) — never shingle
     # payloads.  Shingle sets are built just for docs that appear in a
@@ -293,15 +294,29 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
+    # Exact-Jaccard verification touches only docs that appear in some
+    # candidate pair: semi-join the raw corpus down first, then shingle just
+    # that slice.  At scale this is the difference between re-scanning the
+    # corpus and a lookup of a few thousand texts (AQE broadcasts the
+    # candidate-id side once runtime stats show it's small).
+    cand = cand.persist()
     in_cand = (
         cand.select(F.col("d1").alias("doc"))
         .union(cand.select(F.col("d2").alias("doc")))
         .distinct()
     )
+    sub = df.join(
+        in_cand.withColumnRenamed("doc", "__cand_id"),
+        on=F.col(id_col) == F.col("__cand_id"),
+        how="left_semi",
+    )
+    # Persisted because it feeds both the d1 and d2 joins below — without
+    # it the semi-join + explode subtree would evaluate once per side.
     sets = (
-        posting.join(in_cand, on="doc", how="left_semi")
+        shingle_posting(sub, text_col, id_col, k=k, distinct=False)
         .groupBy("doc")
         .agg(F.collect_set("g").alias("shingles"))
+        .persist()
     )
     cand = cand.join(
         sets.withColumnsRenamed({"doc": "d1", "shingles": "s1"}), on="d1"
@@ -402,10 +417,13 @@ def simhash_pairs(
     ).select("doc", "sig", "c.chunk_id", "c.chunk_val")
     a = banded.select(F.col("doc").alias("d1"), F.col("sig").alias("sig1"), "chunk_id", "chunk_val")
     b = banded.select(F.col("doc").alias("d2"), F.col("sig").alias("sig2"), "chunk_id", "chunk_val")
+    # Hamming check runs inside the join stage, BEFORE the pair-dedup
+    # shuffle: the banded join can emit ~bucket² candidate rows, but only
+    # true near-dups (a tiny fraction) reach dropDuplicates, so the second
+    # shuffle is proportional to the answer, not the collision count.
     return (
         a.join(b, on=["chunk_id", "chunk_val"])
         .where(F.col("d1") < F.col("d2"))
-        .dropDuplicates(["d1", "d2"])
         .select(
             "d1",
             "d2",
@@ -414,4 +432,5 @@ def simhash_pairs(
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["d1", "d2"])
     )
