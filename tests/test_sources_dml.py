@@ -254,3 +254,61 @@ def test_sql_as_of(spark, nation, tmp_path):
         "WHERE x.n_regionkey = 2 ORDER BY x.n_nationkey LIMIT 1"
     ).collect()
     assert len(row) == 1
+
+
+def test_sql_merge_into(spark, nation, tmp_path):
+    """MERGE INTO (sqlshim/merge_clause.py — lakehouse extension over the
+    reference's ODKU surface): update + delete + insert in one statement,
+    one full-outer-join pass, with s./t. references and conditional
+    WHEN MATCHED AND."""
+    from tidb_spark.engine import Engine
+
+    eng = Engine(spark, TEST_SF_DIR, workspace=str(tmp_path / "ws"))
+    eng.create_table("nat", nation, key_cols=["n_nationkey"])
+    base = {
+        r.n_nationkey: (r.n_name, r.n_regionkey) for r in nation.collect()
+    }
+
+    eng.sql(
+        "MERGE INTO nat AS t "
+        "USING (SELECT * FROM (VALUES (0, 'ZED', 77), (1, 'ONE', 88), "
+        "(3000, 'NEWLAND', 9)) AS v(k, nm, rk)) AS s "
+        "ON t.n_nationkey = s.k "
+        "WHEN MATCHED AND t.n_nationkey = 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET n_name = s.nm, "
+        "n_regionkey = t.n_regionkey + s.rk "
+        "WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey) "
+        "VALUES (s.k, s.nm, s.rk)"
+    )
+    got = {
+        r.n_nationkey: (r.n_name, r.n_regionkey)
+        for r in eng.sql("SELECT * FROM nat").collect()
+    }
+    assert 0 not in got  # matched + delete condition
+    assert got[1] == ("ONE", base[1][1] + 88)  # matched -> update
+    assert got[3000] == ("NEWLAND", 9)  # not matched -> insert
+    assert len(got) == len(base)  # -1 deleted +1 inserted
+    # untouched rows survive verbatim
+    assert got[5] == base[5]
+
+    # bare-table USING with INSERT *; unmatched target rows untouched
+    eng.create_table(
+        "nat_src",
+        eng.sql("SELECT 3001 AS n_nationkey, 'X' AS n_name, 1 AS n_regionkey"),
+        key_cols=["n_nationkey"],
+    )
+    eng.sql(
+        "MERGE INTO nat AS t USING nat_src AS s "
+        "ON t.n_nationkey = s.n_nationkey "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert eng.sql(
+        "SELECT n_name FROM nat WHERE n_nationkey = 3001"
+    ).collect()[0].n_name == "X"
+
+    # ON must cover exactly the key columns
+    with pytest.raises(ValueError, match="key columns"):
+        eng.sql(
+            "MERGE INTO nat AS t USING nat_src AS s ON t.n_name = s.n_name "
+            "WHEN MATCHED THEN DELETE"
+        )

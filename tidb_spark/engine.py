@@ -26,6 +26,7 @@ from tidb_spark.graph.model import GraphSchema, default_graph
 from tidb_spark.graph.shortest import any_shortest
 from tidb_spark.sources.dml import ManagedTable
 from tidb_spark.sqlshim import match_clause as mc
+from tidb_spark.sqlshim import merge_clause
 from tidb_spark.sqlshim.translate import translate
 
 _view_counter = itertools.count()
@@ -274,6 +275,98 @@ class Engine:
         self._refresh_view(name)
         return self.tables[name]
 
+    def _run_merge(self, stmt) -> DataFrame:
+        """MERGE INTO (sqlshim/merge_clause.py) → ``ManagedTable.merge``:
+        the statement's three WHEN actions map 1:1 onto the operator's
+        kwargs, so the whole statement still executes as ONE full-outer join
+        on the keys plus a CASE projection — a single shuffle regardless of
+        how many WHEN clauses appear.
+
+        The source frame is canonicalized to the target schema first: key
+        columns from the ON equalities, non-key columns from the INSERT
+        mapping (falling back to same-named source columns, else NULL) —
+        after which ``s.col`` in UPDATE/DELETE expressions is exactly the
+        operator's ``VALUES(col)`` reference."""
+        from tidb_spark.sources.dml import _NEW_PREFIX
+
+        name = stmt.table
+        if name not in self.managed:
+            raise ValueError(
+                f"table {name!r} is not writable; engine.create_table() "
+                "creates a managed copy-on-write table"
+            )
+        mt = self.managed[name]
+        if {k for k, _ in stmt.on_pairs} != set(mt.key_cols):
+            raise ValueError(
+                f"MERGE ON must equate exactly the key columns "
+                f"{mt.key_cols} of {name!r}"
+            )
+        src = self.spark.sql(translate(stmt.source_sql))
+
+        insert = next((c for c in stmt.clauses if c.action == "insert"), None)
+        ins_map = (
+            dict(zip(insert.insert_cols, insert.insert_vals))
+            if insert is not None and insert.insert_cols is not None
+            else {}
+        )
+        key_src = dict(stmt.on_pairs)
+        # Original-source-name → canonical-target-name, for rewriting s.col
+        # references in UPDATE/DELETE expressions after the projection below.
+        src_to_target = {s: t for t, s in stmt.on_pairs}
+        for tcol, vexpr in ins_map.items():
+            vm = re.match(rf"(?is)^\s*(?:{stmt.salias}\.)?(\w+)\s*$", vexpr)
+            if vm:
+                src_to_target.setdefault(vm.group(1), tcol)
+        projected = []
+        for f_ in mt.df().schema.fields:
+            if f_.name in ins_map:
+                expr = merge_clause.strip_source_refs(
+                    translate(ins_map[f_.name]), stmt.salias
+                )
+            elif f_.name in key_src:
+                expr = key_src[f_.name]
+            elif f_.name in src.columns:
+                expr = f_.name
+            else:
+                expr = f"CAST(NULL AS {f_.dataType.simpleString()})"
+            projected.append(F.expr(expr).alias(f_.name))
+        src = src.select(*projected)
+
+        def _rw(expr: str):
+            return F.expr(
+                merge_clause.rewrite_refs(
+                    translate(expr),
+                    stmt.talias,
+                    stmt.salias,
+                    _NEW_PREFIX,
+                    src_to_target,
+                )
+            )
+
+        when_update: dict | None = None
+        when_delete = None
+        for c in stmt.clauses:
+            if c.action == "update":
+                when_update = {}
+                for col, expr in c.assignments:
+                    val = _rw(expr)
+                    if c.cond is not None:
+                        # Conditional clause: rows matching the key but not
+                        # the AND condition keep their old value.
+                        val = F.when(_rw(c.cond), val).otherwise(F.col(col))
+                    when_update[col] = val
+            elif c.action == "delete":
+                when_delete = _rw(c.cond) if c.cond is not None else F.lit(True)
+
+        mt.merge(
+            src,
+            when_matched_update=when_update,
+            when_matched_delete=when_delete,
+            when_not_matched_insert=insert is not None,
+        )
+        self._refresh_view(name)
+        return self.tables[name]
+
     # -- query surface ------------------------------------------------------
 
     def sql(self, query: str, args: dict | list | None = None) -> DataFrame:
@@ -297,6 +390,9 @@ class Engine:
         dm = _DML_RE.match(query)
         if dm and dm.group(0):
             return self._run_dml(dm)
+        ms = merge_clause.parse(query)
+        if ms is not None:
+            return self._run_merge(ms)
         query = self._rewrite_as_of(query)
         parsed = mc.find_and_parse(query)
         if parsed is not None:
