@@ -224,9 +224,12 @@ def test_show_create_table(engine):
 
 
 def test_unsupported_path_types(engine):
+    # Bare ALL / ANY walk enumeration errors like the reference planner
+    # (ALL SHORTEST / TOP k are supported extensions — see
+    # test_match_all_shortest_and_top_k_sql).
     with pytest.raises(ValueError, match="unsupported path pattern"):
         engine.sql(
-            "SELECT 1 FROM MATCH ALL SHORTEST (v_customer AS a)"
+            "SELECT 1 FROM MATCH ALL (v_customer AS a)"
             ".OUT(e_knows).(v_customer AS b)"
         )
     with pytest.raises(NotImplementedError, match="multi-path"):
@@ -366,3 +369,95 @@ def test_admin_checksum_table(spark, tmp_path):
     eng.sql("UPDATE nat_shuffled SET n_name = 'X' WHERE n_nationkey = 0")
     d = eng.sql("ADMIN CHECKSUM TABLE nat_shuffled").collect()[0]
     assert d.checksum != a.checksum
+
+
+def test_match_all_shortest_and_top_k_sql(engine):
+    """ALL SHORTEST / TOP k MATCH paths (extensions — the reference's
+    planner rejects both, logical_plan_builder.go:6567-6577): ALL emits one
+    row per shortest path; TOP k emits up to k ranked simple paths and
+    drops unreachable pairs."""
+    all_rows = engine.sql(
+        "SELECT src.c_custkey AS s, path, dist, dst.c_custkey AS d "
+        "FROM MATCH ALL SHORTEST (v_customer AS src WHERE src.c_custkey <= 1)"
+        ".OUT(e_knows).(v_customer AS dst WHERE dst.c_custkey IN (5, 6)) "
+        "ORDER BY s, d, path"
+    ).collect()
+    any_rows = engine.sql(
+        "SELECT src.c_custkey AS s, path, dist, dst.c_custkey AS d "
+        "FROM MATCH ANY SHORTEST (v_customer AS src WHERE src.c_custkey <= 1)"
+        ".OUT(e_knows).(v_customer AS dst WHERE dst.c_custkey IN (5, 6)) "
+        "ORDER BY s, d, path"
+    ).collect()
+    # ALL ⊇ ANY: the canonical path appears among all shortest; per-pair
+    # dists agree, and every ALL row of a pair has the same dist.
+    assert len(all_rows) >= len(any_rows)
+    any_by_pair = {(r.s, r.d): r for r in any_rows}
+    all_paths_by_pair: dict = {}
+    for r in all_rows:
+        all_paths_by_pair.setdefault((r.s, r.d), []).append(r)
+    assert set(all_paths_by_pair) == set(any_by_pair)
+    for pair, rows in all_paths_by_pair.items():
+        assert {r.dist for r in rows} == {any_by_pair[pair].dist}
+        assert any_by_pair[pair].path in {r.path for r in rows}
+        assert len({r.path for r in rows}) == len(rows)  # no dup paths
+
+    top = engine.sql(
+        "SELECT src.c_custkey AS s, path, dist, rank, dst.c_custkey AS d "
+        "FROM MATCH TOP 2 (v_customer AS src WHERE src.c_custkey <= 1)"
+        ".OUT(e_knows).(v_customer AS dst WHERE dst.c_custkey IN (5, 6)) "
+        "ORDER BY s, d, rank"
+    ).collect()
+    by_pair: dict = {}
+    for r in top:
+        by_pair.setdefault((r.s, r.d), []).append(r)
+    for pair, rows in by_pair.items():
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 2
+        # rank 1 is the canonical shortest path when the pair is reachable
+        if pair in any_by_pair and any_by_pair[pair].dist >= 0:
+            assert rows[0].path == any_by_pair[pair].path
+            assert rows[0].dist == any_by_pair[pair].dist
+        # ranked by (dist, path-as-array) — numeric element order, not
+        # string order
+        def _arr(p):
+            return [int(x) for x in p.strip("[]").split(",")]
+
+        assert rows == sorted(rows, key=lambda r: (r.dist, _arr(r.path)))
+    # unreachable pairs are absent from TOP k, present as Unreachable in ANY
+    unreachable = {p for p, r in any_by_pair.items() if r.dist < 0}
+    assert unreachable.isdisjoint(by_pair)
+
+    # bare ALL / ANY walks still error like the reference planner
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported path pattern"):
+        engine.sql("SELECT 1 FROM MATCH ALL (v_customer).OUT(e_knows)")
+
+
+def test_top_k_beam_matches_exact_on_sparse_graph(spark):
+    """The beam-pruned TOP k (scale path) agrees with exact enumeration
+    when the beam admits every prefix — pinned on the e_knows graph with a
+    generous beam."""
+    from pyspark.sql import functions as F
+
+    from tidb_spark.graph.model import default_graph
+    from tidb_spark.graph.shortest import top_k_shortest
+    from tests.conftest import TEST_SF_DIR
+
+    g = default_graph(spark, TEST_SF_DIR)
+    customer = g.vertex("v_customer").df
+    sources = customer.where(F.col("c_custkey") < 2).select(
+        F.col("c_custkey").alias("root")
+    )
+    dsts = customer.where(F.col("c_custkey").between(5, 8)).select(
+        F.col("c_custkey").alias("dst_id")
+    )
+    exact = top_k_shortest(
+        sources, dsts, g.edge("e_knows"), k=2, max_hops=3
+    ).collect()
+    beam = top_k_shortest(
+        sources, dsts, g.edge("e_knows"), k=2, max_hops=3, beam=8
+    ).collect()
+    key = lambda r: (r.src_id, r.dst_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, beam))
+    assert len(exact) > 0

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from tidb_spark.catalog import DEFAULT_SF_DIR, register_views
 from tidb_spark.functions.mysql import register_shim_udfs
 from tidb_spark.graph.model import GraphSchema, default_graph
-from tidb_spark.graph.shortest import any_shortest
+from tidb_spark.graph.shortest import all_shortest, any_shortest, top_k_shortest
 from tidb_spark.sources.dml import ManagedTable
 from tidb_spark.sqlshim import match_clause as mc
 from tidb_spark.sqlshim import merge_clause
@@ -480,12 +480,15 @@ class Engine:
         return _AS_OF_RE.sub(repl, query)
 
     def _lower_any_shortest(self, path: mc.MatchPath) -> tuple[str, list[str]]:
-        """MATCH ANY SHORTEST → run the distributed BFS now, bind the result
-        as a temp view, and join it back to the vertex tables so the outer
-        statement sees src/dst rows plus ``path``/``dist`` columns — the
-        GraphAnyShortestExec output shape (executor/graph_shortest.go:90-139).
-        The reference restricts to one OUT hop with explicit destination
-        (logical_plan_builder.go:6710-6712); so do we."""
+        """MATCH ANY/ALL SHORTEST or TOP k → run the distributed BFS now,
+        bind the result as a temp view, and join it back to the vertex
+        tables so the outer statement sees src/dst rows plus ``path`` /
+        ``dist`` (and ``rank`` for TOP k) columns — the GraphAnyShortestExec
+        output shape (executor/graph_shortest.go:90-139).  ALL SHORTEST and
+        TOP k are extensions: the reference's planner rejects them
+        (logical_plan_builder.go:6567-6577).  The reference restricts ANY
+        SHORTEST to one OUT hop with explicit destination (:6710-6712); we
+        apply that restriction to all three."""
         if not (
             len(path.hops) == 1
             and path.hops[0].direction == "OUT"
@@ -504,7 +507,28 @@ class Engine:
             f"SELECT {dst.alias}.{dst_pk} AS dst_id FROM {dst.table} AS "
             f"{dst.alias}" + (f" WHERE {dst.where}" if dst.where else "")
         )
-        result = any_shortest(sources, dests, self.graph.edge(hop.edge))
+        edge_t = self.graph.edge(hop.edge)
+        if path.kind == "all":
+            result = all_shortest(sources, dests, edge_t)
+        elif path.kind == "top":
+            # Exhaustive path enumeration diverges at BFS's default hop
+            # budget (simple paths grow exponentially with depth), so the
+            # SQL surface runs the beam-pruned variant with a bounded
+            # horizon; rank 1 stays exact (= the ANY SHORTEST canonical
+            # path).  Tunable per session: SET @@graph_topk_max_hops /
+            # @@graph_topk_beam.
+            result = top_k_shortest(
+                sources,
+                dests,
+                edge_t,
+                k=path.top_k,
+                max_hops=int(self.sys_vars.get("graph_topk_max_hops", 8)),
+                beam=max(
+                    int(self.sys_vars.get("graph_topk_beam", 32)), path.top_k
+                ),
+            )
+        else:
+            result = any_shortest(sources, dests, edge_t)
         view = f"__match_shortest_{next(_view_counter)}"
         result.createOrReplaceTempView(view)
         preds = []

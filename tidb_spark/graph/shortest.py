@@ -115,6 +115,252 @@ def bfs_min_paths(
     return out
 
 
+def bfs_all_min_paths(
+    sources: DataFrame,
+    edge: EdgeTable,
+    *,
+    max_hops: int = 30,
+    max_paths_per_pair: int | None = None,
+) -> DataFrame:
+    """BFS keeping EVERY shortest path, not just the canonical one.
+
+    Same wavefront structure as :func:`bfs_min_paths`, but the per-round
+    aggregation keeps all distinct paths that reach a vertex on its
+    first-reached hop (they are all shortest by BFS invariant).  Shortest-path
+    counts can grow combinatorially in dense graphs; ``max_paths_per_pair``
+    bounds the per-(root, id) fan-out with a rank-by-path cutoff (ranked so
+    the retained subset is deterministic).
+
+    Returns (root, id, path array<bigint>, dist) — one row per path.
+    """
+    from pyspark.sql import Window
+
+    edges = edge.df.select(
+        F.col(edge.src_col).cast("long").alias("__src"),
+        F.col(edge.dst_col).cast("long").alias("__dst"),
+    ).localCheckpoint(eager=True)
+    seed = sources.select(
+        F.col("root").cast("long").alias("root"),
+        F.col("root").cast("long").alias("id"),
+        F.array(F.col("root").cast("long")).alias("path"),
+        F.lit(0).alias("dist"),
+    ).dropDuplicates(["root"])
+
+    frontier = seed.localCheckpoint(eager=True)
+    rounds = [frontier]
+    visited_ids = frontier.select("root", "id")
+    frontier_rows = frontier.count()
+    visited_rows = frontier_rows
+
+    for hop in range(1, max_hops + 1):
+        f = (
+            F.broadcast(frontier)
+            if frontier_rows <= _BROADCAST_MAX_ROWS
+            else frontier
+        )
+        v = (
+            F.broadcast(visited_ids)
+            if visited_rows <= _BROADCAST_MAX_ROWS
+            else visited_ids
+        )
+        expanded = (
+            f.join(edges, f["id"] == edges["__src"])
+            .select(
+                "root",
+                F.col("__dst").alias("id"),
+                F.concat(F.col("path"), F.array(F.col("__dst"))).alias("path"),
+            )
+            # Distinct parent paths yield distinct concatenations; the dedup
+            # only collapses parallel duplicate edge rows.
+            .dropDuplicates(["root", "id", "path"])
+            .join(v, on=["root", "id"], how="left_anti")
+        )
+        if max_paths_per_pair is not None:
+            w = Window.partitionBy("root", "id").orderBy("path")
+            expanded = (
+                expanded.withColumn("__rk", F.row_number().over(w))
+                .where(F.col("__rk") <= max_paths_per_pair)
+                .drop("__rk")
+            )
+        expanded = expanded.withColumn("dist", F.lit(hop)).localCheckpoint(
+            eager=True
+        )
+        frontier_rows = expanded.count()
+        if frontier_rows == 0:
+            break
+        rounds.append(expanded)
+        visited_ids = visited_ids.unionByName(
+            expanded.select("root", "id").dropDuplicates()
+        )
+        visited_rows += frontier_rows
+        frontier = expanded
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def all_shortest(
+    sources: DataFrame,
+    destinations: DataFrame,
+    edge: EdgeTable,
+    *,
+    max_hops: int = 30,
+    max_paths_per_pair: int | None = None,
+) -> DataFrame:
+    """ALL SHORTEST: every shortest path per (source, destination) pair.
+
+    EXTENSION — the reference parses ALL SHORTEST but its planner rejects it
+    (planner/core/logical_plan_builder.go:6567-6577); this engine executes
+    it.  Output shape matches :func:`any_shortest` (src_id, dst_id, path
+    string, dist) with one row PER PATH; unreachable pairs get one
+    ``"Unreachable"`` / -1 row.
+    """
+    reached = bfs_all_min_paths(
+        sources, edge, max_hops=max_hops, max_paths_per_pair=max_paths_per_pair
+    )
+    pairs = sources.select(F.col("root").cast("long").alias("src_id")).crossJoin(
+        destinations.select(F.col("dst_id").cast("long").alias("dst_id"))
+    )
+    hits = reached.select(
+        F.col("root").alias("src_id"),
+        F.col("id").alias("dst_id"),
+        "path",
+        "dist",
+    )
+    return pairs.join(hits, on=["src_id", "dst_id"], how="left_outer").select(
+        "src_id",
+        "dst_id",
+        F.when(F.col("path").isNull(), F.lit(UNREACHABLE))
+        .otherwise(
+            F.concat(F.lit("["), F.concat_ws(",", F.col("path")), F.lit("]"))
+        )
+        .alias("path"),
+        F.coalesce(F.col("dist"), F.lit(-1)).alias("dist"),
+    )
+
+
+def top_k_shortest(
+    sources: DataFrame,
+    destinations: DataFrame,
+    edge: EdgeTable,
+    *,
+    k: int,
+    max_hops: int = 30,
+    beam: int | None = None,
+) -> DataFrame:
+    """TOP k shortest simple paths per (source, destination) pair.
+
+    EXTENSION — the reference parses TOP k but its planner rejects it
+    (planner/core/logical_plan_builder.go:6567-6577); this engine executes
+    it.  Per round, every live path extends along OUT edges (cycle-free —
+    a path may not revisit a vertex); after ``max_hops`` rounds a window
+    rank keeps the k best (dist, path) per pair.
+
+    ``beam=None`` (default) enumerates ALL simple paths up to ``max_hops``
+    — exact, and fine for the bounded-hop queries TOP k is used with.
+    ``beam=b`` (b ≥ k) additionally prunes to the b best (dist, path) per
+    (root, vertex) each round — the standard k-shortest beam relaxation
+    for long-horizon searches on dense graphs, where exhaustive
+    enumeration would explode; exact whenever every true top-k path's
+    prefix ranks within b at each intermediate vertex (always true for
+    k = b = 1, which degenerates to BFS).
+
+    Returns (src_id, dst_id, path string, dist, rank 1..k), shortest
+    first; pairs with no path within ``max_hops`` are absent (TOP k
+    enumerates paths — it does not assert reachability the way ANY/ALL
+    SHORTEST do).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("top_k_shortest: k must be >= 1")
+    if beam is not None and beam < k:
+        raise ValueError("top_k_shortest: beam must be >= k")
+    edges = edge.df.select(
+        F.col(edge.src_col).cast("long").alias("__src"),
+        F.col(edge.dst_col).cast("long").alias("__dst"),
+    ).localCheckpoint(eager=True)
+    seed = sources.select(
+        F.col("root").cast("long").alias("root"),
+        F.col("root").cast("long").alias("id"),
+        F.array(F.col("root").cast("long")).alias("path"),
+        F.lit(0).alias("dist"),
+    ).dropDuplicates(["root"])
+
+    w = Window.partitionBy("root", "id").orderBy("dist", "path")
+    frontier = seed.localCheckpoint(eager=True)
+    rounds = [frontier]
+    frontier_rows = frontier.count()
+
+    for _hop in range(1, max_hops + 1):
+        if frontier_rows == 0:
+            break
+        f = (
+            F.broadcast(frontier)
+            if frontier_rows <= _BROADCAST_MAX_ROWS
+            else frontier
+        )
+        expanded = (
+            f.join(edges, f["id"] == edges["__src"])
+            .where(~F.array_contains(F.col("path"), F.col("__dst")))
+            .select(
+                "root",
+                F.col("__dst").alias("id"),
+                F.concat(F.col("path"), F.array(F.col("__dst"))).alias("path"),
+                (F.col("dist") + 1).alias("dist"),
+            )
+            .dropDuplicates(["root", "id", "path"])
+        )
+        if beam is not None:
+            # Paths from earlier rounds have strictly smaller dist, so they
+            # always outrank this round's candidates — ranking new candidates
+            # against the accumulated state only needs the state's per-vertex
+            # OCCUPANCY, not a re-rank of old rows (old rows never fall out).
+            state = rounds[0].select("root", "id")
+            for r in rounds[1:]:
+                state = state.unionByName(r.select("root", "id"))
+            occupancy = state.groupBy("root", "id").agg(
+                F.count(F.lit(1)).alias("__held")
+            )
+            expanded = (
+                expanded.join(occupancy, on=["root", "id"], how="left")
+                .withColumn("__rk", F.row_number().over(w))
+                .where(
+                    F.col("__rk") + F.coalesce(F.col("__held"), F.lit(0))
+                    <= beam
+                )
+                .drop("__rk", "__held")
+            )
+        expanded = expanded.localCheckpoint(eager=True)
+        frontier_rows = expanded.count()
+        if frontier_rows:
+            rounds.append(expanded)
+        frontier = expanded
+
+    state = rounds[0]
+    for r in rounds[1:]:
+        state = state.unionByName(r)
+    ranked = state.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") <= k
+    )
+    pairs = sources.select(F.col("root").cast("long").alias("src_id")).crossJoin(
+        destinations.select(F.col("dst_id").cast("long").alias("dst_id"))
+    )
+    return (
+        ranked.select(
+            F.col("root").alias("src_id"),
+            F.col("id").alias("dst_id"),
+            F.concat(
+                F.lit("["), F.concat_ws(",", F.col("path")), F.lit("]")
+            ).alias("path"),
+            "dist",
+            F.col("__rk").alias("rank"),
+        )
+        .join(pairs, on=["src_id", "dst_id"], how="left_semi")
+    )
+
+
 def any_shortest(
     sources: DataFrame,
     destinations: DataFrame,

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from tidb_spark.graph.match import match, union_paths
 from tidb_spark.graph.model import default_graph
-from tidb_spark.graph.shortest import any_shortest
+from tidb_spark.graph.shortest import all_shortest, any_shortest, top_k_shortest
 from tidb_spark.queries import register
 
 E_KNOWS_CTE = """e_knows AS (
@@ -319,3 +319,93 @@ def graph_any_shortest_len(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_id", "dst_id", "dist")
         .orderBy("src_id", "dst_id")
     )
+
+
+ALL_SHORTEST_ORACLE = f"""
+WITH RECURSIVE {E_KNOWS_CTE},
+walk(root, id, path, dist) AS (
+  SELECT c_custkey, c_custkey, [CAST(c_custkey AS BIGINT)], 0
+  FROM customer WHERE c_custkey < 3
+  UNION ALL
+  SELECT w.root, e.dst, list_append(w.path, CAST(e.dst AS BIGINT)), w.dist + 1
+  FROM walk w JOIN (SELECT DISTINCT src, dst FROM e_knows) e ON e.src = w.id
+  WHERE w.dist < 4 AND NOT list_contains(w.path, CAST(e.dst AS BIGINT))
+),
+best AS (
+  SELECT root, id, MIN(dist) AS mind FROM walk GROUP BY root, id
+),
+allmin AS (
+  SELECT w.root, w.id, w.path, w.dist
+  FROM walk w JOIN best b ON b.root = w.root AND b.id = w.id AND w.dist = b.mind
+)
+SELECT s.root AS src_id, d.dst_id,
+       COALESCE('[' || array_to_string(a.path, ',') || ']', 'Unreachable') AS path,
+       COALESCE(a.dist, -1) AS dist
+FROM (SELECT c_custkey AS root FROM customer WHERE c_custkey < 3) s
+CROSS JOIN (SELECT c_custkey AS dst_id FROM customer
+            WHERE c_custkey BETWEEN 10 AND 13) d
+LEFT JOIN allmin a ON a.root = s.root AND a.id = d.dst_id
+ORDER BY src_id, dst_id, path
+"""
+
+
+@register("graph_all_shortest", oracle=ALL_SHORTEST_ORACLE, tags=("graph", "bfs"))
+def graph_all_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL SHORTEST (extension — the reference's planner rejects it,
+    logical_plan_builder.go:6567-6577): every shortest path per pair, one
+    row each, same grid and hop bound as graph_any_shortest."""
+    g = default_graph(spark, sf_dir)
+    customer = g.vertex("v_customer").df
+    sources = customer.where(F.col("c_custkey") < 3).select(
+        F.col("c_custkey").alias("root")
+    )
+    dsts = customer.where(F.col("c_custkey").between(10, 13)).select(
+        F.col("c_custkey").alias("dst_id")
+    )
+    return all_shortest(sources, dsts, g.edge("e_knows"), max_hops=4).orderBy(
+        "src_id", "dst_id", "path"
+    )
+
+
+TOP_K_ORACLE = f"""
+WITH RECURSIVE {E_KNOWS_CTE},
+walk(root, id, path, dist) AS (
+  SELECT c_custkey, c_custkey, [CAST(c_custkey AS BIGINT)], 0
+  FROM customer WHERE c_custkey < 3
+  UNION ALL
+  SELECT w.root, e.dst, list_append(w.path, CAST(e.dst AS BIGINT)), w.dist + 1
+  FROM walk w JOIN (SELECT DISTINCT src, dst FROM e_knows) e ON e.src = w.id
+  WHERE w.dist < 4 AND NOT list_contains(w.path, CAST(e.dst AS BIGINT))
+),
+ranked AS (
+  SELECT root, id, path, dist,
+         ROW_NUMBER() OVER (PARTITION BY root, id ORDER BY dist, path) AS rank
+  FROM walk
+)
+SELECT s.root AS src_id, d.dst_id,
+       '[' || array_to_string(r.path, ',') || ']' AS path,
+       r.dist, CAST(r.rank AS INTEGER) AS rank
+FROM (SELECT c_custkey AS root FROM customer WHERE c_custkey < 3) s
+CROSS JOIN (SELECT c_custkey AS dst_id FROM customer
+            WHERE c_custkey BETWEEN 10 AND 13) d
+JOIN ranked r ON r.root = s.root AND r.id = d.dst_id AND r.rank <= 3
+ORDER BY src_id, dst_id, rank
+"""
+
+
+@register("graph_top_k_shortest", oracle=TOP_K_ORACLE, tags=("graph", "bfs"))
+def graph_top_k_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP 3 shortest simple paths per pair (extension — reference planner
+    rejects TOP k): exhaustive bounded-hop enumeration + (dist, path) rank;
+    unreachable pairs absent."""
+    g = default_graph(spark, sf_dir)
+    customer = g.vertex("v_customer").df
+    sources = customer.where(F.col("c_custkey") < 3).select(
+        F.col("c_custkey").alias("root")
+    )
+    dsts = customer.where(F.col("c_custkey").between(10, 13)).select(
+        F.col("c_custkey").alias("dst_id")
+    )
+    return top_k_shortest(
+        sources, dsts, g.edge("e_knows"), k=3, max_hops=4
+    ).orderBy("src_id", "dst_id", "rank")

@@ -21,9 +21,11 @@ Vertex/edge WHERE conditions hoist into the statement's WHERE (paths are
 inner joins, so this is equivalent and lets Catalyst push them down).
 
 Unsupported in the SQL surface (use the DataFrame API): comma-separated
-multi-path MATCH (``tidb_spark.graph.match.union_paths``), ALL SHORTEST /
-TOP k (the reference errors on these too,
-logical_plan_builder.go:6567-6577).
+multi-path MATCH (``tidb_spark.graph.match.union_paths``).  ALL SHORTEST and
+TOP k ARE supported here as extensions (the reference errors on them,
+logical_plan_builder.go:6567-6577) — lowered to the all-paths BFS / beam
+search in tidb_spark/graph/shortest.py; bare ALL / ANY walk enumeration
+still errors like the reference.
 """
 
 from __future__ import annotations
@@ -35,10 +37,14 @@ from tidb_spark.sqlshim.translate import _split_segments
 
 _MATCH_RE = re.compile(r"\bMATCH\b", re.IGNORECASE)
 _ANY_SHORTEST_RE = re.compile(r"\s*ANY\s+SHORTEST\b", re.IGNORECASE)
-# Parsed-but-unimplemented path types — the reference errors on these too
-# (logical_plan_builder.go:6567-6577).
+_ALL_SHORTEST_RE = re.compile(r"\s*ALL\s+SHORTEST\b", re.IGNORECASE)
+_TOP_K_RE = re.compile(r"\s*TOP\s+(\d+)\b", re.IGNORECASE)
+# Path types the reference's planner rejects outright (bare ALL / ANY walk
+# enumeration, logical_plan_builder.go:6567-6577).  ALL SHORTEST / TOP k are
+# ALSO rejected there, but this engine executes them (graph/shortest.py) —
+# an extension past reference parity.
 _UNSUPPORTED_PATH_RE = re.compile(
-    r"\s*(ALL\s+SHORTEST|TOP\s+\d+|ALL\b|ANY\b(?!\s+SHORTEST))", re.IGNORECASE
+    r"\s*(ALL\b(?!\s+SHORTEST)|ANY\b(?!\s+SHORTEST))", re.IGNORECASE
 )
 _VERTEX_RE = re.compile(
     r"(?is)^\s*(\w+)\s*(?:AS\s+(\w+)\s*)?(?:WHERE\s+(.+?)\s*)?$"
@@ -64,9 +70,16 @@ class Hop:
 
 @dataclass
 class MatchPath:
-    shortest: bool
+    # kind: None = plain join-chain path; 'any' / 'all' = ANY / ALL
+    # SHORTEST; 'top' = TOP k (k in top_k).
+    kind: str | None
     source: VertexElem
     hops: list[Hop] = field(default_factory=list)
+    top_k: int | None = None
+
+    @property
+    def shortest(self) -> bool:
+        return self.kind is not None
 
 
 def _find_closing(sql: str, open_idx: int) -> int:
@@ -106,11 +119,13 @@ def find_and_parse(sql: str) -> tuple[int, int, MatchPath] | None:
             continue  # inside a string literal
         start = cand.start()
         i = cand.end()
-        shortest = False
-        m = _ANY_SHORTEST_RE.match(sql, i)
-        if m:
-            shortest = True
-            i = m.end()
+        kind, top_k = None, None
+        if m := _ANY_SHORTEST_RE.match(sql, i):
+            kind, i = "any", m.end()
+        elif m := _ALL_SHORTEST_RE.match(sql, i):
+            kind, i = "all", m.end()
+        elif m := _TOP_K_RE.match(sql, i):
+            kind, top_k, i = "top", int(m.group(1)), m.end()
         elif _UNSUPPORTED_PATH_RE.match(sql, i):
             # Same behavior (and message) as the reference planner.
             raise ValueError("unsupported path pattern type in MATCH")
@@ -119,7 +134,7 @@ def find_and_parse(sql: str) -> tuple[int, int, MatchPath] | None:
         if i >= len(sql) or sql[i] != "(":
             continue  # MATCH used as an identifier elsewhere
         close = _find_closing(sql, i)
-        path = MatchPath(shortest, _parse_vertex(sql[i + 1 : close]))
+        path = MatchPath(kind, _parse_vertex(sql[i + 1 : close]), top_k=top_k)
         i = close + 1
         while True:
             m = _DIR_RE.match(sql, i)
