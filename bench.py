@@ -37,8 +37,24 @@ def main() -> None:
     )
     repeat = int(os.environ.get("BENCH_REPEAT", "1"))
 
-    # Warm the JVM + parquet footers so q1 doesn't pay one-time costs.
+    # Warm the JVM + parquet footers so q1 doesn't pay one-time costs, and
+    # exercise the heavyweight codegen/runtime paths (broadcast hash join,
+    # shuffle agg, window, array ops, local checkpoint) once on toy data —
+    # otherwise whichever registered query runs first absorbs ~10 s of
+    # first-use JIT/infra cost that says nothing about its throughput.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    from pyspark.sql import Window, functions as F
+
+    a = spark.range(10_000).withColumn("k", F.col("id") % 100)
+    b = spark.range(100).withColumnRenamed("id", "k")
+    (
+        a.join(F.broadcast(b), "k")
+        .groupBy("k")
+        .agg(F.min(F.array("id")).alias("p"), F.count(F.lit(1)).alias("n"))
+        .withColumn("r", F.row_number().over(Window.partitionBy("k").orderBy("p")))
+        .localCheckpoint(eager=True)
+        .count()
+    )
 
     timings: dict[str, float] = {}
     total = 0.0

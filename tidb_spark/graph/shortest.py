@@ -135,10 +135,18 @@ def bfs_all_min_paths(
     """
     from pyspark.sql import Window
 
-    edges = edge.df.select(
-        F.col(edge.src_col).cast("long").alias("__src"),
-        F.col(edge.dst_col).cast("long").alias("__dst"),
-    ).localCheckpoint(eager=True)
+    # Deduped upfront: paths are vertex sequences, so parallel duplicate
+    # edge rows are the ONLY source of duplicate paths — one distinct() on
+    # the 2-column edge list here replaces a wide-key (root, id, path)
+    # dropDuplicates shuffle in EVERY round.
+    edges = (
+        edge.df.select(
+            F.col(edge.src_col).cast("long").alias("__src"),
+            F.col(edge.dst_col).cast("long").alias("__dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     seed = sources.select(
         F.col("root").cast("long").alias("root"),
         F.col("root").cast("long").alias("id"),
@@ -170,9 +178,6 @@ def bfs_all_min_paths(
                 F.col("__dst").alias("id"),
                 F.concat(F.col("path"), F.array(F.col("__dst"))).alias("path"),
             )
-            # Distinct parent paths yield distinct concatenations; the dedup
-            # only collapses parallel duplicate edge rows.
-            .dropDuplicates(["root", "id", "path"])
             .join(v, on=["root", "id"], how="left_anti")
         )
         if max_paths_per_pair is not None:
@@ -277,10 +282,16 @@ def top_k_shortest(
         raise ValueError("top_k_shortest: k must be >= 1")
     if beam is not None and beam < k:
         raise ValueError("top_k_shortest: beam must be >= k")
-    edges = edge.df.select(
-        F.col(edge.src_col).cast("long").alias("__src"),
-        F.col(edge.dst_col).cast("long").alias("__dst"),
-    ).localCheckpoint(eager=True)
+    # Deduped for the same reason as bfs_all_min_paths: distinct parent
+    # paths over distinct edges never collide, so no per-round path dedup.
+    edges = (
+        edge.df.select(
+            F.col(edge.src_col).cast("long").alias("__src"),
+            F.col(edge.dst_col).cast("long").alias("__dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     seed = sources.select(
         F.col("root").cast("long").alias("root"),
         F.col("root").cast("long").alias("id"),
@@ -310,7 +321,6 @@ def top_k_shortest(
                 F.concat(F.col("path"), F.array(F.col("__dst"))).alias("path"),
                 (F.col("dist") + 1).alias("dist"),
             )
-            .dropDuplicates(["root", "id", "path"])
         )
         if beam is not None:
             # Paths from earlier rounds have strictly smaller dist, so they
