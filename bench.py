@@ -70,17 +70,52 @@ def main() -> None:
         timings[name] = round(best, 4)
         total += best
 
-    print(
-        json.dumps(
+    # The driver keeps only the LAST ~2000 chars of stdout; a 104-entry
+    # per-query map is ~2.8 KB and truncated the front of the JSON line in
+    # round 1 ("parsed": null).  So: full per-query detail goes to a sidecar
+    # file, and the final stdout line is a compact JSON (family subtotals
+    # only) guaranteed to fit in the driver's tail window.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "corpus_total_runtime",
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            fh,
+            indent=1,
         )
-    )
+
+    families: dict[str, float] = {}
+    for name, secs in timings.items():
+        fam = name.split("_", 1)[0]
+        families[fam] = round(families.get(fam, 0.0) + secs, 2)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        "metric": "corpus_total_runtime",
+        "value": round(total, 2),
+        "unit": "sec",
+        # spec shape: "queries" maps name -> sec; the full 104-entry map is
+        # in BENCH_DETAIL.json, the line carries the 5 slowest.
+        "queries": slowest,
+        "sf": sf,
+        "n_queries": len(timings),
+        "families": families,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:  # stay under the driver's 2000-char tail
+        compact.pop("families", None)
+        line = json.dumps(compact)
+    if len(line) > 1800:
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -60,6 +60,15 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
     for col in a.columns:
         av, bv = a[col].to_numpy(), b[col].to_numpy()
+        # The driver's value-hash is dtype-sensitive: an int64 Spark column vs
+        # a float64 oracle column (e.g. DuckDB SUM(int) -> HUGEINT -> float64)
+        # hash-mismatches even when every value is equal.  Catch that class
+        # locally instead of letting it slip to the driver (tpch_q12, round 1).
+        assert av.dtype.kind == bv.dtype.kind, (
+            f"{name}.{col}: dtype kind mismatch spark={av.dtype} vs "
+            f"oracle={bv.dtype} — driver hash compare is dtype-sensitive; "
+            f"CAST the oracle (or Spark) side so both agree"
+        )
         if np.issubdtype(av.dtype, np.floating):
             both_nan = pd.isna(av) & pd.isna(bv)
             close = np.isclose(av, bv, rtol=0, atol=1e-9) | both_nan

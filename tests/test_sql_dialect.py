@@ -60,6 +60,23 @@ from tests.conftest import TEST_SF_DIR
             "SELECT concat_ws(',', sort_array(collect_list(x), false)) FROM t",
         ),
         (
+            # ORDER BY key differs from the aggregated expression: must sort
+            # by y, not by x (round-1 bug sorted by x silently).
+            "SELECT GROUP_CONCAT(name ORDER BY age) FROM t",
+            "SELECT concat_ws(',', transform(array_sort(collect_list("
+            "struct(age AS _o, name AS _v))), s -> s._v)) FROM t",
+        ),
+        (
+            "SELECT GROUP_CONCAT(name ORDER BY age DESC SEPARATOR '|') FROM t",
+            "SELECT concat_ws('|', transform(reverse(array_sort(collect_list("
+            "struct(age AS _o, name AS _v)))), s -> s._v)) FROM t",
+        ),
+        (
+            # Double-quoted separator previously mis-parsed into the expr.
+            'SELECT GROUP_CONCAT(x SEPARATOR "|") FROM t',
+            'SELECT concat_ws("|", collect_list(x)) FROM t',
+        ),
+        (
             "SELECT JSON_EXTRACT(j, '$.a') FROM t",
             "SELECT get_json_object(j, '$.a') FROM t",
         ),
@@ -67,6 +84,11 @@ from tests.conftest import TEST_SF_DIR
 )
 def test_translate(src, expected):
     assert translate(src) == expected
+
+
+def test_group_concat_distinct_order_mismatch_rejected():
+    with pytest.raises(Exception, match="(?i)distinct"):
+        translate("SELECT GROUP_CONCAT(DISTINCT name ORDER BY age) FROM t")
 
 
 @pytest.fixture(scope="module")

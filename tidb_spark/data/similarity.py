@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, LongType
@@ -112,48 +112,72 @@ def allpairs_cosine_above(
     scale: int = 1000,
     threshold_num: int = 2,
     threshold_den: int = 5,
+    blocks: int = 8,
 ) -> DataFrame:
     """All pairs (v1 < v2) with cosine ≥ threshold_num/threshold_den, in
     exact integer arithmetic on floor-quantized vectors.
 
-    Block-broadcast design: the quantized matrix is broadcast once; each
-    partition of the outer side computes an int64 block matmul against it
-    (mapInPandas), emitting only passing pairs — pair arrays never hit a
-    shuffle.  Exactness bound: dims·scale²·max(num,den)² must stay < 2^63.
-    Scales to ~10⁷ vectors per broadcast block; beyond that, tile the inner
-    side into multiple broadcast blocks (outer loop) or switch to the LSH
-    path."""
-    spark = SparkSession.getActiveSession()
-    pdf = vectors.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy().astype(np.int64)
-    M = np.floor(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * scale).astype(
-        np.int64
-    )
-    norms2 = np.einsum("ij,ij->i", M, M)
-    bc = spark.sparkContext.broadcast((ids, M, norms2))
+    Distributed block-pair design (no driver materialization): vectors are
+    hashed into ``blocks`` blocks; each row is replicated to every partner
+    block it must meet (upper-triangular pairing, so ~B/2 copies per row),
+    and a cogrouped ``applyInPandas`` computes an exact int64 block matmul
+    per (block_i, block_j) cell, emitting only passing pairs.  Total work is
+    the same n²/2 dot products as the broadcast form, but both the memory
+    and the shuffle are bounded per cell at (n/B)² and n·B/2 rows — there is
+    no driver ``toPandas`` and no whole-corpus broadcast, so corpus size is
+    capped by cluster memory, not driver memory.  Size ``blocks`` so a block
+    (n/B rows × dim) fits an executor — at 10⁹ vectors, B≈10³ gives 10⁶-row
+    blocks.  Exactness bound: dims·scale²·max(num,den)² must stay < 2^63.
+    For corpora where even n·B/2 replication is too hot, LSH-prefilter
+    (:func:`lsh_topk`'s bucketer) and verify candidates with this kernel.
+    """
     num2, den2 = threshold_num * threshold_num, threshold_den * threshold_den
+    base = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).alias("_blk"),
+    )
+    partner = F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("_p")
+    # Upper-triangular pairing: cell (bi, bj) with bi <= bj holds the cross
+    # product of block bi (left) × block bj (right); each unordered pair of
+    # blocks is computed exactly once.
+    left = base.select("_id", "_vec", F.col("_blk").alias("bi"), partner).where(
+        F.col("_p") >= F.col("bi")
+    ).withColumnRenamed("_p", "bj")
+    right = base.select("_id", "_vec", partner, F.col("_blk").alias("bj")).where(
+        F.col("_p") <= F.col("bj")
+    ).withColumnRenamed("_p", "bi")
 
-    def gen(batches):
-        b_ids, b_m, b_n2 = bc.value
-        for pdf_blk in batches:
-            A = np.floor(
-                np.vstack(pdf_blk[vec_col].to_numpy()).astype(np.float64) * scale
-            ).astype(np.int64)
-            a_ids = pdf_blk[id_col].to_numpy().astype(np.int64)
-            a_n2 = np.einsum("ij,ij->i", A, A)
-            D = A @ b_m.T  # exact int64 block matmul
-            ok = (
-                (a_ids[:, None] < b_ids[None, :])
-                & (D > 0)
-                & (D * D * den2 >= num2 * a_n2[:, None] * b_n2[None, :])
+    def cell(key, lpdf, rpdf):
+        bi, bj = key
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"v1": [], "v2": [], "dot": []}).astype(
+                {"v1": np.int64, "v2": np.int64, "dot": np.int64}
             )
-            i, j = np.nonzero(ok)
-            yield pd.DataFrame(
-                {"v1": a_ids[i], "v2": b_ids[j], "dot": D[i, j]}
-            )
+        A = np.floor(
+            np.vstack(lpdf["_vec"].to_numpy()).astype(np.float64) * scale
+        ).astype(np.int64)
+        B = np.floor(
+            np.vstack(rpdf["_vec"].to_numpy()).astype(np.float64) * scale
+        ).astype(np.int64)
+        a_ids = lpdf["_id"].to_numpy().astype(np.int64)
+        b_ids = rpdf["_id"].to_numpy().astype(np.int64)
+        a_n2 = np.einsum("ij,ij->i", A, A)
+        b_n2 = np.einsum("ij,ij->i", B, B)
+        D = A @ B.T  # exact int64 block matmul
+        ok = (D > 0) & (D * D * den2 >= num2 * a_n2[:, None] * b_n2[None, :])
+        if bi == bj:
+            # Diagonal cell: both sides are the same block — keep one order.
+            ok &= a_ids[:, None] < b_ids[None, :]
+        i, j = np.nonzero(ok)
+        v1 = np.minimum(a_ids[i], b_ids[j])
+        v2 = np.maximum(a_ids[i], b_ids[j])
+        return pd.DataFrame({"v1": v1, "v2": v2, "dot": D[i, j]})
 
-    return vectors.select(id_col, vec_col).mapInPandas(
-        gen, schema="v1 long, v2 long, dot long"
+    return (
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("bi", "bj"))
+        .applyInPandas(cell, schema="v1 long, v2 long, dot long")
     )
 
 
@@ -171,7 +195,14 @@ def brute_force_topk(
     """Exact top-k neighbors per query row.
 
     Output: (query_id, vec_id, score) — k rows per query, ties broken by
-    vec_id for determinism."""
+    vec_id for determinism.
+
+    Two-phase top-k: the broadcast cross join + scorer run map-side, then a
+    partition-LOCAL partial top-k (mapInPandas, no shuffle) reduces each
+    partition to ≤ q·k rows, and only that reduced set — #partitions·q·k
+    rows, not n·q — shuffles into the final per-query window.  The previous
+    single-window form shuffled the entire scored set into #queries
+    partitions, the classic top-k scale trap."""
     scorer = {
         "cosine": cosine_pd,
         "dot": dot_pd,
@@ -182,11 +213,29 @@ def brute_force_topk(
         F.col(id_col),
         scorer(F.col(vec_col), F.col(query_vec_col)).alias("score"),
     )
+
+    qid, vid = query_id_col, id_col
+
+    def partial_topk(batches):
+        acc = None
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            # Compact every batch so the accumulator stays at ≤ q·k rows.
+            acc = (
+                acc.sort_values([qid, "score", vid], ascending=[True, False, True])
+                .groupby(qid, sort=False)
+                .head(k)
+            )
+        if acc is not None and len(acc):
+            yield acc
+
+    schema = scored.schema
+    reduced = scored.mapInPandas(partial_topk, schema=schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        reduced.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .drop("rank")
     )
@@ -281,16 +330,22 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
 ) -> DataFrame:
-    """IVF-flat ANN: deterministic coarse centroids (every row with
-    ``id % ceil(n/nlist) == 0`` — a fixed sample standing in for k-means,
-    which would be an offline job at scale), assign vectors to their nearest
-    centroid, probe the ``nprobe`` nearest lists per query."""
-    centroids = (
-        vectors.withColumn(
-            "centroid_id", F.dense_rank().over(Window.orderBy(id_col)) - 1
-        )
-        .where(F.col("centroid_id") < nlist)
-        .select(F.col("centroid_id"), F.col(vec_col).alias("centroid_vec"))
+    """IVF-flat ANN: deterministic coarse centroids (the ``nlist`` smallest
+    ids — a fixed sample standing in for k-means, which would be an offline
+    job at scale), assign vectors to their nearest centroid, probe the
+    ``nprobe`` nearest lists per query.
+
+    Centroid selection is ``orderBy(id).limit(nlist)`` — Spark plans it as
+    TakeOrderedAndProject (per-partition top-nlist, tiny merge on the
+    driver), NOT a global sort: the previous ``dense_rank over (order by
+    id)`` formulation shuffled the entire vector table into ONE partition
+    just to keep 16 rows."""
+    sample = vectors.select(id_col, vec_col).orderBy(id_col).limit(nlist)
+    # Ranking the nlist-row sample is a single-partition window over ≤nlist
+    # rows — negligible by construction.
+    centroids = sample.select(
+        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("centroid_id"),
+        F.col(vec_col).alias("centroid_vec"),
     )
     assign_w = Window.partitionBy(id_col).orderBy(
         F.col("cdist").desc(), F.col("centroid_id")

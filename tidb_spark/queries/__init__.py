@@ -55,6 +55,74 @@ def all_queries() -> dict[str, Query]:
 
 _LOADED = False
 
+# The driver's correctness gate verifies the FIRST 50 registered queries in
+# registration order.  Round 1 burned all 50 slots on TPC-H + relational
+# (import order), leaving graph/dedup/similarity/text/streaming/subquery/
+# scalar functions driver-unverified.  This curated window interleaves one+
+# representative per SURVEY §2 family so every family gets driver rows;
+# everything not listed keeps its natural (import) order after slot 50.
+_PRIORITY_WINDOW: tuple[str, ...] = (
+    # TPC-H representatives (rest were driver-green in round 1)
+    "tpch_q1",       # scan + decimal-exact agg (flagship)
+    "tpch_q12",      # the round-1 hash-fail — proves the oracle-typing fix
+    "tpch_q21",      # semi + anti join
+    "tpch_q2",       # nested correlated subquery join
+    # subqueries / CTE / point access
+    "subq_scalar",
+    "subq_correlated",
+    "subq_exists_bool",
+    "subq_in_notin",
+    "cte_recursive",
+    "point_get",
+    "batch_point_get",
+    "agg_json",
+    # graph (entire family)
+    "graph_match_out",
+    "graph_match_in",
+    "graph_match_both",
+    "graph_match_2hop",
+    "graph_match_multipath",
+    "graph_match_edge_props",
+    "graph_any_shortest",
+    "graph_any_shortest_len",
+    "graph_all_shortest",
+    "graph_top_k_shortest",
+    "mysqlsql_match_1hop",
+    # dedup
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_neardup",
+    # similarity / ANN
+    "sim_topk_quantized",
+    "sim_topk_cosine",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    # text analysis
+    "text_stats",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_quality",
+    "text_winnowing",
+    # multimodal
+    "multimodal_meta",
+    "multimodal_frames",
+    "multimodal_features",
+    # streaming (entire family)
+    "stream_tumbling_hour",
+    "stream_sliding_1h_15m",
+    "stream_session_30m",
+    "stream_dedup_keys",
+    "stream_interval_join",
+    # scalar-function groups + MySQL dialect
+    "func_string",
+    "func_datetime",
+    "func_json",
+    "func_cast",
+    "mysqlsql_group_concat",
+)
+
 
 def _ensure_loaded() -> None:
     global _LOADED
@@ -70,5 +138,17 @@ def _ensure_loaded() -> None:
         dialectq,
         streamq,
     )
+
+    # Reorder: curated window first (driver verifies the first 50), then the
+    # remainder in import order.
+    ordered: dict[str, Query] = {}
+    for name in _PRIORITY_WINDOW:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
+    for name, q in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
 
     _LOADED = True

@@ -24,7 +24,7 @@ def _engine(spark: SparkSession, sf_dir: str) -> Engine:
 DATE_FUNCS_ORACLE = """
 SELECT o_orderkey,
        strftime(o_orderdate, '%Y-%m') AS ym,
-       CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month
+       CAST(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS TIMESTAMP) AS next_month
 FROM orders
 WHERE o_orderdate > DATE '1996-06-01' - INTERVAL 90 DAY
 ORDER BY o_orderkey
@@ -38,7 +38,8 @@ def mysqlsql_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MySQL ``LIMIT offset, count`` — all rewritten by the translator."""
     return _engine(spark, sf_dir).sql(
         "SELECT o_orderkey, DATE_FORMAT(o_orderdate, '%Y-%m') AS ym, "
-        "CAST(DATE_ADD(o_orderdate, INTERVAL 1 MONTH) AS DATE) AS next_month "
+        "CAST(CAST(DATE_ADD(o_orderdate, INTERVAL 1 MONTH) AS DATE) AS TIMESTAMP)"
+        " AS next_month "
         "FROM orders "
         "WHERE o_orderdate > DATE_SUB(DATE '1996-06-01', INTERVAL 90 DAY) "
         "ORDER BY o_orderkey LIMIT 10, 50"
@@ -47,7 +48,8 @@ def mysqlsql_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GROUP_CONCAT_ORACLE = """
 SELECT n_regionkey,
-       string_agg(n_name, '|' ORDER BY n_name) AS names
+       string_agg(n_name, '|' ORDER BY n_name) AS names,
+       string_agg(n_name, ',' ORDER BY n_nationkey DESC) AS by_key_desc
 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """
 
@@ -55,10 +57,13 @@ FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 @register("mysqlsql_group_concat", oracle=GROUP_CONCAT_ORACLE, tags=("dialect",))
 def mysqlsql_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP_CONCAT(expr ORDER BY expr SEPARATOR s) →
-    concat_ws + sort_array(collect_list) (func_group_concat.go)."""
+    concat_ws + sort_array(collect_list); when the ORDER BY key differs from
+    the aggregated expression, a struct-sort lowering keys the sort on the
+    ORDER BY column, not the values (func_group_concat.go)."""
     return _engine(spark, sf_dir).sql(
         "SELECT n_regionkey, "
-        "GROUP_CONCAT(n_name ORDER BY n_name SEPARATOR '|') AS names "
+        "GROUP_CONCAT(n_name ORDER BY n_name SEPARATOR '|') AS names, "
+        "GROUP_CONCAT(n_name ORDER BY n_nationkey DESC) AS by_key_desc "
         "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"
     )
 

@@ -115,7 +115,7 @@ SELECT l_orderkey, l_linenumber,
        ABS(l_quantity - 25)                    AS abs_v,
        CAST(FLOOR(l_extendedprice) AS BIGINT)  AS floor_v,
        CAST(CEIL(l_extendedprice)  AS BIGINT)  AS ceil_v,
-       SIGN(l_quantity - 25)                   AS sign_v,
+       CAST(SIGN(l_quantity - 25) AS DOUBLE)   AS sign_v,
        l_orderkey % 97                         AS mod_v,
        CAST(POWER(2, l_linenumber) AS DOUBLE)  AS pow_v,
        SQRT(CAST(l_quantity * l_quantity AS DOUBLE)) AS sqrt_v,
@@ -138,7 +138,7 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_quantity") - 25).alias("abs_v"),
         F.floor("l_extendedprice").cast("long").alias("floor_v"),
         F.ceil("l_extendedprice").cast("long").alias("ceil_v"),
-        F.signum(F.col("l_quantity") - 25).alias("sign_v"),
+        F.signum(F.col("l_quantity") - 25).alias("sign_v"),  # double both sides
         (F.col("l_orderkey") % 97).alias("mod_v"),
         F.pow(F.lit(2), F.col("l_linenumber")).cast("double").alias("pow_v"),
         F.sqrt((F.col("l_quantity") * F.col("l_quantity")).cast("double")).alias(
@@ -160,7 +160,7 @@ SELECT o_orderkey,
        o_orderdate + INTERVAL 30 DAY        AS plus30,
        CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT)
          AS days_since,
-       LAST_DAY(CAST(o_orderdate AS DATE))  AS month_end,
+       CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
        CAST(EPOCH(o_orderdate) AS BIGINT)   AS unix_ts,
        STRFTIME(o_orderdate, '%Y-%m-%d')    AS formatted
 FROM orders
@@ -188,7 +188,9 @@ def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("days_since"),
-        F.last_day("o_orderdate").alias("month_end"),
+        # DATE re-widened to TIMESTAMP: Spark DATE -> pandas object vs DuckDB
+        # datetime64 — the driver hash is dtype-sensitive.
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
         F.unix_timestamp("o_orderdate").cast("long").alias("unix_ts"),
         my.date_format_mysql("o_orderdate", "%Y-%m-%d").alias("formatted"),
     ).orderBy("o_orderkey")
@@ -334,7 +336,7 @@ FUNC_CAST_ORACLE = """
 SELECT o_orderkey,
        CAST(o_orderkey AS VARCHAR)                  AS key_str,
        CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT)  AS key_roundtrip,
-       CAST(o_orderdate AS DATE)                    AS as_date,
+       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS as_date,
        CAST(o_orderkey AS SMALLINT)                 AS as_short,
        CAST(FLOOR(o_totalprice) AS BIGINT)          AS price_floor,
        CAST(o_orderstatus = 'O' AS INT)             AS bool_int
@@ -354,7 +356,10 @@ def func_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
-        F.col("o_orderdate").cast("date").alias("as_date"),
+        # DATE is re-widened to TIMESTAMP for output so both engines land in
+        # pandas as datetime64[ns] (Spark DATE -> python date objects vs
+        # DuckDB DATE -> datetime64: the driver hash is dtype-sensitive).
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("as_date"),
         F.col("o_orderkey").cast("short").alias("as_short"),
         F.floor("o_totalprice").cast("long").alias("price_floor"),
         (F.col("o_orderstatus") == "O").cast("int").alias("bool_int"),

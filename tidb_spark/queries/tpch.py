@@ -677,18 +677,21 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.expr(_ts("2001-01-01"))
     )
     pool = customer.where(F.expr("c_nationkey % 5 IN (0, 1, 2)"))
-    threshold_row = (
+    # The scalar-subquery threshold stays in-plan: a 1-row aggregate
+    # broadcast-cross-joined against the pool (same pattern as q15's
+    # max-join) instead of a driver-side collect() — one job, no Python
+    # float embedded in the plan, single-pass reuse at scale.
+    threshold = (
         pool.where(F.col("c_acctbal") > 0.0)
         .agg(
             F.expr(
                 "CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*)"
             ).alias("avg_bal")
         )
-        .collect()[0]
     )
-    threshold = threshold_row["avg_bal"]
     return (
-        pool.where(F.col("c_acctbal") > F.lit(threshold))
+        pool.crossJoin(F.broadcast(threshold))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
         .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .select(
             F.expr("CAST(c_nationkey % 5 AS INT)").alias("cntrycode"),
@@ -712,10 +715,10 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join + conditional aggregation (reference corpus cmd/explaintest/t/tpch.test).
 Q12_ORACLE = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
 GROUP BY l_returnflag

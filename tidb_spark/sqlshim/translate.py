@@ -180,23 +180,48 @@ def _date_format(args: list[str]) -> str:
 
 _GC_RE = re.compile(
     r"(?is)^\s*(DISTINCT\s+)?(.*?)(?:\s+ORDER\s+BY\s+(.*?)(\s+ASC|\s+DESC)?)?"
-    r"(?:\s+SEPARATOR\s+('(?:[^'\\]|\\.)*'))?\s*$"
+    r"(?:\s+SEPARATOR\s+('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"))?\s*$"
 )
 
 
 def _group_concat(args: list[str]) -> str:
+    """GROUP_CONCAT([DISTINCT] x [ORDER BY y [ASC|DESC]] [SEPARATOR s])
+    (executor/aggfuncs/func_group_concat.go semantics).
+
+    When the ORDER BY expression differs from the aggregated one, sorting
+    the collected values by THEMSELVES would be wrong — we collect
+    (order-key, value) structs, array_sort (asc; reversed for DESC), then
+    project the value back out.  ``transform`` on the grouped array is an
+    interpreted HOF, but group_concat outputs are bounded
+    (group_concat_max_len in MySQL) so this is not a hot loop."""
     inner = ", ".join(args)  # GROUP_CONCAT takes one expr in our surface
     m = _GC_RE.match(inner)
     if not m:
         raise ValueError(f"unsupported GROUP_CONCAT form: {inner!r}")
     distinct, expr, order_expr, direction, sep = m.groups()
     sep_sql = sep if sep else "','"
+    desc = bool(direction and direction.strip().upper() == "DESC")
+    same_key = order_expr is None or order_expr.strip() == expr.strip()
+    if not same_key:
+        if distinct:
+            # MySQL itself rejects DISTINCT with an ORDER BY expression that
+            # is not in the argument list — mirror that instead of guessing.
+            raise ValueError(
+                "GROUP_CONCAT(DISTINCT x ORDER BY y) with y != x is "
+                "unsupported (MySQL parity)"
+            )
+        sorted_structs = (
+            f"array_sort(collect_list(struct({order_expr} AS _o, {expr} AS _v)))"
+        )
+        if desc:
+            sorted_structs = f"reverse({sorted_structs})"
+        return f"concat_ws({sep_sql}, transform({sorted_structs}, s -> s._v))"
     collect = f"collect_set({expr})" if distinct else f"collect_list({expr})"
     if order_expr is not None or distinct:
         # MySQL emits ORDER BY order; we additionally pin DISTINCT output to
         # sorted order for determinism (MySQL's is unspecified without
         # ORDER BY).
-        asc = "false" if direction and direction.strip().upper() == "DESC" else "true"
+        asc = "false" if desc else "true"
         collect = f"sort_array({collect}, {asc})"
     return f"concat_ws({sep_sql}, {collect})"
 
