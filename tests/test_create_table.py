@@ -1,0 +1,117 @@
+"""SQL CREATE TABLE — incl. the fork's SOURCE KEY / DESTINATION KEY edge
+DDL (parser/parser.y:8861-9002, ddl/ddl_api.go:1946-2025
+handleEdgeOptions, executor/write_test.go:4254-4282)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import TEST_SF_DIR
+from tidb_spark.sqlshim import create_table as ct
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    from tidb_spark.engine import Engine
+
+    return Engine(spark, TEST_SF_DIR, workspace=str(tmp_path / "ws"))
+
+
+def test_parse_types_and_pk():
+    stmt = ct.parse(
+        "CREATE TABLE t (id BIGINT PRIMARY KEY, u BIGINT UNSIGNED, "
+        "name VARCHAR(32) NOT NULL, bal DECIMAL(15,2), j JSON, b BLOB)"
+    )
+    assert stmt.name == "t" and stmt.pk_cols == ["id"]
+    types = {c.name: c.spark_type for c in stmt.columns}
+    assert types["u"] == "DECIMAL(20,0)"  # SURVEY §1.2 unsigned BIGINT
+    assert types["name"] == "STRING" and types["bal"] == "DECIMAL(15,2)"
+    assert types["j"] == "STRING" and types["b"] == "BINARY"
+    assert next(c for c in stmt.columns if c.name == "name").not_null
+
+
+def test_parse_edge_validation():
+    # handleEdgeOptions error parity (ddl/ddl_api.go:1953-1985)
+    with pytest.raises(ValueError, match="at the same time"):
+        ct.parse("CREATE TABLE e (src BIGINT SOURCE KEY REFERENCES v)")
+    with pytest.raises(ValueError, match="Only one column.*SOURCE"):
+        ct.parse(
+            "CREATE TABLE e (a BIGINT SOURCE KEY REFERENCES v, "
+            "b BIGINT SOURCE KEY REFERENCES v, "
+            "c BIGINT DESTINATION KEY REFERENCES v)"
+        )
+    with pytest.raises(ValueError, match="primary key on edge"):
+        ct.parse(
+            "CREATE TABLE e (src BIGINT SOURCE KEY REFERENCES v, "
+            "dst BIGINT DESTINATION KEY REFERENCES v, PRIMARY KEY (src))"
+        )
+    # edge synthesizes the (src, dst) key and NOT NULL flags
+    stmt = ct.parse(
+        "CREATE TABLE e (src BIGINT SOURCE KEY REFERENCES v, "
+        "dst BIGINT DESTINATION KEY REFERENCES v, w DOUBLE)"
+    )
+    assert stmt.is_edge and stmt.pk_cols == ["src", "dst"]
+    assert all(c.not_null for c in stmt.columns if c.name in ("src", "dst"))
+
+
+def test_sql_create_vertex_and_edge_with_match(engine):
+    """The write_test.go:4254 flow: create vertex + edge tables in SQL,
+    insert rows, then a graph MATCH over the SQL-created tables."""
+    engine.sql(
+        "CREATE TABLE people1 (vertex_id BIGINT PRIMARY KEY, name VARCHAR(32))"
+    )
+    engine.sql(
+        "INSERT INTO people1 VALUES (1,'bob'),(2,'jim'),(3,'jack')"
+    )
+    engine.sql(
+        "CREATE TABLE f (src BIGINT SOURCE KEY REFERENCES people1, "
+        "dst BIGINT DESTINATION KEY REFERENCES people1)"
+    )
+    engine.sql("INSERT INTO f VALUES (1,3),(3,2)")
+    rows = engine.sql(
+        "SELECT * FROM f WHERE src = 1 AND dst = 3"
+    ).collect()
+    assert len(rows) == 1
+
+    got = engine.sql(
+        "SELECT a.name AS src_name, b.name AS dst_name "
+        "FROM MATCH (people1 AS a).OUT(f).(people1 AS b) "
+        "ORDER BY src_name, dst_name"
+    ).collect()
+    assert [(r.src_name, r.dst_name) for r in got] == [
+        ("bob", "jack"),
+        ("jack", "jim"),
+    ]
+
+    # edge table rejects a second registration of the same name
+    with pytest.raises(ValueError, match="already exists"):
+        engine.sql("CREATE TABLE f (x BIGINT PRIMARY KEY)")
+    # IF NOT EXISTS is a no-op
+    engine.sql("CREATE TABLE IF NOT EXISTS f (x BIGINT PRIMARY KEY)")
+
+    # unknown vertex reference fails like handleEdgeOptions
+    with pytest.raises(Exception, match="(?i)vertex"):
+        engine.sql(
+            "CREATE TABLE g (src BIGINT SOURCE KEY REFERENCES nowhere, "
+            "dst BIGINT DESTINATION KEY REFERENCES people1)"
+        )
+
+
+def test_show_create_round_trip(engine):
+    engine.sql(
+        "CREATE TABLE people2 (vertex_id BIGINT PRIMARY KEY, name VARCHAR(32))"
+    )
+    engine.sql(
+        "CREATE TABLE knows (src BIGINT SOURCE KEY REFERENCES people2, "
+        "dst BIGINT DESTINATION KEY REFERENCES people2, since DATE)"
+    )
+    ddl = engine.show_create_table("knows")
+    assert "SOURCE KEY REFERENCES people2" in ddl
+    assert "DESTINATION KEY REFERENCES people2" in ddl
+    reparsed = ct.parse(ddl)
+    assert reparsed.is_edge and reparsed.pk_cols == ["src", "dst"]
+    assert [c.name for c in reparsed.columns] == ["src", "dst", "since"]
+
+    vddl = engine.show_create_table("people2")
+    rp = ct.parse(vddl)
+    assert rp.pk_cols == ["vertex_id"]

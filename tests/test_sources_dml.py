@@ -312,3 +312,47 @@ def test_sql_merge_into(spark, nation, tmp_path):
             "MERGE INTO nat AS t USING nat_src AS s ON t.n_name = s.n_name "
             "WHEN MATCHED THEN DELETE"
         )
+
+
+def test_merge_clause_order_first_match_wins(spark, nation, tmp_path):
+    """Standard MERGE consumes a matched row with the FIRST WHEN MATCHED
+    clause whose condition holds: a row satisfying both a preceding
+    conditional UPDATE and a later DELETE condition must be UPDATED."""
+    from tidb_spark.engine import Engine
+
+    eng = Engine(spark, TEST_SF_DIR, workspace=str(tmp_path / "ws"))
+    eng.create_table("nat", nation, key_cols=["n_nationkey"])
+
+    eng.sql(
+        "MERGE INTO nat AS t "
+        "USING (SELECT * FROM (VALUES (1, 'UPD'), (2, 'UPD')) AS v(k, n_name)) "
+        "AS s ON t.n_nationkey = s.k "
+        "WHEN MATCHED AND t.n_nationkey = 1 THEN UPDATE SET n_name = s.n_name "
+        "WHEN MATCHED THEN DELETE"
+    )
+    got = {r.n_nationkey: r.n_name for r in eng.sql("SELECT * FROM nat").collect()}
+    assert got[1] == "UPD"  # matched the earlier UPDATE clause -> not deleted
+    assert 2 not in got  # fell through to DELETE
+
+    # duplicate UPDATE clauses are rejected, not silently last-wins
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at most one"):
+        eng.sql(
+            "MERGE INTO nat AS t USING nat AS s ON t.n_nationkey = s.n_nationkey "
+            "WHEN MATCHED AND t.n_nationkey = 1 THEN UPDATE SET n_name = 'A' "
+            "WHEN MATCHED THEN UPDATE SET n_name = 'B'"
+        )
+
+
+def test_update_where_in_string_literal(spark, nation, tmp_path):
+    """UPDATE's SET/WHERE split is top-level aware: a 'WHERE' inside a string
+    literal must not terminate the SET list."""
+    from tidb_spark.engine import Engine
+
+    eng = Engine(spark, TEST_SF_DIR, workspace=str(tmp_path / "ws"))
+    eng.create_table("nat", nation, key_cols=["n_nationkey"])
+    eng.sql("UPDATE nat SET n_name = 'WHERE x' WHERE n_nationkey = 3")
+    got = {r.n_nationkey: r.n_name for r in eng.sql("SELECT * FROM nat").collect()}
+    assert got[3] == "WHERE x"
+    assert got[4] != "WHERE x"

@@ -154,6 +154,44 @@ class Engine:
         df = self.managed[name].df()
         df.createOrReplaceTempView(name)
         self.tables[name] = df
+        # Keep graph-schema registrations live: a MATCH over an edge table
+        # created (then INSERTed into) via SQL must see the current version.
+        if name in self.graph.edges:
+            self.graph.edges[name].df = df
+        if name in self.graph.vertices:
+            self.graph.vertices[name].df = df
+
+    def _run_create(self, stmt) -> None:
+        """CREATE TABLE → managed copy-on-write table, plus graph-schema
+        registration: an edge table (SOURCE KEY/DESTINATION KEY columns,
+        ddl/ddl_api.go:1946-2025) gets the synthesized (src, dst) key and
+        must reference registered vertex tables; a table with a single
+        integral-column PRIMARY KEY registers as a vertex table (the
+        reference's implicit vertex criterion, SURVEY §1.4)."""
+        if stmt.name in self.managed or (
+            stmt.name in self.tables and stmt.name not in self.managed
+        ):
+            if stmt.if_not_exists:
+                return
+            raise ValueError(f"table {stmt.name!r} already exists")
+        empty = self.spark.createDataFrame([], schema=stmt.schema_ddl())
+        if stmt.is_edge:
+            src = next(c for c in stmt.columns if c.source_ref)
+            dst = next(c for c in stmt.columns if c.dest_ref)
+            # Validates the vertex references before any state mutates.
+            self.graph.add_edge_table(
+                stmt.name, empty, src.name, dst.name, src.source_ref,
+                dst.dest_ref,
+            )
+            self.create_table(stmt.name, empty, key_cols=stmt.pk_cols)
+            return
+        self.create_table(stmt.name, empty, key_cols=stmt.pk_cols)
+        if len(stmt.pk_cols) == 1:
+            pk = next(c for c in stmt.columns if c.name == stmt.pk_cols[0])
+            if pk.spark_type in ("TINYINT", "SMALLINT", "INT", "BIGINT"):
+                self.graph.add_vertex_table(
+                    stmt.name, self.managed[stmt.name].df(), pk.name
+                )
 
     def _run_ddl(self, m: re.Match) -> None:
         """DROP / TRUNCATE / FLASHBACK TABLE (ddl/ddl_api.go; FlashBackTable
@@ -257,9 +295,14 @@ class Engine:
                 (mt.insert if verb == "INSERT" else mt.replace)(full)
         elif verb == "UPDATE":
             body = m.group("ubody")
-            wm = re.search(r"(?is)\bWHERE\s+(.*)$", body)
-            where = F.expr(wm.group(1)) if wm else F.lit(True)
-            set_part = body[: wm.start()] if wm else body
+            # Top-level-aware split: a WHERE inside a string literal or a
+            # parenthesized subquery must not terminate the SET list
+            # (e.g. SET note = 'WHERE x').
+            parts = merge_clause._split_top_level(body, "WHERE")
+            if len(parts) > 2:
+                raise ValueError("UPDATE: multiple top-level WHERE clauses")
+            where = F.expr(parts[1]) if len(parts) == 2 else F.lit(True)
+            set_part = parts[0]
             from tidb_spark.sqlshim.translate import _split_args
 
             assignments = {}
@@ -343,20 +386,40 @@ class Engine:
                 )
             )
 
+        # Standard MERGE is first-matching-clause-wins: a matched row is
+        # consumed by the FIRST WHEN MATCHED clause whose AND-condition
+        # holds, so a later clause only applies where every earlier clause's
+        # condition failed.  We gate each clause with NOT(prior conditions);
+        # duplicate UPDATE (or DELETE) clauses are rejected rather than
+        # silently letting the last one overwrite the first.
+        n_upd = sum(1 for c in stmt.clauses if c.action == "update")
+        n_del = sum(1 for c in stmt.clauses if c.action == "delete")
+        if n_upd > 1 or n_del > 1:
+            raise ValueError(
+                "MERGE: at most one WHEN MATCHED UPDATE and one WHEN MATCHED "
+                "DELETE clause is supported"
+            )
         when_update: dict | None = None
         when_delete = None
+        prior_cond = None  # OR of earlier matched-clause conditions
         for c in stmt.clauses:
+            if c.action not in ("update", "delete"):
+                continue
+            own = _rw(c.cond) if c.cond is not None else F.lit(True)
+            eff = own if prior_cond is None else own & ~prior_cond
+            conditional = c.cond is not None or prior_cond is not None
             if c.action == "update":
                 when_update = {}
                 for col, expr in c.assignments:
                     val = _rw(expr)
-                    if c.cond is not None:
-                        # Conditional clause: rows matching the key but not
-                        # the AND condition keep their old value.
-                        val = F.when(_rw(c.cond), val).otherwise(F.col(col))
+                    if conditional:
+                        # Rows matching the key but not the effective
+                        # condition keep their old value.
+                        val = F.when(eff, val).otherwise(F.col(col))
                     when_update[col] = val
-            elif c.action == "delete":
-                when_delete = _rw(c.cond) if c.cond is not None else F.lit(True)
+            else:
+                when_delete = eff
+            prior_cond = own if prior_cond is None else prior_cond | own
 
         mt.merge(
             src,
@@ -382,6 +445,11 @@ class Engine:
         if cm:
             return self.checksum(cm.group(1))
         query = self._substitute_user_vars(query)
+        if re.match(r"(?is)^\s*CREATE\s+TABLE\b", query):
+            from tidb_spark.sqlshim import create_table as _ct
+
+            self._run_create(_ct.parse(query))
+            return self.spark.range(0).select(F.lit("OK").alias("status"))
         query = translate(query)
         ddl = _DDL_RE.match(query)
         if ddl:
@@ -511,21 +579,29 @@ class Engine:
         if path.kind == "all":
             result = all_shortest(sources, dests, edge_t)
         elif path.kind == "top":
-            # Exhaustive path enumeration diverges at BFS's default hop
-            # budget (simple paths grow exponentially with depth), so the
-            # SQL surface runs the beam-pruned variant with a bounded
-            # horizon; rank 1 stays exact (= the ANY SHORTEST canonical
-            # path).  Tunable per session: SET @@graph_topk_max_hops /
-            # @@graph_topk_beam.
+            # Exact enumeration when the hop budget is small (simple paths
+            # grow exponentially with depth, so exhaustive search is safe
+            # only on a short horizon); the beam-pruned variant kicks in
+            # only when the user raised the horizon or explicitly SET
+            # @@graph_topk_beam — previously beam pruning was silently
+            # always-on, making ranks > 1 approximate even at the default
+            # hop budget where the DataFrame API is exact.  Rank 1 is exact
+            # either way (= the ANY SHORTEST canonical path).
+            max_hops = int(self.sys_vars.get("graph_topk_max_hops", 8))
+            beam_var = self.sys_vars.get("graph_topk_beam")
+            if beam_var is not None:
+                beam = max(int(beam_var), path.top_k)
+            elif max_hops <= 8:
+                beam = None  # exact enumeration, same as the DataFrame API
+            else:
+                beam = max(32, path.top_k)
             result = top_k_shortest(
                 sources,
                 dests,
                 edge_t,
                 k=path.top_k,
-                max_hops=int(self.sys_vars.get("graph_topk_max_hops", 8)),
-                beam=max(
-                    int(self.sys_vars.get("graph_topk_beam", 32)), path.top_k
-                ),
+                max_hops=max_hops,
+                beam=beam,
             )
         else:
             result = any_shortest(sources, dests, edge_t)
@@ -605,10 +681,18 @@ class Engine:
             return f"CREATE TABLE `{name}` (\n{body}\n)"
         df = self.tables[name] if name in self.tables else self.graph.vertex(name).df
         cols = [f"  `{f.name}` {_sql_type(f.dataType)}" for f in df.schema.fields]
+        pk_cols: list[str] = []
         if name in self.graph.vertices:
-            pk = self.graph.vertex(name).id_col
+            pk_cols = [self.graph.vertex(name).id_col]
+        elif name in self.managed and self.managed[name].key_cols:
+            pk_cols = list(self.managed[name].key_cols)
+        if len(pk_cols) == 1:
             for i, f in enumerate(df.schema.fields):
-                if f.name == pk:
+                if f.name == pk_cols[0]:
                     cols[i] += " PRIMARY KEY"
+        elif pk_cols:
+            cols.append(
+                "  PRIMARY KEY (" + ", ".join(f"`{c}`" for c in pk_cols) + ")"
+            )
         body = ",\n".join(cols)
         return f"CREATE TABLE `{name}` (\n{body}\n)"

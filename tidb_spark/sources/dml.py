@@ -135,11 +135,23 @@ class ManagedTable:
         return out
 
     def read_version(self, version: int) -> DataFrame:
+        """Read one retained version.
+
+        GC window caveat (applies to :meth:`as_of` too): the returned
+        DataFrame is lazy and pins only the version's PATH, not its files —
+        if ``retain_versions`` subsequent writes land before an action runs,
+        the version is garbage-collected and the action fails with a
+        FileNotFound from Spark, exactly like the reference's "snapshot is
+        older than GC safe point" once the safepoint advances.  Validation
+        here catches the already-collected case with a clear error at
+        plan time; long-held snapshots should be re-resolved (call again)
+        or materialized (cache/write) before heavy subsequent DML."""
         path = self._path(version)
         if not os.path.exists(path):
             raise ValueError(
                 f"version {version} of table at {self.root} is not retained "
-                f"(retain_versions={self.retain_versions})"
+                f"(retain_versions={self.retain_versions}); snapshot is "
+                "older than the GC retention window"
             )
         return self.spark.read.parquet(path)
 

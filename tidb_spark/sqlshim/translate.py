@@ -263,6 +263,57 @@ def _json_array(args: list[str]) -> str:
     return f"to_json(array({', '.join(args)}))"
 
 
+def _inet_aton(args: list[str]) -> str:
+    x = args[0]
+    parts = " + ".join(
+        f"CAST(element_at(split({x}, '\\\\.'), {i + 1}) AS BIGINT) * {mult}"
+        if mult > 1
+        else f"CAST(element_at(split({x}, '\\\\.'), {i + 1}) AS BIGINT)"
+        for i, mult in enumerate((16777216, 65536, 256, 1))
+    )
+    return f"({parts})"
+
+
+def _inet_ntoa(args: list[str]) -> str:
+    n = f"CAST({args[0]} AS BIGINT)"
+    octets = ", ".join(
+        f"CAST((shiftright({n}, {s}) & 255) AS STRING)" for s in (24, 16, 8, 0)
+    )
+    return f"concat_ws('.', {octets})"
+
+
+def _export_set(args: list[str]) -> str:
+    # EXPORT_SET(bits, on, off[, sep[, n_bits]]) unrolled to n_bits CASE
+    # terms — a wide but whole-stage-codegen expression, vs the previous
+    # per-row Python UDF (the JVM cliff for a 100 TB scan).  shiftright is
+    # arithmetic, so (bits >> 63) & 1 still extracts the top bit correctly.
+    bits, on, off = args[0], args[1], args[2]
+    sep = args[3] if len(args) > 3 else "','"
+    n_bits = int(args[4]) if len(args) > 4 else 64
+    b = f"CAST({bits} AS BIGINT)"
+    terms = ", ".join(
+        f"CASE WHEN (shiftright({b}, {i}) & 1) = 1 THEN {on} ELSE {off} END"
+        for i in range(n_bits)
+    )
+    return f"concat_ws({sep}, {terms})"
+
+
+def _json_length(args: list[str]) -> str:
+    # MySQL JSON_LENGTH: array → #elements, object → #keys, scalar → 1
+    # (builtin_json.go).  Composed from natives so it stays JVM-side.
+    x = args[0]
+    return (
+        f"coalesce(json_array_length({x}), size(json_object_keys({x})), "
+        f"CASE WHEN {x} IS NULL THEN CAST(NULL AS INT) ELSE 1 END)"
+    )
+
+
+def _json_keys(args: list[str]) -> str:
+    # Deterministically sorted (MySQL leaves object-key order unspecified);
+    # non-objects yield NULL via json_object_keys.
+    return f"to_json(sort_array(json_object_keys({args[0]})))"
+
+
 def translate(sql: str) -> str:
     """Translate one MySQL-dialect statement to Spark SQL."""
     sql = _map_code(sql, _limit_offset)
@@ -281,4 +332,12 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, "MAKE_SET", _make_set)
     sql = _rewrite_calls(sql, "JSON_OBJECT", _json_object)
     sql = _rewrite_calls(sql, "JSON_ARRAY", _json_array)
+    # Bit-arithmetic / JSON-read shims with pure-native lowerings: keep the
+    # SQL surface on the JVM instead of falling off to the Python UDFs
+    # (which remain registered for direct un-translated use).
+    sql = _rewrite_calls(sql, "INET_ATON", _inet_aton)
+    sql = _rewrite_calls(sql, "INET_NTOA", _inet_ntoa)
+    sql = _rewrite_calls(sql, "EXPORT_SET", _export_set)
+    sql = _rewrite_calls(sql, "JSON_LENGTH", _json_length)
+    sql = _rewrite_calls(sql, "JSON_KEYS", _json_keys)
     return sql
