@@ -41,7 +41,13 @@ OPERATORS = {
     "isnull", "rowfunc", "setvar", "getvar", "values", "cast",
     "nulleq",  # <=> : translated to Spark's <=> by the dialect shim
     "ilike", "getparam",
+    "istrue", "isfalse", "istrue_with_null",  # IS TRUE / IS FALSE syntax
+    "row",  # ROW(...) constructor → Spark struct/tuple syntax
 }
+
+# Registry keys whose SQL spelling differs from the name users type.
+SQL_NAME_ALIASES = {"char_func": "char", "insert_func": "insert",
+                    "password_func": "password"}
 
 # Names Spark has under a different spelling (ours -> Spark native name),
 # or that the translator lowers to a different-named native composition.
@@ -52,6 +58,46 @@ ALIASED_NATIVE = {
     "ucase": "upper",
     "row_count": None,  # session-state, exposed via Engine.sql() result
     "strcmp": None,     # translated: CASE sign(comparison)
+}
+
+# Spark SQL parses these as keyword-syntax functions; they don't appear in
+# the FunctionRegistry but `SELECT f(...)` works verbatim.
+SQL_KEYWORD_NATIVE = {"timestampadd", "timestampdiff"}
+
+# Deliberately unimplemented, with the reason a reference user would get.
+# These are not data-plane functions: they exist for the MySQL wire
+# protocol, single-server admin, or deprecated security surface — none has
+# coherent semantics in a distributed Spark job.
+OUT_OF_SCOPE = {
+    "benchmark": "single-connection timing loop",
+    "sleep": "per-connection stall; meaningless across executors",
+    "get_lock": "server-side advisory locks (no shared lock server)",
+    "is_free_lock": "advisory locks",
+    "is_used_lock": "advisory locks",
+    "release_lock": "advisory locks",
+    "release_all_locks": "advisory locks",
+    "master_pos_wait": "binlog replication position",
+    "des_encrypt": "deprecated (removed in MySQL 8.0)",
+    "des_decrypt": "deprecated (removed in MySQL 8.0)",
+    "encrypt": "deprecated crypt() wrapper (removed in MySQL 8.0)",
+    "old_password": "deprecated (removed in MySQL 8.0)",
+    "password": "deprecated auth hash (removed in MySQL 8.0)",
+    "validate_password_strength": "server plugin state",
+    "load_file": "server-filesystem read; LOAD DATA covers ingest",
+    "found_rows": "wire-protocol session state",
+    "last_insert_id": "no auto_increment allocator (keys are explicit)",
+    "nextval": "sequence objects out of scope",
+    "lastval": "sequence objects out of scope",
+    "setval": "sequence objects out of scope",
+    "name_const": "parser-internal (column naming)",
+    "default_func": "parser-internal (DEFAULT keyword)",
+    "tidb_bounded_staleness": "TSO/KV timestamp oracle internals",
+    "tidb_decode_key": "KV key codec internals (no KV layer)",
+    "tidb_decode_plan": "internal plan codec",
+    "tidb_decode_sql_digests": "internal digest codec",
+    "tidb_is_ddl_owner": "DDL-owner election internals",
+    "tidb_parse_tso": "TSO internals",
+    "vitess_hash": "Vitess sharding compatibility",
 }
 
 
@@ -90,6 +136,10 @@ def translated_names() -> set[str]:
     }
     # Regex-special forms handled outside _rewrite_calls.
     names |= {"group_concat", "strcmp", "nulleq"}
+    # Session-info constant lowerings applied in a loop over _CONST_FNS.
+    from tidb_spark.sqlshim import translate as _t
+
+    names |= {k.lower() for k in _t._CONST_FNS}
     return names
 
 
@@ -103,7 +153,7 @@ def main() -> int:
 
     rows: list[tuple[str, str]] = []  # (sql_name, coverage)
     for key, sql_name in sorted(reg.items(), key=lambda kv: kv[1]):
-        n = sql_name.lower()
+        n = SQL_NAME_ALIASES.get(sql_name.lower(), sql_name.lower())
         if not re.fullmatch(r"\w+", n):
             # e.g. DateLiteral = "'tidb`.(dateliteral" — internal markers
             # for DATE/TIME/TIMESTAMP '...' literal syntax, which Spark SQL
@@ -111,6 +161,10 @@ def main() -> int:
             cov = "operator"
         elif n in OPERATORS:
             cov = "operator"
+        elif n in OUT_OF_SCOPE:
+            cov = f"out-of-scope ({OUT_OF_SCOPE[n]})"
+        elif n in SQL_KEYWORD_NATIVE:
+            cov = "spark-native (keyword syntax)"
         elif n in trans:
             cov = "translated"
         elif n in shims:

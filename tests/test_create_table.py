@@ -115,3 +115,18 @@ def test_show_create_round_trip(engine):
     vddl = engine.show_create_table("people2")
     rp = ct.parse(vddl)
     assert rp.pk_cols == ["vertex_id"]
+
+
+def test_decimal_clamp_with_warning():
+    """MySQL DECIMAL(65,30) exceeds Spark's max precision 38 → clamp with a
+    warning, preserving the integral range (SURVEY §1.2)."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        stmt = ct.parse("CREATE TABLE t (x DECIMAL(65,30), y DECIMAL(20,6))")
+    assert {c.name: c.spark_type for c in stmt.columns} == {
+        "x": "DECIMAL(38,3)",
+        "y": "DECIMAL(20,6)",
+    }
+    assert any("clamped" in str(x.message) for x in w)

@@ -201,3 +201,90 @@ def test_salted_join_spreads_hot_key(spark):
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
+def test_analyze_feeds_catalyst_cbo(spark, tmp_path):
+    """ANALYZE registers the table's parquet location as a catalog table and
+    runs the real COMPUTE STATISTICS FOR ALL COLUMNS, so Catalyst's CBO sees
+    an exact rowCount (reference analog: statistics/histogram.go feeding
+    rule_join_reorder.go).  Without stats a scan's estimate is a file-size
+    guess with no rowCount at all."""
+    from tidb_spark.engine import Engine
+
+    eng = Engine(spark, TEST_SF_DIR, workspace=str(tmp_path / "ws"))
+    try:
+        before = spark.sql("SELECT * FROM nation").where("n_regionkey = 0")
+        stats0 = before._jdf.queryExecution().optimizedPlan().stats()
+        assert not stats0.rowCount().isDefined()
+
+        summary = eng.analyze("nation").collect()[0]
+        assert summary["__rows"] == 25
+
+        # catalog table now resolves with exact stats
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE EXTENDED nation").collect()
+        }
+        assert "Statistics" in desc and "25 rows" in desc["Statistics"]
+
+        after = spark.sql("SELECT * FROM nation")
+        stats1 = after._jdf.queryExecution().optimizedPlan().stats()
+        assert stats1.rowCount().isDefined()
+        assert int(stats1.rowCount().get()) == 25
+
+        # column-level ndv reached the catalog too (CBO join-reorder input)
+        col = spark.sql("DESCRIBE EXTENDED nation n_nationkey").collect()
+        ndv = {r.info_name: r.info_value for r in col}
+        assert ndv.get("distinct_count") == "25"
+
+        # with CBO on, a filtered optimized plan carries a reduced estimate
+        filt = spark.sql("SELECT * FROM nation WHERE n_regionkey = 0")
+        fstats = filt._jdf.queryExecution().optimizedPlan().stats()
+        assert fstats.rowCount().isDefined()
+        assert int(fstats.rowCount().get()) < 25
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        # restore the temp view for subsequent tests
+        spark.read.parquet(f"{TEST_SF_DIR}/nation.parquet").createOrReplaceTempView("nation")
+
+
+def test_similarity_plans_have_no_corpus_single_partition_exchange(spark):
+    """The similarity operators must never funnel the corpus through one
+    partition: brute-force top-k reduces partition-locally before its
+    per-query window; allpairs uses tiled block joins; IVF picks centroids
+    via TakeOrderedAndProject.  (The IVF plan keeps one SinglePartition
+    exchange over the ≤nlist centroid sample — bounded by construction and
+    excluded by checking the full-scan side only.)"""
+    from tidb_spark.catalog import load_table
+    from tidb_spark.data import similarity as sim
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, TEST_SF_DIR, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+
+    bf_plan = (
+        sim.brute_force_topk(emb, qs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in bf_plan
+    # partial top-k runs before the only hash exchange
+    assert "MapInPandas" in bf_plan
+
+    ap_plan = (
+        sim.allpairs_cosine_above(emb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in ap_plan
+
+    ivf_plan = (
+        sim.ivf_topk(emb, qs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in ivf_plan
+    # exactly the bounded centroid-sample window, nothing else
+    assert ivf_plan.count("Exchange SinglePartition") <= 1

@@ -483,3 +483,83 @@ def test_top_k_beam_matches_exact_on_sparse_graph(spark):
     key = lambda r: (r.src_id, r.dst_id, r.rank)  # noqa: E731
     assert sorted(map(tuple, exact)) == sorted(map(tuple, beam))
     assert len(exact) > 0
+
+
+def test_show_statements(engine):
+    """SHOW TABLES/DATABASES/COLUMNS/VARIABLES/CREATE TABLE through the SQL
+    surface (executor/show.go, infoschema_reader.go)."""
+    tabs = [r[0] for r in engine.sql("SHOW TABLES").collect()]
+    assert "nation" in tabs and "orders" in tabs
+
+    dbs = [r.Database for r in engine.sql("SHOW DATABASES").collect()]
+    assert "tidb_spark" in dbs and "INFORMATION_SCHEMA" in dbs
+
+    cols = engine.sql("SHOW COLUMNS FROM nation").collect()
+    assert [c.Field for c in cols][:2] == ["n_nationkey", "n_name"]
+    assert all(
+        c.asDict().keys()
+        == {"Field", "Type", "Null", "Key", "Default", "Extra"}
+        for c in cols
+    )
+    # DESC is an alias; edge tables expose the synthesized (src,dst) PRI
+    desc = engine.sql("DESC e_knows").collect()
+    pri = {c.Field for c in desc if c.Key == "PRI"}
+    assert pri == {"src", "dst"}
+
+    engine.sql("SET @@graph_topk_beam = 7")
+    vrows = {
+        r.Variable_name: r.Value
+        for r in engine.sql("SHOW VARIABLES").collect()
+    }
+    assert vrows["graph_topk_beam"] == "7"
+    assert "default_week_format" in vrows
+    like = engine.sql("SHOW VARIABLES LIKE 'graph%'").collect()
+    assert {r.Variable_name for r in like} == {"graph_topk_beam"}
+
+    ct = engine.sql("SHOW CREATE TABLE e_knows").collect()[0]
+    assert ct.Table == "e_knows"
+    assert "SOURCE KEY REFERENCES" in ct[1]
+
+    with pytest.raises(ValueError, match="unsupported SHOW"):
+        engine.sql("SHOW PROCESSLIST")
+
+
+def test_builtin_longtail_point_values(engine):
+    """Pin MySQL-documented values for the newly-lowered builtins
+    (builtin_time.go / builtin_string.go doc examples)."""
+    row = engine.sql(
+        "SELECT TO_DAYS('2007-10-07') AS a, "
+        "SEC_TO_TIME(2378) AS b, "
+        "TIME_TO_SEC('22:23:00') AS c, "
+        "PERIOD_DIFF(200802, 200703) AS d, "
+        "WEEK('2008-02-20') AS e, "
+        "YEARWEEK('1987-01-01') AS f, "
+        "ORD('2') AS g, "
+        "CHAR(77, 121, 83, 81, 76) AS h, "
+        "INSERT('Quadratic', 3, 4, 'What') AS i, "
+        "FORMAT(12332.1234, 2) AS j, "
+        "QUOTE(NULL) AS k, "
+        "INTERVAL(23, 1, 15, 17, 30, 44, 200) AS l, "
+        "TRUNCATE(-1.999, 1) AS m, "
+        "JSON_TYPE('[1,2]') AS n, "
+        "IS_IPV4('10.0.5.256') AS o, "
+        "CAST(INET6_NTOA(INET6_ATON('::ffff:1.2.3.4')) AS STRING) AS p, "
+        "TIMESTAMPADD(MINUTE, 1, TIMESTAMP'2003-01-02 00:00:00') AS q"
+    ).collect()[0]
+    assert row.a == 733321
+    assert row.b == "00:39:38"
+    assert row.c == 80580
+    assert row.d == 11
+    assert row.e == 7
+    assert row.f == 198652
+    assert row.g == 50
+    assert row.h == "MySQL"
+    assert row.i == "QuWhattic"
+    assert row.j == "12,332.12"
+    assert row.k == "NULL"
+    assert row.l == 3
+    assert row.m == -1.9
+    assert row.n == "ARRAY"
+    assert row.o == 0
+    assert row.p == "::ffff:102:304" or row.p == "::ffff:1.2.3.4"
+    assert str(row.q) == "2003-01-02 00:01:00"

@@ -445,6 +445,8 @@ class Engine:
         if cm:
             return self.checksum(cm.group(1))
         query = self._substitute_user_vars(query)
+        if re.match(r"(?is)^\s*(SHOW|DESC(?:RIBE)?\s+\w+\s*;?\s*$)", query):
+            return self._run_show(query)
         if re.match(r"(?is)^\s*CREATE\s+TABLE\b", query):
             from tidb_spark.sqlshim import create_table as _ct
 
@@ -473,6 +475,93 @@ class Engine:
         if args is not None:
             return self.spark.sql(query, args)
         return self.spark.sql(query)
+
+    def _run_show(self, query: str) -> DataFrame:
+        """SHOW TABLES / DATABASES / COLUMNS (DESC/DESCRIBE) / VARIABLES /
+        CREATE TABLE — the routine interactive surface (executor/show.go,
+        infoschema_reader.go), with MySQL-shaped result columns so existing
+        client expectations hold."""
+        q = query.strip().rstrip(";").strip()
+        mk = lambda rows, schema: self.spark.createDataFrame(rows, schema)
+
+        if re.match(r"(?is)^SHOW\s+TABLES$", q):
+            return mk(
+                [(t,) for t in sorted(self.tables)], "Tables_in_tidb_spark string"
+            )
+        if re.match(r"(?is)^SHOW\s+DATABASES$", q):
+            return mk(
+                [("INFORMATION_SCHEMA",), ("tidb_spark",)], "Database string"
+            )
+        m = re.match(r"(?is)^SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?$", q)
+        if m:
+            name = m.group(1)
+            return mk(
+                [(name, self.show_create_table(name))],
+                "Table string, `Create Table` string",
+            )
+        m = re.match(
+            r"(?is)^(?:SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM|DESC(?:RIBE)?)"
+            r"\s+`?(\w+)`?$",
+            q,
+        )
+        if m:
+            name = m.group(1)
+            df = (
+                self.tables[name]
+                if name in self.tables
+                else self.graph.vertex(name).df
+            )
+            keys: set[str] = set()
+            if name in self.managed and self.managed[name].key_cols:
+                keys = set(self.managed[name].key_cols)
+            elif name in self.graph.vertices:
+                keys = {self.graph.vertex(name).id_col}
+            elif name in self.graph.edges:
+                e = self.graph.edge(name)
+                keys = {e.src_col, e.dst_col}
+            rows = [
+                (
+                    f.name,
+                    f.dataType.simpleString(),
+                    "YES" if f.nullable else "NO",
+                    "PRI" if f.name in keys else "",
+                    None,
+                    "",
+                )
+                for f in df.schema.fields
+            ]
+            return mk(
+                rows,
+                "Field string, Type string, `Null` string, Key string, "
+                "`Default` string, Extra string",
+            )
+        m = re.match(r"(?is)^SHOW\s+VARIABLES(?:\s+LIKE\s+'([^']*)')?$", q)
+        if m:
+            # Session sysvars (SET @@…) over a handful of MySQL-compat
+            # defaults; LIKE uses MySQL %/_ wildcards.
+            base = {
+                "version": "8.0-tidb_spark",
+                "default_week_format": "0",
+                "time_zone": self.spark.conf.get(
+                    "spark.sql.session.timeZone", "UTC"
+                ),
+                "sql_mode": "ANSI",
+                "max_execution_time": "0",
+            }
+            base.update({k: _strip_quotes(v) for k, v in self.sys_vars.items()})
+            pat = m.group(1)
+            if pat:
+                rx = re.compile(
+                    "^"
+                    + re.escape(pat).replace("%", ".*").replace("_", ".")
+                    + "$",
+                    re.IGNORECASE,
+                )
+                base = {k: v for k, v in base.items() if rx.match(k)}
+            return mk(
+                sorted(base.items()), "Variable_name string, Value string"
+            )
+        raise ValueError(f"unsupported SHOW statement: {query!r}")
 
     def _run_set(self, m: re.Match) -> DataFrame:
         """SET @var = expr / SET @@sysvar = value (executor/set.go:41-96).
@@ -645,11 +734,52 @@ class Engine:
         )
 
     def analyze(self, table: str) -> DataFrame:
-        """ANALYZE TABLE … COMPUTE STATISTICS equivalent for temp-view-bound
-        parquet: returns per-column count/distinct/nulls (the reference
-        builds histogram+CMSketch+TopN, statistics/*; Spark's CBO reads
-        catalog stats — for temp views we surface the numbers)."""
+        """ANALYZE TABLE … COMPUTE STATISTICS — and FEED them to Catalyst.
+
+        The reference's ANALYZE builds histograms/CMSketch/TopN that drive
+        its cost-based planner (executor/analyze.go:68,
+        statistics/histogram.go → planner rule_join_reorder.go).  The Spark
+        analogue is catalog statistics consumed by the CBO
+        (``spark.sql.cbo.enabled`` + joinReorder): we register the table's
+        current parquet location as an external catalog table and run the
+        real ``ANALYZE TABLE … COMPUTE STATISTICS FOR ALL COLUMNS``, then
+        drop the shadowing temp view so name resolution reaches the
+        stats-bearing catalog table.  Catalyst's optimizedPlan.stats then
+        reports the analyzed rowCount instead of a file-size guess, and
+        join reordering / broadcast selection become stats-driven.
+
+        A subsequent write to a managed table re-binds the temp view
+        (``_refresh_view``), which shadows the catalog entry again — stats
+        snapshots never serve stale data.
+
+        Returns the per-column count/ndv/null summary (the reference's
+        feedback output)."""
         df = self.tables[table]
+        path = None
+        if table in self.managed:
+            mt = self.managed[table]
+            path = mt._path(mt._version)
+        elif table != "events":
+            # events.parquet carries TIMESTAMP(NANOS) — the raw file can't
+            # back a catalog table with the view's (micros) schema, so it
+            # stays a temp view (see catalog.load_table).
+            cand = os.path.join(self.sf_dir, f"{table}.parquet")
+            if os.path.exists(cand):
+                path = cand
+        if path is not None:
+            self.spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+            self.spark.sql(
+                f"CREATE TABLE `{table}` USING parquet LOCATION '{path}'"
+            )
+            self.spark.sql(
+                f"ANALYZE TABLE `{table}` COMPUTE STATISTICS FOR ALL COLUMNS"
+            )
+            self.spark.catalog.dropTempView(table)
+            # CBO reads catalog stats only when enabled; join reorder uses
+            # per-column ndv/min/max from the FOR ALL COLUMNS pass.
+            self.spark.conf.set("spark.sql.cbo.enabled", "true")
+            self.spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+            self.tables[table] = self.spark.table(table)
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in df.columns:
             aggs.append(F.approx_count_distinct(c).alias(f"{c}__ndv"))

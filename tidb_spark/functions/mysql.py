@@ -281,6 +281,195 @@ def _sql_value_to_json(v) -> str:
         return _json.dumps(s)
 
 
+def _json_type_py(doc: str | None) -> str | None:
+    """MySQL JSON_TYPE names (types/json/binary.go TypeCode strings)."""
+    if doc is None:
+        return None
+    v = _json.loads(doc)
+    if isinstance(v, bool):
+        return "BOOLEAN"
+    if isinstance(v, int):
+        return "INTEGER"
+    if isinstance(v, float):
+        return "DOUBLE"
+    if isinstance(v, str):
+        return "STRING"
+    if isinstance(v, list):
+        return "ARRAY"
+    if isinstance(v, dict):
+        return "OBJECT"
+    return "NULL"
+
+
+def _json_search_py(doc, one_or_all, search) -> str | None:
+    """JSON_SEARCH with LIKE pattern over string scalars; returns a quoted
+    path, a path array, or NULL (builtin_json.go jsonSearch)."""
+    if doc is None or search is None:
+        return None
+    mode = str(one_or_all).lower()
+    if mode not in ("one", "all"):
+        raise ValueError("JSON_SEARCH second arg must be 'one' or 'all'")
+    pat = re.escape(str(search)).replace("%", ".*").replace("_", ".")
+    rx = re.compile(f"^{pat}$", re.S)
+    hits: list[str] = []
+
+    def walk(node, path):
+        if isinstance(node, str) and rx.match(node):
+            hits.append(path)
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{path}.{k}")
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(v, f"{path}[{i}]")
+
+    walk(_json.loads(doc), "$")
+    if not hits:
+        return None
+    if mode == "one":
+        return _json.dumps(hits[0])
+    return _json.dumps(hits if len(hits) > 1 else hits[0])
+
+
+def _json_contains_path_py(doc, one_or_all, *paths) -> bool | None:
+    if doc is None:
+        return None
+    mode = str(one_or_all).lower()
+    data = _json.loads(doc)
+
+    def exists(path: str) -> bool:
+        node = data
+        for s in _json_path_steps(path):
+            if isinstance(node, dict) and isinstance(s, str) and s in node:
+                node = node[s]
+            elif (
+                isinstance(node, list)
+                and isinstance(s, int)
+                and s < len(node)
+            ):
+                node = node[s]
+            else:
+                return False
+        return True
+
+    results = [exists(p) for p in paths]
+    return any(results) if mode == "one" else all(results)
+
+
+def _json_array_mod_py(doc, path, value_json, mode) -> str | None:
+    """JSON_ARRAY_APPEND / JSON_ARRAY_INSERT (builtin_json.go)."""
+    if doc is None:
+        return None
+    data = _json.loads(doc)
+    val = _json.loads(value_json)
+    steps = _json_path_steps(path)
+    if mode == "insert":
+        # Path addresses the insertion CELL: $.a[1] inserts at index 1.
+        if not steps or not isinstance(steps[-1], int):
+            raise ValueError("JSON_ARRAY_INSERT path must end with [N]")
+        idx, steps = steps[-1], steps[:-1]
+    node = data
+    for s in steps:
+        if isinstance(node, dict) and isinstance(s, str) and s in node:
+            node = node[s]
+        elif isinstance(node, list) and isinstance(s, int) and s < len(node):
+            node = node[s]
+        else:
+            return _json.dumps(data, separators=(",", ":"))
+    if mode == "append":
+        if isinstance(node, list):
+            node.append(val)
+        else:
+            # MySQL wraps a non-array target into [target, value] in place.
+            wrapped = [node, val]
+            if not steps:
+                data = wrapped
+            else:
+                parent = data
+                for s in steps[:-1]:
+                    parent = parent[s]
+                parent[steps[-1]] = wrapped
+    elif isinstance(node, list):
+        node.insert(idx, val)
+    return _json.dumps(data, separators=(",", ":"))
+
+
+def _json_merge_preserve_py(*docs) -> str | None:
+    if any(d is None for d in docs):
+        return None
+
+    def merge(a, b):
+        if isinstance(a, dict) and isinstance(b, dict):
+            out = dict(a)
+            for k, v in b.items():
+                out[k] = merge(out[k], v) if k in out else v
+            return out
+        la = a if isinstance(a, list) else [a]
+        lb = b if isinstance(b, list) else [b]
+        return la + lb
+
+    acc = _json.loads(docs[0])
+    for d in docs[1:]:
+        acc = merge(acc, _json.loads(d))
+    return _json.dumps(acc, separators=(",", ":"))
+
+
+def _json_pretty_py(doc) -> str | None:
+    if doc is None:
+        return None
+    return _json.dumps(_json.loads(doc), indent=2)
+
+
+def _json_storage_size_py(doc) -> int | None:
+    # Approximation: bytes of the compact serialization (the reference
+    # reports its binary-format size, which has no Spark analogue).
+    if doc is None:
+        return None
+    return len(_json.dumps(_json.loads(doc), separators=(",", ":")).encode())
+
+
+def _inet6_aton_py(ip) -> bytes | None:
+    import socket
+
+    if ip is None:
+        return None
+    try:
+        return socket.inet_pton(socket.AF_INET6, ip)
+    except OSError:
+        try:
+            return socket.inet_pton(socket.AF_INET, ip)
+        except OSError:
+            return None
+
+
+def _inet6_ntoa_py(b) -> str | None:
+    import socket
+
+    if b is None:
+        return None
+    raw = bytes(b)
+    try:
+        if len(raw) == 16:
+            return socket.inet_ntop(socket.AF_INET6, raw)
+        if len(raw) == 4:
+            return socket.inet_ntop(socket.AF_INET, raw)
+    except OSError:
+        pass
+    return None
+
+
+def _is_ipv6_py(s) -> bool:
+    import ipaddress
+
+    if s is None:
+        return False
+    try:
+        ipaddress.IPv6Address(s)
+        return True
+    except (ValueError, TypeError):
+        return False
+
+
 def register_shim_udfs(spark) -> None:
     """Register MySQL-named SQL functions absent from Spark SQL, so
     translated statements can call them verbatim."""
@@ -330,6 +519,37 @@ def register_shim_udfs(spark) -> None:
         None if d is None or c is None
         else _json_contains_py(_json.loads(d), _json.loads(c))
     ), "boolean")
+    # JSON long tail (builtin_json.go): mutator/inspector class — per-row
+    # Python is acceptable here (bounded docs, not scan-path columns).
+    reg("json_type", _json_type_py, "string")
+    reg("json_pretty", _json_pretty_py, "string")
+    reg("json_storage_size", _json_storage_size_py, "int")
+    reg("json_search", _json_search_py, "string")
+    reg("json_contains_path", _json_contains_path_py, "boolean")
+    reg("json_array_append", lambda d, p, v: _json_array_mod_py(
+        d, p, _sql_value_to_json(v), "append"
+    ), "string")
+    reg("json_array_insert", lambda d, p, v: _json_array_mod_py(
+        d, p, _sql_value_to_json(v), "insert"
+    ), "string")
+    reg("json_merge_preserve", _json_merge_preserve_py, "string")
+    reg("json_merge", _json_merge_preserve_py, "string")  # deprecated alias
+    # INET6 family (builtin_miscellaneous.go) — binary16 parse/format.
+    reg("inet6_aton", _inet6_aton_py, "binary")
+    reg("inet6_ntoa", _inet6_ntoa_py, "string")
+    reg("is_ipv6", _is_ipv6_py, "boolean")
+    reg("is_ipv4_compat", lambda b: (
+        False if b is None else len(bytes(b)) == 16
+        and bytes(b)[:12] == b"\x00" * 12
+        and bytes(b)[12:16] not in (b"\x00\x00\x00\x00", b"\x00\x00\x00\x01")
+    ), "boolean")
+    reg("is_ipv4_mapped", lambda b: (
+        False if b is None else len(bytes(b)) == 16
+        and bytes(b)[:12] == b"\x00" * 10 + b"\xff\xff"
+    ), "boolean")
+    reg("random_bytes", lambda n: (
+        None if n is None else __import__("os").urandom(int(n))
+    ), "binary")
 
 
 def _conv(n: str, from_base: int, to_base: int) -> str | None:

@@ -140,3 +140,131 @@ def mysqlsql_match_1hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         ".OUT(e_knows).(v_customer AS dst) "
         "ORDER BY src_key, friend_name"
     )
+
+
+DATETIME_LONGTAIL_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, epoch(o_orderdate) AS ep
+  FROM orders WHERE o_orderkey < 300
+), wk AS (
+  SELECT o_orderkey, d, ep,
+         d - to_days(dayofweek(d)::INT) AS sun
+  FROM base
+), wk2 AS (
+  SELECT *,
+         date_trunc('year', sun) AS jan1,
+         date_trunc('year', sun)
+           + to_days(((7 - dayofweek(date_trunc('year', sun))::INT) % 7)) AS fs
+  FROM wk
+)
+SELECT o_orderkey,
+       CAST(date_diff('day', DATE '1970-01-01', d) + 719528 AS BIGINT) AS to_days_v,
+       CAST(CAST(ep + 62167219200 AS BIGINT) AS BIGINT)                AS to_secs_v,
+       CAST(DATE '1970-01-01' + to_days((date_diff('day', DATE '1970-01-01', d))::INT)
+            AS TIMESTAMP)                                              AS from_days_rt,
+       lpad(((o_orderkey * 37 % 86400) // 3600)::VARCHAR, 2, '0')
+         || ':' ||
+       lpad(((o_orderkey * 37 % 3600) // 60)::VARCHAR, 2, '0')
+         || ':' ||
+       lpad((o_orderkey * 37 % 60)::VARCHAR, 2, '0')                   AS sec_to_time_v,
+       CAST(o_orderkey * 37 % 86400 AS BIGINT)                         AS time_to_sec_rt,
+       CAST(make_date(EXTRACT(YEAR FROM d)::INT, 1, 1)
+            + to_days((o_orderkey % 365)::INT) AS TIMESTAMP)           AS makedate_v,
+       CAST((EXTRACT(YEAR FROM d)::BIGINT * 12 + EXTRACT(MONTH FROM d)::BIGINT - 1
+             + o_orderkey % 7) // 12 * 100
+            + ((EXTRACT(YEAR FROM d)::BIGINT * 12 + EXTRACT(MONTH FROM d)::BIGINT - 1
+                + o_orderkey % 7) % 12) + 1 AS BIGINT)                 AS period_add_v,
+       CAST(EXTRACT(YEAR FROM d)::BIGINT * 12 + EXTRACT(MONTH FROM d)::BIGINT
+            - 1995 * 12 - 6 AS BIGINT)                                 AS period_diff_v,
+       CAST(CASE WHEN EXTRACT(YEAR FROM sun) < EXTRACT(YEAR FROM d) THEN 0
+            ELSE date_diff('day', fs, sun) // 7 + 1 END AS BIGINT)     AS week_v,
+       CAST(EXTRACT(YEAR FROM sun)::BIGINT * 100
+            + date_diff('day', fs, sun) // 7 + 1 AS BIGINT)            AS yearweek_v
+FROM wk2
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "mysqlsql_datetime_longtail",
+    oracle=DATETIME_LONGTAIL_ORACLE,
+    tags=("dialect", "datetime"),
+)
+def mysqlsql_datetime_longtail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime long tail through the translator (builtin_time.go):
+    TO_DAYS / TO_SECONDS / FROM_DAYS / SEC_TO_TIME / TIME_TO_SEC (round
+    trip) / MAKEDATE / PERIOD_ADD / PERIOD_DIFF / WEEK / YEARWEEK — all
+    lowered to codegen-native expressions, no Python UDFs."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT o_orderkey, "
+        "CAST(TO_DAYS(o_orderdate) AS BIGINT) AS to_days_v, "
+        "TO_SECONDS(o_orderdate) AS to_secs_v, "
+        "CAST(FROM_DAYS(TO_DAYS(o_orderdate) - 719528 + 719528) AS TIMESTAMP)"
+        " AS from_days_rt, "
+        "SEC_TO_TIME(o_orderkey * 37 % 86400) AS sec_to_time_v, "
+        "TIME_TO_SEC(SEC_TO_TIME(o_orderkey * 37 % 86400)) AS time_to_sec_rt, "
+        "CAST(MAKEDATE(YEAR(o_orderdate), o_orderkey % 365 + 1) AS TIMESTAMP)"
+        " AS makedate_v, "
+        "PERIOD_ADD(YEAR(o_orderdate) * 100 + MONTH(o_orderdate), "
+        "           o_orderkey % 7) AS period_add_v, "
+        "PERIOD_DIFF(YEAR(o_orderdate) * 100 + MONTH(o_orderdate), 199506)"
+        " AS period_diff_v, "
+        "CAST(WEEK(o_orderdate) AS BIGINT) AS week_v, "
+        "YEARWEEK(o_orderdate) AS yearweek_v "
+        "FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"
+    )
+
+
+STRING_LONGTAIL_ORACLE = """
+SELECT c_custkey,
+       substr(c_name, 3, 8)                       AS mid_v,
+       CAST(ord(substr(c_name, 1, 1)) AS BIGINT)  AS ord_v,
+       to_base(c_custkey, 8)                      AS oct_v,
+       to_base64(encode(c_mktsegment))            AS b64_v,
+       c_name                                     AS b64_rt,
+       CASE WHEN c_acctbal < 0 THEN '-' ELSE '' END
+         || format('{:,}', CAST(abs(c_acctbal) * 100 AS BIGINT) // 100)
+         || '.'
+         || lpad((CAST(abs(c_acctbal) * 100 AS BIGINT) % 100)::VARCHAR, 2, '0')
+                                                  AS format_v,
+       '''' || c_name || ''''                     AS quote_v,
+       substr(c_name, 1, 2) || 'XY' || substr(c_name, 7)
+                                                  AS insert_v,
+       chr(65 + (c_custkey % 26)::INT)            AS char_v,
+       hex(encode(c_mktsegment))                  AS weight_v,
+       CAST(CASE WHEN 10 <= c_custkey % 30 THEN 1 ELSE 0 END
+          + CASE WHEN 20 <= c_custkey % 30 THEN 1 ELSE 0 END AS BIGINT)
+                                                  AS interval_v,
+       round(trunc(c_acctbal * 10) / 10, 1)       AS trunc_v
+FROM customer
+WHERE c_custkey < 200
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "mysqlsql_string_longtail",
+    oracle=STRING_LONGTAIL_ORACLE,
+    tags=("dialect", "string"),
+)
+def mysqlsql_string_longtail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/misc long tail through the translator (builtin_string.go,
+    builtin_math.go): MID / ORD / OCT / TO_BASE64 (+ FROM_BASE64 round
+    trip) / FORMAT / QUOTE / INSERT / CHAR / WEIGHT_STRING / INTERVAL /
+    TRUNCATE — all codegen-native lowerings."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT c_custkey, "
+        "MID(c_name, 3, 8) AS mid_v, "
+        "ORD(c_name) AS ord_v, "
+        "OCT(c_custkey) AS oct_v, "
+        "TO_BASE64(c_mktsegment) AS b64_v, "
+        "CAST(FROM_BASE64(TO_BASE64(c_name)) AS STRING) AS b64_rt, "
+        "FORMAT(c_acctbal, 2) AS format_v, "
+        "QUOTE(c_name) AS quote_v, "
+        "INSERT(c_name, 3, 4, 'XY') AS insert_v, "
+        "CHAR(65 + c_custkey % 26) AS char_v, "
+        "HEX(WEIGHT_STRING(c_mktsegment)) AS weight_v, "
+        "CAST(INTERVAL(c_custkey % 30, 10, 20) AS BIGINT) AS interval_v, "
+        "ROUND(TRUNCATE(c_acctbal, 1), 1) AS trunc_v "
+        "FROM customer WHERE c_custkey < 200 ORDER BY c_custkey"
+    )

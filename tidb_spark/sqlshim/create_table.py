@@ -110,7 +110,25 @@ class CreateTableStmt:
 def _map_type(base: str, params: str | None, unsigned: bool) -> str:
     base = base.upper()
     if base == "DECIMAL" or base == "NUMERIC":
-        return f"DECIMAL({params})" if params else "DECIMAL(10,0)"
+        if not params:
+            return "DECIMAL(10,0)"
+        parts = [p.strip() for p in params.split(",")]
+        prec = int(parts[0])
+        scale = int(parts[1]) if len(parts) > 1 else 0
+        if prec > 38:
+            # MySQL allows DECIMAL(65,30); Spark's maximum precision is 38.
+            # Clamp with a warning (SURVEY §1.2) — scale shrinks by the same
+            # amount so the integral range is preserved.
+            import warnings
+
+            new_scale = max(0, scale - (prec - 38))
+            warnings.warn(
+                f"DECIMAL({prec},{scale}) exceeds Spark's max precision 38; "
+                f"clamped to DECIMAL(38,{new_scale})",
+                stacklevel=2,
+            )
+            prec, scale = 38, new_scale
+        return f"DECIMAL({prec},{scale})"
     if base not in _TYPE_MAP:
         raise ValueError(f"unsupported column type: {base}")
     t = _TYPE_MAP[base]
