@@ -27,7 +27,11 @@ def main() -> None:
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1).rstrip(".")) if match else None
 
-    spark = get_spark("tidb-spark-bench")
+    # No console progress bars: their \r-separated output shares the final
+    # physical stdout line with the JSON and breaks a line-oriented parser.
+    spark = get_spark(
+        "tidb-spark-bench", **{"spark.ui.showConsoleProgress": "false"}
+    )
     registry = all_queries()
     subset = os.environ.get("BENCH_QUERIES")
     names = (
@@ -115,7 +119,10 @@ def main() -> None:
     if len(line) > 1800:
         compact.pop("queries", None)
         line = json.dumps(compact)
-    print(line)
+    # Leading newline guarantees the JSON owns its physical line even if
+    # something earlier emitted a bare \r.
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

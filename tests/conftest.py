@@ -27,6 +27,15 @@ def spark():
     yield session
 
 
+@pytest.fixture()
+def engine(spark, tmp_path):
+    """A fresh Engine over the test fixture dir with an isolated managed-
+    table workspace."""
+    from tidb_spark.engine import Engine
+
+    return Engine(spark, TEST_SF_DIR, workspace=str(tmp_path / "ws"))
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()

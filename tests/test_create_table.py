@@ -130,3 +130,60 @@ def test_decimal_clamp_with_warning():
         "y": "DECIMAL(20,6)",
     }
     assert any("clamped" in str(x.message) for x in w)
+
+
+def test_alter_table_columns(engine, spark):
+    """ALTER TABLE ADD/DROP/RENAME COLUMN + RENAME TO are copy-on-write:
+    each schema change lands as a new managed version."""
+    engine.sql("CREATE TABLE alt1 (id BIGINT PRIMARY KEY, name VARCHAR(32))")
+    engine.sql("INSERT INTO alt1 VALUES (1,'a'),(2,'b')")
+
+    engine.sql("ALTER TABLE alt1 ADD COLUMN score INT DEFAULT 5")
+    rows = {r.id: (r.name, r.score) for r in engine.sql("SELECT * FROM alt1").collect()}
+    assert rows == {1: ("a", 5), 2: ("b", 5)}
+
+    engine.sql("ALTER TABLE alt1 RENAME COLUMN score TO pts")
+    assert "pts" in engine.sql("SELECT * FROM alt1").columns
+
+    engine.sql("ALTER TABLE alt1 DROP COLUMN pts")
+    assert engine.sql("SELECT * FROM alt1").columns == ["id", "name"]
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="key column"):
+        engine.sql("ALTER TABLE alt1 DROP COLUMN id")
+
+    engine.sql("ALTER TABLE alt1 RENAME TO alt2")
+    assert engine.sql("SELECT COUNT(*) AS n FROM alt2").collect()[0].n == 2
+    with _p.raises(Exception):
+        engine.sql("SELECT * FROM alt1").collect()
+
+
+def test_alter_table_graphify(engine):
+    """The fork's ALTER graph-ify (ddl/ddl_api.go:2740-2764): paired
+    MODIFY SOURCE KEY / DESTINATION KEY clauses turn an existing table
+    into an edge table; a user PK on the table is rejected."""
+    engine.sql("CREATE TABLE gv (vertex_id BIGINT PRIMARY KEY, nm VARCHAR(8))")
+    engine.sql("INSERT INTO gv VALUES (1,'a'),(2,'b'),(3,'c')")
+    engine.sql("CREATE TABLE ge (src BIGINT, dst BIGINT)")
+    engine.sql("INSERT INTO ge VALUES (1,2),(2,3)")
+
+    import pytest as _p
+
+    # keyed table refuses graph-ify (edge tables may not carry a user PK)
+    engine.sql("CREATE TABLE keyed (k BIGINT PRIMARY KEY, d BIGINT)")
+    with _p.raises(ValueError, match="primary key on edge"):
+        engine.sql(
+            "ALTER TABLE keyed MODIFY k BIGINT SOURCE KEY REFERENCES gv, "
+            "MODIFY d BIGINT DESTINATION KEY REFERENCES gv"
+        )
+
+    engine.sql(
+        "ALTER TABLE ge MODIFY src BIGINT SOURCE KEY REFERENCES gv, "
+        "MODIFY dst BIGINT DESTINATION KEY REFERENCES gv"
+    )
+    got = engine.sql(
+        "SELECT a.nm AS s, b.nm AS d FROM MATCH (gv AS a).OUT(ge).(gv AS b) "
+        "ORDER BY s"
+    ).collect()
+    assert [(r.s, r.d) for r in got] == [("a", "b"), ("b", "c")]

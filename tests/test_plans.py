@@ -288,3 +288,40 @@ def test_similarity_plans_have_no_corpus_single_partition_exchange(spark):
     assert "TakeOrderedAndProject" in ivf_plan
     # exactly the bounded centroid-sample window, nothing else
     assert ivf_plan.count("Exchange SinglePartition") <= 1
+
+
+def test_ivf_kmeans_centroids_recall(spark):
+    """IVF with a trained k-means coarse quantizer (pyspark.ml, the real
+    'offline training job' the id-sample path stands in for): deterministic
+    for a fixed seed, and recall@10 vs exact brute force must beat the
+    untrained sample path's floor."""
+    from pyspark.sql import functions as F
+
+    from tidb_spark.catalog import load_table
+    from tidb_spark.data import similarity as sim
+
+    emb = load_table(spark, TEST_SF_DIR, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8).selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    cents = sim.kmeans_centroids(emb, nlist=8, max_iter=3, seed=7)
+    assert cents.count() == 8
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in sim.brute_force_topk(emb, qs, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in sim.ivf_topk(
+            emb, qs, k=10, nlist=8, nprobe=4, centroids=cents
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"kmeans-IVF recall too low: {recall}"
+
+    # determinism: same seed -> same centroids
+    again = sim.kmeans_centroids(emb, nlist=8, max_iter=3, seed=7)
+    a = sorted(map(tuple, (r.centroid_vec for r in cents.collect())))
+    b = sorted(map(tuple, (r.centroid_vec for r in again.collect())))
+    assert a == b

@@ -318,6 +318,37 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    max_iter: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Distributed k-means coarse quantizer for IVF: (centroid_id,
+    centroid_vec float-array) — pyspark.ml KMeans over the corpus
+    (Lloyd's with k-means|| init runs as a handful of Spark jobs; this IS
+    the 'offline training job at scale' the id-sample path stands in for).
+
+    Deterministic for a fixed seed.  Gated behind an import-try so
+    environments stripping pyspark.ml still get the sample path."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=nlist, maxIter=max_iter, seed=seed).fit(feat)
+    spark = vectors.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(
+        rows, "centroid_id int, centroid_vec array<float>"
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -329,6 +360,7 @@ def ivf_topk(
     k: int = 10,
     nlist: int = 16,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: deterministic coarse centroids (the ``nlist`` smallest
     ids — a fixed sample standing in for k-means, which would be an offline
@@ -339,14 +371,20 @@ def ivf_topk(
     TakeOrderedAndProject (per-partition top-nlist, tiny merge on the
     driver), NOT a global sort: the previous ``dense_rank over (order by
     id)`` formulation shuffled the entire vector table into ONE partition
-    just to keep 16 rows."""
-    sample = vectors.select(id_col, vec_col).orderBy(id_col).limit(nlist)
-    # Ranking the nlist-row sample is a single-partition window over ≤nlist
-    # rows — negligible by construction.
-    centroids = sample.select(
-        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("centroid_id"),
-        F.col(vec_col).alias("centroid_vec"),
-    )
+    just to keep 16 rows.
+
+    Pass ``centroids`` (e.g. from :func:`kmeans_centroids`) to probe a
+    trained coarse quantizer instead of the deterministic sample."""
+    if centroids is None:
+        sample = vectors.select(id_col, vec_col).orderBy(id_col).limit(nlist)
+        # Ranking the nlist-row sample is a single-partition window over
+        # ≤nlist rows — negligible by construction.
+        centroids = sample.select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias(
+                "centroid_id"
+            ),
+            F.col(vec_col).alias("centroid_vec"),
+        )
     assign_w = Window.partitionBy(id_col).orderBy(
         F.col("cdist").desc(), F.col("centroid_id")
     )

@@ -112,6 +112,7 @@ class Engine:
         # analogue, surfaced but not interpreted).
         self.user_vars: dict[str, str] = {}
         self.sys_vars: dict[str, str] = {}
+        self._tmp_view_n = 0
         register_shim_udfs(spark)
 
     # -- DDL surface (graph): SOURCE KEY / DESTINATION KEY registration ----
@@ -138,13 +139,23 @@ class Engine:
         df.createOrReplaceTempView(name)
 
     def create_table(
-        self, name: str, df: DataFrame, key_cols: list[str]
+        self,
+        name: str,
+        df: DataFrame,
+        key_cols: list[str],
+        partition_spec=None,
     ) -> ManagedTable:
         """Create a writable (managed, copy-on-write parquet) table in the
         engine workspace and expose it to SQL — the DML target surface
-        (read-only dataset views cannot be mutated)."""
+        (read-only dataset views cannot be mutated).  ``partition_spec``
+        (RANGE/HASH/LIST, parser/model/model.go:820-822) directory-
+        partitions every version so partition-selected scans prune."""
         mt = ManagedTable(
-            self.spark, os.path.join(self.workspace, name), key_cols, df=df
+            self.spark,
+            os.path.join(self.workspace, name),
+            key_cols,
+            df=df,
+            partition_spec=partition_spec,
         )
         self.managed[name] = mt
         self._refresh_view(name)
@@ -183,15 +194,238 @@ class Engine:
                 stmt.name, empty, src.name, dst.name, src.source_ref,
                 dst.dest_ref,
             )
-            self.create_table(stmt.name, empty, key_cols=stmt.pk_cols)
+            self.create_table(
+                stmt.name, empty, key_cols=stmt.pk_cols,
+                partition_spec=stmt.partition_spec,
+            )
             return
-        self.create_table(stmt.name, empty, key_cols=stmt.pk_cols)
+        self.create_table(
+            stmt.name, empty, key_cols=stmt.pk_cols,
+            partition_spec=stmt.partition_spec,
+        )
         if len(stmt.pk_cols) == 1:
             pk = next(c for c in stmt.columns if c.name == stmt.pk_cols[0])
             if pk.spark_type in ("TINYINT", "SMALLINT", "INT", "BIGINT"):
                 self.graph.add_vertex_table(
                     stmt.name, self.managed[stmt.name].df(), pk.name
                 )
+
+    def _run_alter(self, query: str) -> None:
+        """ALTER TABLE: ADD/DROP/RENAME COLUMN, RENAME TO, and the fork's
+        graph-ify form — a pair of ``MODIFY col type SOURCE KEY REFERENCES v
+        / DESTINATION KEY REFERENCES v`` clauses converting an existing
+        table into an edge table (ddl/ddl_api.go:2740-2764: exactly two
+        modify specs, one SOURCE + one DESTINATION, then the unique
+        (dst,src) graph-edge key is synthesized).
+
+        Copy-on-write: schema-changing forms write a new version of the
+        managed table, so AS OF reads of earlier versions still see the old
+        schema."""
+        m = re.match(r"(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+(.*?)\s*;?\s*$", query)
+        name, body = m.group(1), m.group(2)
+        from tidb_spark.sqlshim.translate import _split_args
+        from tidb_spark.sqlshim import create_table as ctmod
+
+        if re.match(
+            r"(?is)^(ADD|DROP|TRUNCATE)\s+PARTITION\b", body
+        ):
+            self._run_alter_partition(name, body)
+            return
+
+        clauses = [c.strip() for c in _split_args(body)]
+
+        # Graph-ify: exactly two MODIFY clauses carrying SOURCE/DESTINATION.
+        mods = [
+            c for c in clauses
+            if re.match(r"(?is)^MODIFY(\s+COLUMN)?\b", c)
+            and (ctmod._SRC_RE.search(c) or ctmod._DST_RE.search(c))
+        ]
+        if mods:
+            if len(mods) != 2 or len(clauses) != 2:
+                raise ValueError(
+                    "graph-ify ALTER needs exactly two MODIFY clauses "
+                    "(one SOURCE KEY, one DESTINATION KEY)"
+                )
+            src_m = next((ctmod._SRC_RE.search(c), c) for c in mods if ctmod._SRC_RE.search(c))
+            dst_m = next((ctmod._DST_RE.search(c), c) for c in mods if ctmod._DST_RE.search(c))
+            if src_m[1] == dst_m[1]:
+                raise ValueError(
+                    "a column cannot be both SOURCE KEY and DESTINATION KEY"
+                )
+            col_of = lambda c: re.match(
+                r"(?is)^MODIFY(?:\s+COLUMN)?\s+`?(\w+)`?", c
+            ).group(1)
+            src_col, dst_col = col_of(src_m[1]), col_of(dst_m[1])
+            if name in self.managed and self.managed[name].key_cols:
+                raise ValueError("can not specified primary key on edge")
+            df = self.tables[name]
+            self.graph.add_edge_table(
+                name, df, src_col, dst_col,
+                src_m[0].group(1), dst_m[0].group(1),
+            )
+            return
+
+        if name not in self.managed:
+            # RENAME of a non-managed registered table is still view-level.
+            rn = re.match(r"(?is)^RENAME\s+(?:TO\s+)?`?(\w+)`?$", body)
+            if rn and name in self.tables:
+                new = rn.group(1)
+                self.tables[new] = self.tables.pop(name)
+                self.spark.catalog.dropTempView(name)
+                self.tables[new].createOrReplaceTempView(new)
+                return
+            raise ValueError(f"table {name!r} is not a managed table")
+        mt = self.managed[name]
+        df = mt.df()
+        for clause in clauses:
+            am = re.match(
+                r"(?is)^ADD(?:\s+COLUMN)?\s+`?(\w+)`?\s+(\w+(?:\([^)]*\))?)"
+                r"(?P<rest>.*)$",
+                clause,
+            )
+            dm = re.match(r"(?is)^DROP(?:\s+COLUMN)?\s+`?(\w+)`?$", clause)
+            rc = re.match(
+                r"(?is)^RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?$", clause
+            )
+            rt = re.match(r"(?is)^RENAME\s+(?:TO\s+)?`?(\w+)`?$", clause)
+            if am:
+                col, typ = am.group(1), am.group(2)
+                tm = re.match(r"(\w+)(?:\((.*)\))?", typ)
+                spark_t = ctmod._map_type(
+                    tm.group(1), tm.group(2),
+                    bool(re.search(r"(?i)\bUNSIGNED\b", am.group("rest"))),
+                )
+                dv = re.search(
+                    r"(?is)\bDEFAULT\s+('(?:[^'\\]|\\.)*'|\S+)", am.group("rest")
+                )
+                expr = (
+                    f"CAST({dv.group(1)} AS {spark_t})"
+                    if dv
+                    else f"CAST(NULL AS {spark_t})"
+                )
+                df = df.withColumn(col, F.expr(expr))
+            elif dm:
+                col = dm.group(1)
+                if col in mt.key_cols:
+                    raise ValueError(f"cannot drop key column {col!r}")
+                df = df.drop(col)
+            elif rc:
+                old, new = rc.group(1), rc.group(2)
+                df = df.withColumnRenamed(old, new)
+                mt.key_cols = [new if k == old else k for k in mt.key_cols]
+            elif rt:
+                new = rt.group(1)
+                if new in self.tables:
+                    raise ValueError(f"table {new!r} already exists")
+                self.managed[new] = self.managed.pop(name)
+                del self.tables[name]
+                self.spark.catalog.dropTempView(name)
+                self._refresh_view(new)
+                return
+            else:
+                raise ValueError(f"unsupported ALTER TABLE clause: {clause!r}")
+        mt._write(df)  # noqa: SLF001 — one new copy-on-write version
+        self._refresh_view(name)
+
+    def _run_alter_partition(self, name: str, body: str) -> None:
+        """ALTER TABLE … ADD / DROP / TRUNCATE PARTITION
+        (ddl/partition.go): ADD appends RANGE/LIST partitions (bounds must
+        stay strictly increasing; adding past MAXVALUE errors), DROP
+        removes the definition AND its rows (RANGE/LIST only — matching
+        the reference's restriction on HASH), TRUNCATE empties the named
+        partitions but keeps them.  Row removal is a partition-pruned
+        copy-on-write: the surviving directories are read, the dropped
+        ones never scanned."""
+        from tidb_spark.sqlshim import partition as pt
+        from tidb_spark.sqlshim.translate import _split_args
+
+        if name not in self.managed or self.managed[name].partition_spec is None:
+            raise ValueError(f"table {name!r} is not partitioned")
+        mt = self.managed[name]
+        spec = mt.partition_spec
+
+        am = re.match(r"(?is)^ADD\s+PARTITION\s*\((.*)\)\s*$", body)
+        dm = re.match(r"(?is)^DROP\s+PARTITION\s+(.+?)\s*$", body)
+        tm = re.match(r"(?is)^TRUNCATE\s+PARTITION\s+(.+?)\s*$", body)
+        if am:
+            if spec.method == "HASH":
+                raise ValueError(
+                    "ADD PARTITION on HASH tables requires re-hashing all "
+                    "rows; use the reference's COALESCE/ADD rebalance "
+                    "(unsupported)"
+                )
+            for item in _split_args(am.group(1)):
+                item = item.strip()
+                if spec.method == "RANGE":
+                    pm = pt._RANGE_PART_RE.match(item)
+                    if pm is None:
+                        raise ValueError(f"bad partition def: {item!r}")
+                    bound = "MAXVALUE" if pm.group("maxval") else pm.group("bound")
+                    prev = pt._parse_literal(str(spec.bounds[-1]))
+                    if not pt._lt(prev, pt._parse_literal(bound)):
+                        raise ValueError(
+                            "VALUES LESS THAN value must be strictly "
+                            "increasing for each partition"
+                        )
+                    spec.names.append(pm.group("name"))
+                    spec.bounds.append(bound)
+                else:
+                    pm = pt._LIST_PART_RE.match(item)
+                    if pm is None:
+                        raise ValueError(f"bad partition def: {item!r}")
+                    new_vals = [
+                        v.strip() for v in _split_args(pm.group("vals"))
+                    ]
+                    existing = {
+                        pt._parse_literal(str(v))
+                        for vs in spec.bounds
+                        for v in vs
+                    }
+                    dup = [
+                        v for v in new_vals
+                        if pt._parse_literal(str(v)) in existing
+                    ]
+                    if dup:
+                        raise ValueError(
+                            f"Multiple definition of same constant: {dup[0]}"
+                        )
+                    spec.names.append(pm.group("name"))
+                    spec.bounds.append(new_vals)
+                if pm.group("name") in spec.names[:-1]:
+                    raise ValueError("Duplicate partition name")
+            # Definitions only — existing rows keep their labels; nothing
+            # to rewrite.
+            return
+        targets_text = (dm or tm).group(1)
+        targets = [t.strip().strip("`") for t in targets_text.split(",")]
+        known = set(spec.partition_names())
+        for t in targets:
+            if t not in known:
+                raise ValueError(f"Unknown partition {t!r}")
+        if dm and spec.method == "HASH":
+            raise ValueError(
+                "DROP PARTITION can only be used on RANGE/LIST partitions"
+            )
+        keep = [n for n in spec.partition_names() if n not in targets]
+        # Partition-pruned survivor read: only the kept directories scan.
+        survivors = mt.scan_partitions(keep)
+        if dm:
+            if spec.method == "RANGE":
+                kept = [
+                    (n, b) for n, b in zip(spec.names, spec.bounds)
+                    if n not in targets
+                ]
+                spec.names = [n for n, _ in kept]
+                spec.bounds = [b for _, b in kept]
+            else:
+                kept = [
+                    (n, v) for n, v in zip(spec.names, spec.bounds)
+                    if n not in targets
+                ]
+                spec.names = [n for n, _ in kept]
+                spec.bounds = [v for _, v in kept]
+        mt._write(survivors)  # noqa: SLF001 — one copy-on-write version
+        self._refresh_view(name)
 
     def _run_ddl(self, m: re.Match) -> None:
         """DROP / TRUNCATE / FLASHBACK TABLE (ddl/ddl_api.go; FlashBackTable
@@ -452,6 +686,9 @@ class Engine:
 
             self._run_create(_ct.parse(query))
             return self.spark.range(0).select(F.lit("OK").alias("status"))
+        if re.match(r"(?is)^\s*ALTER\s+TABLE\b", query):
+            self._run_alter(query)
+            return self.spark.range(0).select(F.lit("OK").alias("status"))
         query = translate(query)
         ddl = _DDL_RE.match(query)
         if ddl:
@@ -464,6 +701,8 @@ class Engine:
         if ms is not None:
             return self._run_merge(ms)
         query = self._rewrite_as_of(query)
+        query = self._rewrite_partition_selection(query)
+        query = self._apply_static_pruning(query)
         parsed = mc.find_and_parse(query)
         if parsed is not None:
             start, end, path = parsed
@@ -475,6 +714,66 @@ class Engine:
         if args is not None:
             return self.spark.sql(query, args)
         return self.spark.sql(query)
+
+    _PARTSEL_RE = re.compile(
+        r"(?is)\b(FROM|JOIN)\s+`?(\w+)`?\s+PARTITION\s*\(([^)]*)\)"
+        r"(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|ORDER\b|LIMIT\b|JOIN\b|ON\b"
+        r"|LEFT\b|RIGHT\b|INNER\b|FULL\b|CROSS\b|UNION\b|HAVING\b|AS\b)"
+        r"(\w+))?"
+    )
+
+    def _rewrite_partition_selection(self, query: str) -> str:
+        """MySQL's explicit partition selection — ``SELECT … FROM t
+        PARTITION (p0, p1)`` (planner/core/rule_partition_processor.go
+        honors the same syntax): replace with a temp view scanning only
+        those directories, so the parquet scan carries PartitionFilters."""
+
+        def repl(m: re.Match) -> str:
+            kw, name, plist, alias = m.groups()
+            mt = self.managed.get(name)
+            if mt is None or mt.partition_spec is None:
+                raise ValueError(
+                    f"PARTITION selection on non-partitioned table {name!r}"
+                )
+            parts = [p.strip().strip("`") for p in plist.split(",") if p.strip()]
+            self._tmp_view_n += 1
+            view = f"__psel_{name}_{self._tmp_view_n}"
+            mt.scan_partitions(parts).createOrReplaceTempView(view)
+            return f"{kw} {view} AS {alias or name}"
+
+        return self._PARTSEL_RE.sub(repl, query)
+
+    def _apply_static_pruning(self, query: str) -> str:
+        """Static partition pruning for the single-table SELECT case: when
+        the (only) FROM references a partitioned managed table and the WHERE
+        carries simple AND-connected predicates on the partition column,
+        swap in a view over just the matching partitions
+        (rule_partition_processor.go's static prune).  Anything the
+        conservative matcher can't prove keeps the full scan — always
+        correct, just unpruned."""
+        if len(re.findall(r"(?i)\bFROM\b", query)) != 1:
+            return query
+        m = re.search(r"(?is)\bFROM\s+`?(\w+)`?\s+WHERE\s+(.*)$", query)
+        if m is None:
+            return query
+        name = m.group(1)
+        mt = self.managed.get(name)
+        if mt is None or mt.partition_spec is None:
+            return query
+        where = re.split(
+            r"(?is)\b(?:GROUP\s+BY|ORDER\s+BY|LIMIT)\b", m.group(2)
+        )[0]
+        parts = mt.partition_spec.prune_where(where)
+        if parts is None or set(parts) == set(mt.partitions()):
+            return query
+        self._tmp_view_n += 1
+        view = f"__prune_{name}_{self._tmp_view_n}"
+        mt.scan_partitions(parts).createOrReplaceTempView(view)
+        return (
+            query[: m.start()]
+            + f"FROM {view} AS {name} WHERE "
+            + m.group(2)
+        )
 
     def _run_show(self, query: str) -> DataFrame:
         """SHOW TABLES / DATABASES / COLUMNS (DESC/DESCRIBE) / VARIABLES /
@@ -771,6 +1070,10 @@ class Engine:
             self.spark.sql(
                 f"CREATE TABLE `{table}` USING parquet LOCATION '{path}'"
             )
+            # Equi-height histograms — the Spark analogue of the reference's
+            # histogram/TopN (statistics/histogram.go); CBO uses them for
+            # range-predicate selectivity beyond plain min/max.
+            self.spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
             self.spark.sql(
                 f"ANALYZE TABLE `{table}` COMPUTE STATISTICS FOR ALL COLUMNS"
             )
@@ -825,4 +1128,9 @@ class Engine:
                 "  PRIMARY KEY (" + ", ".join(f"`{c}`" for c in pk_cols) + ")"
             )
         body = ",\n".join(cols)
-        return f"CREATE TABLE `{name}` (\n{body}\n)"
+        tail = ""
+        if name in self.managed and self.managed[name].partition_spec:
+            # Round-trips the partition clause (executor/show.go prints the
+            # reference's partition info the same way).
+            tail = "\n" + self.managed[name].partition_spec.ddl()
+        return f"CREATE TABLE `{name}` (\n{body}\n){tail}"

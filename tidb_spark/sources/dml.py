@@ -27,6 +27,7 @@ import shutil
 import time
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Prefix under which merge()/upsert() expose the INCOMING row's columns to
 # assignment expressions (the MySQL ``VALUES(col)`` binding,
@@ -55,6 +56,7 @@ class ManagedTable:
         *,
         df: DataFrame | None = None,
         partition_by: list[str] | None = None,
+        partition_spec=None,
         retain_versions: int = 8,
     ):
         """``partition_by`` declares directory partitioning — the columnar
@@ -71,6 +73,16 @@ class ManagedTable:
         self.root = root
         self.key_cols = key_cols
         self.partition_by = partition_by or []
+        # RANGE/HASH/LIST spec (sqlshim.partition.PartitionSpec): every
+        # write computes the hidden ``__part`` label (codegen CASE/pmod)
+        # and directory-partitions on it, so a ``__part`` filter is native
+        # Spark partition pruning — the reference's
+        # rule_partition_processor behavior at the storage layer.
+        self.partition_spec = partition_spec
+        if partition_spec is not None:
+            from tidb_spark.sqlshim.partition import PART_COL
+
+            self.partition_by = [PART_COL]
         self.retain_versions = max(1, retain_versions)
         os.makedirs(root, exist_ok=True)
         self._version = self._latest_version()
@@ -99,9 +111,22 @@ class ManagedTable:
 
     def _write(self, df: DataFrame) -> None:
         nxt = self._version + 1
+        partition_cols = list(self.partition_by)
+        if self.partition_spec is not None:
+            from tidb_spark.sqlshim.partition import PART_COL
+
+            if PART_COL in df.columns:
+                df = df.drop(PART_COL)
+            df = df.withColumn(PART_COL, self.partition_spec.label_col())
+            if len(df.take(1)) == 0:
+                # A dynamic-partitioned write of ZERO rows emits no files at
+                # all — the version directory would be unreadable.  Write
+                # the empty frame unpartitioned (schema-bearing file); later
+                # non-empty versions partition normally.
+                partition_cols = []
         writer = df.write.mode("errorifexists")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
         writer.parquet(self._path(nxt))
         with open(self._ts_path(nxt), "w") as fh:
             fh.write(repr(time.time()))
@@ -119,7 +144,36 @@ class ManagedTable:
     def df(self) -> DataFrame:
         if self._version < 0:
             raise ValueError(f"table at {self.root} has no data")
-        return self.spark.read.parquet(self._path(self._version))
+        out = self.spark.read.parquet(self._path(self._version))
+        if self.partition_spec is not None:
+            from tidb_spark.sqlshim.partition import PART_COL
+
+            out = out.drop(PART_COL)
+        return out
+
+    # -- partitioned scans (rule_partition_processor.go analogue) ----------
+
+    def partitions(self) -> list[str]:
+        """Declared partition names (RANGE/LIST order; HASH p0..p{n-1})."""
+        if self.partition_spec is None:
+            return []
+        return self.partition_spec.partition_names()
+
+    def scan_partitions(self, names: list[str]) -> DataFrame:
+        """Scan only the named partitions — ``FROM t PARTITION (p0, p1)``.
+        The ``__part`` filter runs BEFORE the drop, so Spark turns it into
+        a PartitionFilters entry and skips the other directories
+        entirely."""
+        if self.partition_spec is None:
+            raise ValueError("table is not partitioned")
+        from tidb_spark.sqlshim.partition import PART_COL
+
+        known = set(self.partitions())
+        unknown = [n for n in names if n not in known]
+        if unknown:
+            raise ValueError(f"Unknown partition {unknown[0]!r}")
+        raw = self.spark.read.parquet(self._path(self._version))
+        return raw.where(F.col(PART_COL).isin(list(names))).drop(PART_COL)
 
     # -- stale reads (AS OF TIMESTAMP — parser/ast/dml.go:276, the
     # reference's stale-read surface; executor/stale_txn_test.go:143) ------

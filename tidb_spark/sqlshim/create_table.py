@@ -98,6 +98,7 @@ class CreateTableStmt:
     columns: list[ColumnDef] = field(default_factory=list)
     pk_cols: list[str] = field(default_factory=list)
     if_not_exists: bool = False
+    partition_spec: object | None = None  # sqlshim.partition.PartitionSpec
 
     @property
     def is_edge(self) -> bool:
@@ -146,6 +147,9 @@ def parse(sql: str) -> CreateTableStmt | None:
     """Parse CREATE TABLE, or return None if this is not one.  Raises on a
     malformed/unsupported body so callers surface a real error instead of
     silently running it as a query."""
+    from tidb_spark.sqlshim import partition as _part
+
+    sql, part_text = _part.split_partition_clause(sql)
     m = _CREATE_RE.match(sql)
     if m is None:
         if re.match(r"(?is)^\s*CREATE\s+TABLE\b", sql):
@@ -158,6 +162,8 @@ def parse(sql: str) -> CreateTableStmt | None:
     stmt = CreateTableStmt(
         name=m.group("name"), if_not_exists=bool(m.group("ine"))
     )
+    if part_text is not None:
+        stmt.partition_spec = _part.parse_spec(part_text)
     for item in _split_args(m.group("body")):
         item = item.strip()
         if not item:
@@ -222,4 +228,10 @@ def parse(sql: str) -> CreateTableStmt | None:
         # marks both columns NOT NULL (ddl_api.go:2000-2008).
         stmt.pk_cols = [srcs[0].name, dsts[0].name]
         srcs[0].not_null = dsts[0].not_null = True
+    if stmt.partition_spec is not None:
+        col_m = re.match(r"^`?(\w+)`?$", stmt.partition_spec.expr)
+        if col_m and col_m.group(1) not in {c.name for c in stmt.columns}:
+            raise ValueError(
+                f"partition column {col_m.group(1)!r} is not a table column"
+            )
     return stmt
