@@ -92,7 +92,8 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_cluster",  # oracle-gated transitive closure (simhash is the
+    # rows-only cousin of minhash_lsh, already windowed)
     "embedding_neardup",
     # similarity / ANN
     "sim_topk_quantized",

@@ -81,6 +81,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("d1", "d2")
 
 
+DEDUP_CLUSTER_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([substr(n, i, 8) FOR i IN range(1, greatest(length(n) - 6, 2))]) AS s
+  FROM (SELECT doc_id, {_NORM} AS n FROM documents WHERE doc_id < 200)
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.s, b.s)) AS c, len(a.s) AS n1, len(b.s) AS n2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+),
+good AS (
+  SELECT d1, d2 FROM pairs
+  WHERE CAST(c AS DOUBLE) / (n1 + n2 - c) >= 0.2
+),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM good
+  UNION
+  SELECT d2 AS a, d1 AS b FROM good
+),
+reach(n, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT reach.n, edges.b FROM reach JOIN edges ON reach.r = edges.a
+),
+comp AS (SELECT n AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY n),
+sizes AS (
+  SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY canonical_id
+)
+SELECT comp.doc_id, comp.canonical_id, sizes.cluster_size
+FROM comp JOIN sizes USING (canonical_id)
+ORDER BY doc_id
+"""
+
+
+@register("dedup_cluster", oracle=DEDUP_CLUSTER_ORACLE, tags=("dedup",))
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: transitive closure of the exact
+    8-gram-Jaccard near-dup pairs → (doc_id, canonical_id = min id in
+    cluster, cluster_size).  Connected components run as alternating
+    large-star/small-star rounds (O(log n) rounds of one groupBy + one
+    join — the 100 TB shape; `data/cluster.py`); the oracle walks the
+    same edges with DuckDB's recursive CTE, the reference's own
+    formulation of reachability (its recursive-CTE executor)."""
+    from tidb_spark.data import cluster as cl
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=8, threshold=0.2, max_posting=None
+    ).select("d1", "d2")
+    return cl.duplicate_clusters(pairs).orderBy("doc_id")
+
+
 @register("dedup_minhash_lsh", oracle=None, tags=("dedup", "approx"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidate pairs verified at Jaccard ≥ 0.2 —
