@@ -58,8 +58,13 @@ def events_stream(
         sdf = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     else:
         sdf = reader.parquet(path)
-    if dict(sdf.dtypes).get("ts") == "bigint":
+    ts_type = dict(sdf.dtypes).get("ts")
+    if ts_type == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks (EventTimeWatermark) require TimestampType; the session
+        # runs in UTC so the cast is wall-clock identity.
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
 
 
