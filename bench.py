@@ -59,6 +59,76 @@ def main() -> None:
         .localCheckpoint(eager=True)
         .count()
     )
+    # Mini-BFS warm-up: the iterative graph queries additionally exercise
+    # broadcast left-anti joins, array concat/contains, crossJoin + concat_ws
+    # formatting, and per-round checkpoint+count — first use of each costs
+    # seconds of JIT/codegen that round-2 bench attributed to whichever BFS
+    # query ran first (graph_any_shortest 3.4 s -> 6.8 s with zero plan
+    # change).  Two toy rounds hit all of those paths once.
+    edges = (
+        spark.range(200)
+        .select(
+            F.col("id").alias("__src"), ((F.col("id") + 1) % 200).alias("__dst")
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = spark.range(3).select(
+        F.col("id").alias("root"),
+        F.col("id").alias("id"),
+        F.array(F.col("id")).alias("path"),
+        F.lit(0).alias("dist"),
+    ).localCheckpoint(eager=True)
+    visited = frontier.select("root", "id")
+    for hop in (1, 2):
+        frontier = (
+            F.broadcast(frontier)
+            .join(edges, frontier["id"] == edges["__src"])
+            .where(~F.array_contains(F.col("path"), F.col("__dst")))
+            .select(
+                "root",
+                F.col("__dst").alias("id"),
+                F.concat(F.col("path"), F.array(F.col("__dst"))).alias("path"),
+            )
+            .groupBy("root", "id")
+            .agg(F.min("path").alias("path"))
+            .withColumn("dist", F.lit(hop))
+            .join(F.broadcast(visited), on=["root", "id"], how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        frontier.count()
+        visited = visited.unionByName(frontier.select("root", "id"))
+    # Dist-only BFS round shape (dropDuplicates instead of array min-agg).
+    (
+        spark.range(100)
+        .select((F.col("id") % 7).alias("root"), (F.col("id") % 11).alias("id"))
+        .dropDuplicates(["root", "id"])
+        .join(F.broadcast(visited), on=["root", "id"], how="left_anti")
+        .localCheckpoint(eager=False)
+        .count()
+    )
+    (
+        spark.range(3)
+        .select(F.col("id").alias("src_id"))
+        .crossJoin(spark.range(5).select(F.col("id").alias("dst_id")))
+        .join(
+            frontier.select(
+                F.col("root").alias("src_id"), F.col("id").alias("dst_id"),
+                "path", "dist",
+            ),
+            on=["src_id", "dst_id"],
+            how="left_outer",
+        )
+        .select(
+            F.when(F.col("path").isNull(), F.lit("Unreachable"))
+            .otherwise(
+                F.concat(F.lit("["), F.concat_ws(",", F.col("path")), F.lit("]"))
+            )
+            .alias("path")
+        )
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     total = 0.0

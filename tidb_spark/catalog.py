@@ -44,8 +44,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # comparisons agree.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Keep batch/stream type parity: events_stream casts to
+            # TIMESTAMP (watermarks require it); mirror here so unions /
+            # comparisons across the two paths see one ts type.  UTC session
+            # (session.py) makes the cast wall-clock identity.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

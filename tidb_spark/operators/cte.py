@@ -53,7 +53,9 @@ def recursive_cte(
     # lazy union serves reads.  (Re-checkpointing one growing frame would
     # rewrite O(result) rows every round; the union of already-materialized
     # pieces costs nothing extra.)
-    rounds = [seed.localCheckpoint(eager=True)]
+    # Lazy checkpoint + count = one job that computes, persists, and
+    # truncates lineage (eager + count was two jobs per round).
+    rounds = [seed.localCheckpoint(eager=False)]
     accumulated_rows = rounds[0].count()
     frontier = rounds[0]
 
@@ -76,11 +78,12 @@ def recursive_cte(
                 seen, on=distinct_keys, how="left_anti"
             )
         if checkpoint_every and iteration % checkpoint_every == 0:
-            produced = produced.localCheckpoint(eager=True)
-        if produced.isEmpty():
+            produced = produced.localCheckpoint(eager=False)
+        produced_rows = produced.count()
+        if produced_rows == 0:
             return _accumulated()
         rounds.append(produced)
-        accumulated_rows += produced.count()
+        accumulated_rows += produced_rows
         frontier = produced
     raise RuntimeError(
         f"recursive_cte: no fixpoint after {max_iteration} iterations "

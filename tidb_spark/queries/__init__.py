@@ -62,66 +62,59 @@ _LOADED = False
 # representative per SURVEY §2 family so every family gets driver rows;
 # everything not listed keeps its natural (import) order after slot 50.
 _PRIORITY_WINDOW: tuple[str, ...] = (
-    # TPC-H representatives (rest were driver-green in round 1)
-    "tpch_q1",       # scan + decimal-exact agg (flagship)
-    "tpch_q12",      # the round-1 hash-fail — proves the oracle-typing fix
-    "tpch_q21",      # semi + anti join
-    "tpch_q2",       # nested correlated subquery join
-    # subqueries / CTE / point access
-    "subq_scalar",
-    "subq_correlated",
-    "subq_exists_bool",
-    "subq_in_notin",
-    "cte_recursive",
-    "point_get",
-    "batch_point_get",
-    "agg_json",
-    # graph (entire family)
+    # --- the 11 queries never driver-verified in rounds 1-2 (VERDICT r2) ---
+    "dedup_simhash",
+    "func_control",
+    "func_hash_inet",
+    "func_like_regexp",
+    "func_math",
+    "func_mysql_shims",
+    "mysqlsql_date_funcs",
+    "mysqlsql_datetime_longtail",
+    "mysqlsql_json_read",
+    "mysqlsql_string_longtail",
+    "mysqlsql_string_misc",
+    # --- changed in round 3: shared-BFS graph family, cached e_knows ---
+    "graph_any_shortest",
+    "graph_any_shortest_len",
+    "graph_all_shortest",
+    "graph_top_k_shortest",
     "graph_match_out",
     "graph_match_in",
     "graph_match_both",
     "graph_match_2hop",
     "graph_match_multipath",
     "graph_match_edge_props",
-    "graph_any_shortest",
-    "graph_any_shortest_len",
-    "graph_all_shortest",
-    "graph_top_k_shortest",
     "mysqlsql_match_1hop",
-    # dedup
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_cluster",  # oracle-gated transitive closure (simhash is the
-    # rows-only cousin of minhash_lsh, already windowed)
-    "embedding_neardup",
-    # similarity / ANN
-    "sim_topk_quantized",
-    "sim_topk_cosine",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    # text analysis
-    "text_stats",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_quality",
-    "text_winnowing",
-    # multimodal
-    "multimodal_meta",
-    "multimodal_frames",
-    "multimodal_features",
-    # streaming (entire family)
+    "cte_recursive",
+    # --- changed in round 3: stream source tz pinning ---
     "stream_tumbling_hour",
     "stream_sliding_1h_15m",
     "stream_session_30m",
     "stream_dedup_keys",
     "stream_interval_join",
-    # scalar-function groups + MySQL dialect
-    "func_string",
-    "func_datetime",
-    "func_json",
-    "func_cast",
-    "mysqlsql_group_concat",
+    # --- round-3 new oracles / plan changes ---
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "text_winnowing",
+    "multimodal_features",
+    "tpch_q1",
+    "tpch_q12",
+    # --- rotation: refresh the oldest (round-1-only) verifications ---
+    "tpch_q6",
+    "tpch_q9",
+    "tpch_q18",
+    "join_full_outer",
+    "join_null_safe",
+    "setop_intersect_all",
+    "window_range_frame",
+    "agg_percentile",
+    "agg_rollup",
+    "sample_deterministic",
+    "limit_offset",
+    "cte_nonrecursive",
 )
 
 

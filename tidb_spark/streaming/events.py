@@ -47,6 +47,10 @@ def events_stream(
     the batch catalog; schema comes from a batch peek since streams need an
     explicit schema)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The TIMESTAMP_NTZ -> TIMESTAMP cast below is wall-clock identity only
+    # under a UTC session; enforce the invariant where it is relied on rather
+    # than trusting the caller's session config.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
