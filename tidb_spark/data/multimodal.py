@@ -118,6 +118,262 @@ def decode_features(
     )
 
 
+# ---------------------------------------------------------------------------
+# Real codecs (stdlib-only): PNG encode/decode via zlib with full scanline
+# (un)filtering, WAV PCM16 via the `wave` module, and a simple multi-frame
+# video container of concatenated PNG frames.  Optional richer codecs (JPEG
+# etc. via PIL) are import-try gated; absent libs fall back to these paths
+# for the synthetic formats and raise for foreign ones — the honest stub is
+# now only the *foreign-format* branch.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+VID_SIG = b"VID0"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal real PNG writer: 8-bit grayscale, filter 0 scanlines,
+    one zlib IDAT."""
+    import struct
+    import zlib as _z
+
+    assert len(pixels) == width * height
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Real PNG reader for 8-bit grayscale: chunk walk, zlib inflate, and
+    full defiltering (all five standard scanline filters)."""
+    import struct
+    import zlib as _z
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width, height, idat = 8, 0, 0, b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bitdepth, colortype = struct.unpack(">IIBB", body[:10])
+            if bitdepth != 8 or colortype != 0:
+                raise NotImplementedError("only 8-bit grayscale supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = _z.decompress(idat)
+    out = bytearray()
+    prev = bytearray(width)
+    for y in range(height):
+        ftype = raw[y * (width + 1)]
+        line = bytearray(raw[y * (width + 1) + 1 : (y + 1) * (width + 1)])
+        for x in range(width):
+            a = line[x - 1] if x else 0  # left (already reconstructed)
+            b = prev[x]  # up
+            c = prev[x - 1] if x else 0  # up-left
+            if ftype == 1:
+                line[x] = (line[x] + a) & 0xFF
+            elif ftype == 2:
+                line[x] = (line[x] + b) & 0xFF
+            elif ftype == 3:
+                line[x] = (line[x] + (a + b) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        out += line
+        prev = line
+    return width, height, bytes(out)
+
+
+def encode_wav_pcm16(samples: list[int], rate: int = 8000) -> bytes:
+    """Real WAV writer (stdlib wave module), mono PCM16."""
+    import io
+    import struct
+    import wave as _w
+
+    buf = io.BytesIO()
+    with _w.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, int]:
+    """Real WAV reader: (n_frames, n_channels, rate, sample_sum)."""
+    import io
+    import struct
+    import wave as _w
+
+    with _w.open(io.BytesIO(data), "rb") as w:
+        n, ch, rate = w.getnframes(), w.getnchannels(), w.getframerate()
+        frames = w.readframes(n)
+    vals = struct.unpack(f"<{n * ch}h", frames)
+    return n, ch, rate, int(sum(vals))
+
+
+def encode_video_frames(frames: list[bytes]) -> bytes:
+    """Multi-frame container: VID0 + u32 count + [u32 len + PNG] per frame."""
+    import struct
+
+    out = VID_SIG + struct.pack(">I", len(frames))
+    for f in frames:
+        out += struct.pack(">I", len(f)) + f
+    return out
+
+
+def decode_video(data: bytes) -> tuple[int, int, int, int]:
+    """(width, height, n_frames, pixel_sum over all frames)."""
+    import struct
+
+    if data[:4] != VID_SIG:
+        raise ValueError("not a VID0 container")
+    (count,) = struct.unpack(">I", data[4:8])
+    pos, width, height, total = 8, 0, 0, 0
+    for _ in range(count):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        w, h, px = decode_png_gray(data[pos + 4 : pos + 4 + ln])
+        width, height = w, h
+        total += sum(px)
+        pos += 4 + ln
+    return width, height, count, total
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL media payloads per id (round-robin type like
+    attach_binary_payload): PNG image / WAV audio / multi-PNG video, each
+    fully defined by closed-form integer formulas over the id — which is
+    what makes an exact analytic oracle possible (the DuckDB side recomputes
+    width/height/checksum from the same formulas; it never needs zlib)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                kind = ("image", "audio", "video")[i % 3]
+                if kind == "image":
+                    w, h = i % 32 + 8, i % 24 + 8
+                    px = bytes((i * 31 + j) % 256 for j in range(w * h))
+                    payloads.append(encode_png_gray(w, h, px))
+                elif kind == "audio":
+                    n = i % 500 + 100
+                    payloads.append(
+                        encode_wav_pcm16(
+                            [((i * 7 + j * 13) % 65536) - 32768 for j in range(n)]
+                        )
+                    )
+                else:
+                    nf = i % 4 + 1
+                    w, h = i % 16 + 8, i % 12 + 8
+                    payloads.append(
+                        encode_video_frames(
+                            [
+                                encode_png_gray(
+                                    w,
+                                    h,
+                                    bytes(
+                                        (i * 31 + f * 17 + j) % 256
+                                        for j in range(w * h)
+                                    ),
+                                )
+                                for f in range(1, nf + 1)
+                            ]
+                        )
+                    )
+                ids.append(i)
+                types.append(kind)
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": types, "payload": payloads}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="media_id long, media_type string, payload binary"
+    )
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_units", IntegerType()),  # frames (video/audio) or 1
+        StructField("checksum", LongType()),  # pixel/sample sum
+    ]
+)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """REAL decode via mapInPandas: sniffs magic bytes and runs the actual
+    codec (PNG inflate+defilter / WAV frame read / VID0 frame walk).
+    Foreign formats (JPEG etc.) go through PIL when importable — otherwise
+    NotImplementedError: that branch is the only remaining stub."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "media_type", "width", "height", "n_units", "checksum")}
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                data = bytes(payload)
+                if data[:8] == PNG_SIG:
+                    w, h, px = decode_png_gray(data)
+                    vals = (w, h, 1, int(sum(px)))
+                elif data[:4] == b"RIFF":
+                    n, ch, _rate, ssum = decode_wav(data)
+                    vals = (n, ch, n, ssum)
+                elif data[:4] == VID_SIG:
+                    w, h, nf, psum = decode_video(data)
+                    vals = (w, h, nf, psum)
+                else:
+                    try:
+                        from PIL import Image  # optional dep
+                        import io
+
+                        img = Image.open(io.BytesIO(data))
+                        vals = (img.width, img.height, 1, -1)
+                    except ImportError:
+                        raise NotImplementedError(
+                            "foreign media format and no codec library "
+                            "available in this container"
+                        )
+                rows["media_id"].append(mid)
+                rows["media_type"].append(mtype)
+                rows["width"].append(vals[0])
+                rows["height"].append(vals[1])
+                rows["n_units"].append(vals[2])
+                rows["checksum"].append(vals[3])
+            yield pd.DataFrame(rows)
+
+    return media.repartition("media_id").mapInPandas(dec, schema=DECODED_SCHEMA)
+
+
 def frame_sample(
     media: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 8
 ) -> DataFrame:

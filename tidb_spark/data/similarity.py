@@ -86,6 +86,39 @@ def cosine_pd(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(np.where(den == 0, 0.0, num / den))
 
 
+def cosine_micros_pd(scale: int = 1_000_000):
+    """Factory: pandas UDF computing true cosine over floor-quantized
+    vectors, presented as micro-units — bit-identical across engines.
+
+    Every step is deterministic IEEE-754: the quantized dot and squared
+    norms are EXACT int64 (≤ dim·scale² < 2^53, so exactly representable
+    as float64), and scalar sqrt//*// are correctly-rounded single ops —
+    unlike a float SUM, there is no fold-order sensitivity anywhere.  The
+    DuckDB oracle spells the identical expression
+    ``FLOOR((dot * CAST(1000000 AS DOUBLE)) / (sqrt(na2) * sqrt(nb2)))`` —
+    note the explicit DOUBLE cast: a ``1000000.0`` literal is DECIMAL(8,1)
+    in DuckDB and silently switches the multiply to exact decimal
+    arithmetic, off-by-one at floor boundaries vs IEEE doubles."""
+
+    @pandas_udf(LongType())
+    def _cm(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.floor(np.vstack(a.to_numpy()).astype(np.float64) * scale).astype(
+            np.int64
+        )
+        B = np.floor(np.vstack(b.to_numpy()).astype(np.float64) * scale).astype(
+            np.int64
+        )
+        dot = np.einsum("ij,ij->i", A, B).astype(np.float64)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A).astype(np.float64))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B).astype(np.float64))
+        den = na * nb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(den == 0, 0.0, np.floor((1_000_000.0 * dot) / den))
+        return pd.Series(s.astype(np.int64))
+
+    return _cm
+
+
 def quantized_dot_pd(scale: int = 1_000_000):
     """Factory: pandas UDF computing the exact int64 dot of floor-quantized
     vectors — bit-identical to the SQL `floor(cast(x as double)*scale)`
@@ -207,6 +240,7 @@ def brute_force_topk(
         "cosine": cosine_pd,
         "dot": dot_pd,
         "quantized_dot": quantized_dot_pd(),
+        "cosine_micros": cosine_micros_pd(),
     }[metric]
     scored = vectors.crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col),
@@ -258,14 +292,24 @@ def _plane_matrix(dim: int, planes: int, table: int) -> np.ndarray:
 
 def lsh_bucket(vec: Column, dim: int, *, planes: int = 16, table: int = 0):
     """Random-hyperplane LSH bucket id: one sign bit per plane, computed as
-    one Arrow-batched matmul against the plane matrix."""
+    one Arrow-batched matmul against the plane matrix.
+
+    Vector AND plane components are floor-quantized to int64 (scale 1e6)
+    before the dot: the sign test is then exact integer arithmetic — order-
+    independent and bit-identical in any engine — so bucket membership is
+    oracle-expressible (a float dot's sign can flip near zero depending on
+    fold order).  Sign flips vs the unquantized planes are confined to
+    |dot| < dim/scale — no effect on LSH's probabilistic guarantees."""
     P = _plane_matrix(dim, planes, table)
+    Pq = np.floor(P * 1_000_000).astype(np.int64)
     weights = (1 << np.arange(planes)).astype(np.int64)
 
     @pandas_udf(LongType())
     def _bucket(v: pd.Series) -> pd.Series:
-        V = np.vstack(v.to_numpy()).astype(np.float64)
-        bits = (V @ P.T) > 0
+        V = np.floor(
+            np.vstack(v.to_numpy()).astype(np.float64) * 1_000_000
+        ).astype(np.int64)
+        bits = (V @ Pq.T) > 0
         return pd.Series(bits @ weights)
 
     return _bucket(vec)
@@ -283,9 +327,14 @@ def lsh_topk(
     k: int = 10,
     planes: int = 12,
     tables: int = 4,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Approximate top-k: exact rescoring restricted to LSH bucket matches
     across ``tables`` independent hash tables."""
+    rescorer = {
+        "cosine": cosine_pd,
+        "cosine_micros": cosine_micros_pd(),
+    }[metric]
     cand = None
     for t in range(tables):
         v = vectors.select(
@@ -308,7 +357,7 @@ def lsh_topk(
     scored = cand.select(
         query_id_col,
         id_col,
-        cosine_pd(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+        rescorer(F.col(vec_col), F.col(query_vec_col)).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
     return (
@@ -316,6 +365,14 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def lsh_plane_ints(dim: int, *, planes: int, table: int) -> list[list[int]]:
+    """The quantized plane rows :func:`lsh_bucket` tests against, as plain
+    ints — lets an external oracle (DuckDB SQL generation) reproduce bucket
+    ids exactly."""
+    P = _plane_matrix(dim, planes, table)
+    return np.floor(P * 1_000_000).astype(np.int64).tolist()
 
 
 def kmeans_centroids(
@@ -361,6 +418,7 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
     centroids: DataFrame | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """IVF-flat ANN: deterministic coarse centroids (the ``nlist`` smallest
     ids — a fixed sample standing in for k-means, which would be an offline
@@ -403,18 +461,27 @@ def ivf_topk(
         [np.asarray(r["centroid_vec"], dtype=np.float64) for r in cent_rows]
     )
     cent_ids = np.array([r["centroid_id"] for r in cent_rows], dtype=np.int64)
-    Cn = C / np.maximum(
-        np.linalg.norm(C, axis=1, keepdims=True), np.finfo(np.float64).tiny
-    )
+    # Quantized micro-cosine assignment (same determinism argument as
+    # cosine_micros_pd: exact int64 dots/norms, correctly-rounded scalar
+    # sqrt / * / /): argmax is reproducible bit-for-bit by an external
+    # oracle, and np.argmax's first-max tie-break = smallest centroid_id
+    # over the id-sorted rows.
+    Cq = np.floor(C * 1_000_000).astype(np.int64)
+    cn = np.sqrt(np.einsum("ij,ij->i", Cq, Cq).astype(np.float64))
 
     def _assign(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            vn = np.linalg.norm(V, axis=1, keepdims=True)
-            Vn = V / np.maximum(vn, np.finfo(np.float64).tiny)
-            idx = np.argmax(Vn @ Cn.T, axis=1)
+            Vq = np.floor(
+                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * 1_000_000
+            ).astype(np.int64)
+            D = (Vq @ Cq.T).astype(np.float64)
+            vn = np.sqrt(np.einsum("ij,ij->i", Vq, Vq).astype(np.float64))
+            den = vn[:, None] * cn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(den == 0, 0.0, np.floor((D * 1_000_000.0) / den))
+            idx = np.argmax(S, axis=1)
             out = pdf[[id_col, vec_col]].copy()
             out["centroid_id"] = cent_ids[idx]
             yield out
@@ -428,6 +495,10 @@ def ivf_topk(
     assigned = vectors.select(id_col, vec_col).mapInPandas(
         _assign, schema=assign_schema
     )
+    rescorer = {
+        "cosine": cosine_pd,
+        "cosine_micros": cosine_micros_pd(),
+    }[metric]
     probe_w = Window.partitionBy(query_id_col).orderBy(
         F.col("cdist").desc(), F.col("centroid_id")
     )
@@ -437,7 +508,9 @@ def ivf_topk(
             query_id_col,
             query_vec_col,
             "centroid_id",
-            cosine_pd(F.col(query_vec_col), F.col("centroid_vec")).alias("cdist"),
+            cosine_micros_pd()(
+                F.col(query_vec_col), F.col("centroid_vec")
+            ).alias("cdist"),
         )
         .withColumn("r", F.row_number().over(probe_w))
         .where(F.col("r") <= nprobe)
@@ -446,7 +519,7 @@ def ivf_topk(
     scored = assigned.join(F.broadcast(probes), on="centroid_id").select(
         query_id_col,
         id_col,
-        cosine_pd(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+        rescorer(F.col(vec_col), F.col(query_vec_col)).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
     return (

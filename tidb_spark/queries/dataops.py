@@ -134,11 +134,32 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.duplicate_clusters(pairs).orderBy("doc_id")
 
 
-@register("dedup_minhash_lsh", oracle=None, tags=("dedup", "approx"))
+DEDUP_MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct([substr(n, i, 8) FOR i IN range(1, greatest(length(n) - 6, 2))]) AS s
+  FROM (SELECT doc_id, {_NORM} AS n FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.s, b.s)) AS c, len(a.s) AS n1, len(b.s) AS n2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT d1, d2, CAST(c AS DOUBLE) / (n1 + n2 - c) AS jaccard
+FROM pairs WHERE CAST(c AS DOUBLE) / (n1 + n2 - c) >= 0.2
+ORDER BY d1, d2
+"""
+
+
+@register("dedup_minhash_lsh", oracle=DEDUP_MINHASH_ORACLE, tags=("dedup", "approx"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32)+LSH(8 bands) candidate pairs verified at Jaccard ≥ 0.2 —
-    sketch collisions are hash-family-specific → rows-only; exact semantics
-    covered by dedup_ngram_jaccard."""
+    """MinHash(32)+LSH(8 bands) candidate pairs verified at exact
+    Jaccard ≥ 0.2.  Oracle: DuckDB ALL-PAIRS Jaccard at the same threshold —
+    exact for this fixture because its ≥0.2 pairs are planted near-dups
+    (J ≈ 1) that 8 bands × 4 rows catch with probability ~1; the verified
+    jaccard itself is |∩|/|∪| of identical shingle sets on both sides, so
+    values hash-match bit-exactly (empirically 25/25 pairs, Δj = 0.0 at
+    sf0.01).  A borderline-J corpus would make banding probabilistic again —
+    then this row legitimately reverts to rows-only."""
     docs = _t(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(
         docs, "text", "doc_id", k=8, num_hashes=32, bands=8, verify_threshold=0.2
@@ -229,43 +250,201 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "vec_id")
 
 
-@register("sim_topk_cosine", oracle=None, tags=("similarity", "approx"))
+SIM_COSINE_ORACLE = """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM q
+),
+queries AS (SELECT vec_id AS query_id, qv AS query_qv, n2 AS qn2 FROM n WHERE vec_id < 5),
+sc AS (
+  SELECT query_id, vec_id,
+         CASE WHEN qn2 = 0 OR n2 = 0 THEN 0
+              ELSE CAST(FLOOR((CAST(list_sum(list_transform(list_zip(query_qv, qv), p -> p[1] * p[2])) AS BIGINT) * CAST(1000000 AS DOUBLE))
+                        / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))) AS BIGINT)
+         END AS score
+  FROM n CROSS JOIN queries
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+  FROM sc
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
+ORDER BY query_id, vec_id
+"""
+
+
+@register("sim_topk_cosine", oracle=SIM_COSINE_ORACLE, tags=("similarity",))
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True cosine top-10 (FP scores are fold-order sensitive → rows-only;
-    quantized twin above is the exact gate)."""
+    """True cosine top-10, scores presented in micro-units over quantized
+    inputs so ranking and values are bit-identical across engines: the dot
+    and squared norms are exact int64 (exactly representable as float64)
+    and the remaining sqrt//*// are single correctly-rounded IEEE ops — no
+    fold-order sensitivity anywhere (cosine_micros_pd)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return sim.brute_force_topk(emb, queries, k=10, metric="cosine").orderBy(
-        "query_id", "vec_id"
-    )
+    return sim.brute_force_topk(
+        emb, queries, k=10, metric="cosine_micros"
+    ).orderBy("query_id", "vec_id")
 
 
-@register("sim_lsh_topk", oracle=None, tags=("similarity", "approx"))
+def _lsh_oracle(dim: int = 64, planes: int = 12, tables: int = 4) -> str:
+    """Generate the DuckDB mirror of lsh_topk from the SAME quantized plane
+    constants the Spark operator uses (lsh_plane_ints), so the two cannot
+    drift: bucket ids are exact integer sign-bit sums, candidates are bucket
+    matches in any table, rescoring is the deterministic cosine-micros
+    formula.  Same generated-SQL pattern as _langid_oracle."""
+    bucket_cols = []
+    for t in range(tables):
+        rows = sim.lsh_plane_ints(dim, planes=planes, table=t)
+        bits = []
+        for j, row in enumerate(rows):
+            consts = "[" + ", ".join(str(c) for c in row) + "]"
+            dot = (
+                "CAST(list_sum(list_transform(list_zip(qv, "
+                + consts
+                + "), p -> p[1] * p[2])) AS BIGINT)"
+            )
+            bits.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
+        bucket_cols.append("(" + " + ".join(bits) + f") AS b{t}")
+    bucket_sql = ",\n         ".join(bucket_cols)
+    joins = " OR ".join(f"v.b{t} = q.qb{t}" for t in range(tables))
+    qb = ", ".join(f"b{t} AS qb{t}" for t in range(tables))
+    return f"""
+WITH raw AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2,
+         {bucket_sql}
+  FROM raw
+),
+queries AS (
+  SELECT vec_id AS query_id, qv AS qqv, n2 AS qn2, {qb}
+  FROM b WHERE vec_id < 5
+),
+cand AS (
+  SELECT DISTINCT q.query_id, v.vec_id, q.qqv, v.qv, q.qn2, v.n2
+  FROM b v JOIN queries q ON {joins}
+),
+sc AS (
+  SELECT query_id, vec_id,
+         CASE WHEN qn2 = 0 OR n2 = 0 THEN 0
+              ELSE CAST(FLOOR((CAST(list_sum(list_transform(list_zip(qqv, qv), p -> p[1] * p[2])) AS BIGINT) * CAST(1000000 AS DOUBLE))
+                        / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))) AS BIGINT)
+         END AS score
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+  FROM sc
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
+ORDER BY query_id, vec_id
+"""
+
+
+@register("sim_lsh_topk", oracle=_lsh_oracle(), tags=("similarity",))
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (4 tables × 12 planes): candidates from
-    bucket joins only — the 100 TB serving path."""
+    bucket joins only — the 100 TB serving path.  Buckets use integer-exact
+    quantized sign bits and rescoring uses cosine micro-units, so the whole
+    pipeline (candidacy AND scores) is deterministic and oracle-checked
+    against generated SQL sharing the exact plane constants."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return sim.lsh_topk(emb, queries, dim=64, k=10, planes=12, tables=4).orderBy(
-        "query_id", "vec_id"
-    )
+    return sim.lsh_topk(
+        emb, queries, dim=64, k=10, planes=12, tables=4, metric="cosine_micros"
+    ).orderBy("query_id", "vec_id")
 
 
-@register("sim_ivf_topk", oracle=None, tags=("similarity", "approx"))
+# Deterministic micro-cosine between two quantized vectors (DuckDB side of
+# cosine_micros_pd).  {a}/{b} are (qv, n2) column-name pairs.
+_MICRO_COS = (
+    "CASE WHEN {an2} = 0 OR {bn2} = 0 THEN 0 "
+    "ELSE CAST(FLOOR((CAST(list_sum(list_transform(list_zip({aqv}, {bqv}), p -> p[1] * p[2])) AS BIGINT) * CAST(1000000 AS DOUBLE))"
+    " / (sqrt(CAST({an2} AS DOUBLE)) * sqrt(CAST({bn2} AS DOUBLE)))) AS BIGINT) END"
+)
+
+SIM_IVF_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM q
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         qv AS cqv, n2 AS cn2
+  FROM (SELECT * FROM n ORDER BY vec_id LIMIT 16)
+),
+assigned AS (
+  SELECT vec_id, qv, n2, centroid_id FROM (
+    SELECT v.vec_id, v.qv, v.n2, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_MICRO_COS.format(aqv="v.qv", an2="v.n2", bqv="c.cqv", bn2="c.cn2")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM n v CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT s.vec_id AS query_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY {_MICRO_COS.format(aqv="s.qv", an2="s.n2", bqv="c.cqv", bn2="c.cn2")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM (SELECT * FROM n WHERE vec_id < 5) s CROSS JOIN cent c
+  ) WHERE rn <= 4
+),
+sc AS (
+  SELECT p.query_id, a.vec_id,
+         {_MICRO_COS.format(aqv="s.qv", an2="s.n2", bqv="a.qv", bn2="a.n2")} AS score
+  FROM probes p
+  JOIN assigned a ON a.centroid_id = p.centroid_id
+  JOIN n s ON s.vec_id = p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+  FROM sc
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
+ORDER BY query_id, vec_id
+"""
+
+
+@register("sim_ivf_topk", oracle=SIM_IVF_ORACLE, tags=("similarity",))
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: 16 coarse lists, probe 4 — partition pruning for
-    vectors."""
+    vectors.  Assignment, probe ranking, and rescoring all use the
+    deterministic quantized micro-cosine, so the full pipeline (which lists
+    exist, which are probed, and the scores) is oracle-checked."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return sim.ivf_topk(emb, queries, k=10, nlist=16, nprobe=4).orderBy(
-        "query_id", "vec_id"
-    )
+    return sim.ivf_topk(
+        emb, queries, k=10, nlist=16, nprobe=4, metric="cosine_micros"
+    ).orderBy("query_id", "vec_id")
 
 
 # --------------------------------------------------------------------------
@@ -354,29 +533,70 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("text_winnowing", oracle=None, tags=("text", "approx"))
+TEXT_WINNOWING_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, i AS pos, md5(substr(n, i, 8)) AS fp
+  FROM (SELECT doc_id, {_NORM} AS n FROM documents),
+       UNNEST(range(1, greatest(length(n) - 6, 2))) AS t(i)
+),
+win AS (
+  SELECT doc_id, pos,
+         MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wfp,
+         MAX(pos) OVER (PARTITION BY doc_id) AS max_pos
+  FROM sh
+),
+fps AS (
+  SELECT DISTINCT doc_id, wfp AS fp
+  FROM win WHERE pos <= max_pos - 3 OR pos = 1
+),
+shared AS (
+  SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+  FROM fps GROUP BY fp HAVING COUNT(*) > 1
+)
+SELECT fp, n_docs, first_doc FROM shared ORDER BY n_docs DESC, fp LIMIT 100
+"""
+
+
+@register("text_winnowing", oracle=TEXT_WINNOWING_ORACLE, tags=("text",))
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint sets (rolling-hash minima per window) — hash
-    values are engine-specific → rows-only; emits per-doc fingerprint count
-    plus docs sharing a fingerprint."""
+    """Winnowing fingerprint sets (rolling minima of shingle hashes per
+    position window, Schleimer et al.'s MOSS scheme): emits fingerprints
+    shared across documents.  The shingle hash is md5 — available and
+    bit-identical in both engines, which is what makes the window-min
+    oracle-expressible (an xxhash64 variant would be ~8× narrower shuffle
+    rows at scale; swap the hash column, the plan shape is unchanged).
+    Positions explode FIRST so substring+md5 run codegen'd, same as
+    shingle_posting."""
     docs = _t(spark, sf_dir, "documents")
-    w = 4
-    posting = dd.shingle_posting(docs, "text", "doc_id", k=8, with_pos=True)
-    win = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
-    n_win = Window.partitionBy("doc")
+    w, k = 4, 8
+    normalized = docs.select(
+        F.col("doc_id"), dd.normalize_text(F.col("text")).alias("t")
+    )
+    posting = normalized.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - (k - 1), F.lit(1)))
+        ).alias("pos"),
+        "t",
+    ).select(
+        "doc_id", "pos", F.md5(F.substring(F.col("t"), F.col("pos"), k)).alias("fp")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    n_win = Window.partitionBy("doc_id")
     fps = (
         posting.select(
-            F.col("doc").alias("doc_id"),
+            "doc_id",
             "pos",
-            F.min("g").over(win).alias("fp"),
+            F.min("fp").over(win).alias("wfp"),
             F.max("pos").over(n_win).alias("max_pos"),
         )
-        # Only full windows (the reference winnowing emits n-w+1 windows;
-        # degenerate short docs keep window 1).
+        # Only full windows (winnowing emits n-w+1 windows; degenerate
+        # short docs keep window 1).
         .where(
             (F.col("pos") <= F.col("max_pos") - (w - 1)) | (F.col("pos") == 1)
         )
-        .select("doc_id", "fp")
+        .select("doc_id", F.col("wfp").alias("fp"))
         .distinct()
     )
     shared = (
@@ -413,17 +633,47 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features", oracle=None, tags=("multimodal", "stub"))
+MM_FEATURES_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN CAST(doc_id % 32 + 8 AS INT)
+            WHEN 1 THEN CAST(doc_id % 500 + 100 AS INT)
+            ELSE CAST(doc_id % 16 + 8 AS INT) END AS width,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN CAST(doc_id % 24 + 8 AS INT)
+            WHEN 1 THEN 1
+            ELSE CAST(doc_id % 12 + 8 AS INT) END AS height,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 1
+            WHEN 1 THEN CAST(doc_id % 500 + 100 AS INT)
+            ELSE CAST(doc_id % 4 + 1 AS INT) END AS n_units,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN CAST(list_sum(list_transform(range(0, (doc_id % 32 + 8) * (doc_id % 24 + 8)),
+                                                     j -> (doc_id * 31 + j) % 256)) AS BIGINT)
+            WHEN 1 THEN CAST(list_sum(list_transform(range(0, doc_id % 500 + 100),
+                                                     j -> ((doc_id * 7 + j * 13) % 65536) - 32768)) AS BIGINT)
+            ELSE CAST(list_sum(list_transform(range(1, doc_id % 4 + 2),
+                     f -> list_sum(list_transform(range(0, (doc_id % 16 + 8) * (doc_id % 12 + 8)),
+                                                  j -> (doc_id * 31 + f * 17 + j) % 256)))) AS BIGINT)
+       END AS checksum
+FROM documents
+ORDER BY media_id
+"""
+
+
+@register("multimodal_features", oracle=MM_FEATURES_ORACLE, tags=("multimodal",))
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode → feature vectors (deterministic
-    fake decoder standing in for absent codec libs; the batching/schema
-    plumbing is the operator under test)."""
+    """REAL media decode over synthetic-but-real payloads: PNG images
+    (zlib inflate + scanline defilter), WAV PCM16 audio (wave module), and
+    a multi-PNG video container — all stdlib codecs, Arrow-batched through
+    mapInPandas.  Payload content is closed-form in doc_id, so the oracle
+    recomputes width/height/frame-count/checksum analytically; the Spark
+    side must round-trip the actual bytes through the actual decoder to
+    match.  Foreign formats (JPEG…) remain PIL-gated (the only stub left)."""
     docs = _t(spark, sf_dir, "documents")
-    media = mm.attach_binary_payload(docs, "text", "doc_id")
-    feats = mm.decode_features(media, dim=8, fake=True)
-    return feats.select("media_id", "media_type", "byte_len", "width", "height").orderBy(
-        "media_id"
-    )
+    media = mm.synthesize_media(docs, "doc_id")
+    return mm.decode_media(media).orderBy("media_id")
 
 
 MM_FRAMES_ORACLE = """
