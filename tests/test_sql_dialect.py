@@ -563,3 +563,87 @@ def test_builtin_longtail_point_values(engine):
     assert row.o == 0
     assert row.p == "::ffff:102:304" or row.p == "::ffff:1.2.3.4"
     assert str(row.q) == "2003-01-02 00:01:00"
+
+
+def test_view_lifecycle(engine):
+    """CREATE/DROP VIEW (planner/core/planbuilder.go:411,498 buildCreateView;
+    executor/ddl.go): lazy expansion into consumers, OR REPLACE, column-list
+    rename + arity check, SHOW surface round-trip, and reference-shaped
+    errors for duplicate create / dropping non-views."""
+    import pytest as _pytest
+
+    engine.sql(
+        "CREATE VIEW v_top AS SELECT n_regionkey, COUNT(*) AS n "
+        "FROM nation GROUP BY n_regionkey"
+    )
+    rows = engine.sql("SELECT * FROM v_top ORDER BY n_regionkey").collect()
+    assert len(rows) == 5 and all(r.n == 5 for r in rows)
+    tabs = {r[0] for r in engine.sql("SHOW TABLES").collect()}
+    assert "v_top" in tabs
+    txt = engine.sql("SHOW CREATE VIEW v_top").collect()[0][1]
+    assert txt.startswith("CREATE VIEW `v_top` AS SELECT")
+    assert engine.sql("SHOW CREATE TABLE v_top").collect()[0][1] == txt
+
+    with _pytest.raises(ValueError, match="already exists"):
+        engine.sql("CREATE VIEW v_top AS SELECT 1 AS x")
+    engine.sql(
+        "CREATE OR REPLACE VIEW v_top (rk, cnt) AS "
+        "SELECT n_regionkey, COUNT(*) FROM nation GROUP BY n_regionkey"
+    )
+    assert engine.sql("SELECT cnt FROM v_top WHERE rk = 0").collect()[0].cnt == 5
+    with _pytest.raises(ValueError, match="column list"):
+        engine.sql("CREATE OR REPLACE VIEW v_bad (a) AS SELECT 1 AS x, 2 AS y")
+
+    # MySQL-dialect view bodies run through the translator.
+    engine.sql(
+        "CREATE VIEW v_fmt AS SELECT o_orderkey, "
+        "DATE_FORMAT(o_orderdate, '%Y') AS y FROM orders WHERE o_orderkey < 8"
+    )
+    ys = {r.y for r in engine.sql("SELECT y FROM v_fmt").collect()}
+    assert ys and all(len(y) == 4 and y.isdigit() for y in ys)
+
+    engine.sql("DROP VIEW v_fmt")
+    engine.sql("DROP VIEW v_top")
+    with _pytest.raises(ValueError, match="not a known view"):
+        engine.sql("DROP VIEW v_top")
+    engine.sql("DROP VIEW IF EXISTS v_top")  # no error
+    with _pytest.raises(ValueError, match="not a known view"):
+        engine.sql("DROP VIEW nation")  # base tables are not droppable views
+
+
+def test_hint_recognition_and_join_method(engine):
+    """/*+ ... */ hints (util/hint/, planner/optimize.go): every TiDB hint
+    is recognized and stripped (never mis-lexed into the translator), and
+    join-method hints with a Spark analogue are honored via Spark's own
+    hint channel."""
+    base = (
+        "SELECT {h}n_name, r_name FROM nation n "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey WHERE n_nationkey < 5 "
+        "ORDER BY n_name"
+    )
+    plain = engine.sql(base.format(h="")).collect()
+
+    # Unknown / inapplicable hints strip cleanly and change nothing.
+    noisy = engine.sql(
+        base.format(
+            h="/*+ LEADING(r, n), MEMORY_QUOTA(1024 MB), USE_INDEX(n, idx), "
+            "READ_FROM_STORAGE(TIFLASH[n]) */ "
+        )
+    ).collect()
+    assert noisy == plain
+
+    # SHUFFLE_HASH-mapped hint flips the join away from broadcast.
+    hj = engine.sql(base.format(h="/*+ HASH_JOIN(r) */ "))
+    assert hj.collect() == plain
+    hj_plan = hj._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in hj_plan, hj_plan
+
+    # Broadcast-mapped hint (incl. the INL_JOIN family) keeps broadcast.
+    bj = engine.sql(base.format(h="/*+ INL_JOIN(r) */ "))
+    assert bj.collect() == plain
+    bj_plan = bj._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bj_plan, bj_plan
+
+    # Query-block-qualified args (@sel_1) drop the qualifier token only.
+    qb = engine.sql(base.format(h="/*+ MERGE_JOIN(@sel_1 r) */ "))
+    assert qb.collect() == plain

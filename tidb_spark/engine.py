@@ -112,6 +112,10 @@ class Engine:
         # analogue, surfaced but not interpreted).
         self.user_vars: dict[str, str] = {}
         self.sys_vars: dict[str, str] = {}
+        # CREATE VIEW registry: name -> original defining SELECT (the
+        # reference stores the SELECT text in the view's TableInfo,
+        # planner/core/planbuilder.go:411-498 buildCreateView).
+        self.views: dict[str, str] = {}
         self._tmp_view_n = 0
         register_shim_udfs(spark)
 
@@ -678,9 +682,20 @@ class Engine:
         cm = _CHECKSUM_RE.match(query)
         if cm:
             return self.checksum(cm.group(1))
+        # Hints first: @query_block qualifiers inside /*+ ... */ must not be
+        # mistaken for @user variables by the substitution pass.
+        query, hints = self._extract_hints(query)
         query = self._substitute_user_vars(query)
         if re.match(r"(?is)^\s*(SHOW|DESC(?:RIBE)?\s+\w+\s*;?\s*$)", query):
             return self._run_show(query)
+        vm = self._VIEW_RE.match(query)
+        if vm:
+            self._run_create_view(vm)
+            return self.spark.range(0).select(F.lit("OK").alias("status"))
+        dvm = self._DROP_VIEW_RE.match(query)
+        if dvm:
+            self._run_drop_view(dvm)
+            return self.spark.range(0).select(F.lit("OK").alias("status"))
         if re.match(r"(?is)^\s*CREATE\s+TABLE\b", query):
             from tidb_spark.sqlshim import create_table as _ct
 
@@ -703,6 +718,7 @@ class Engine:
         query = self._rewrite_as_of(query)
         query = self._rewrite_partition_selection(query)
         query = self._apply_static_pruning(query)
+        query = self._inject_hints(query, hints)
         parsed = mc.find_and_parse(query)
         if parsed is not None:
             start, end, path = parsed
@@ -775,6 +791,120 @@ class Engine:
             + m.group(2)
         )
 
+    # -- Views (planner/core/planbuilder.go:411,498 buildCreateView /
+    # isCreateView; executor/ddl.go view lifecycle) ------------------------
+
+    _VIEW_RE = re.compile(
+        r"(?is)^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+"
+        r"`?(?P<name>\w+)`?\s*(?:\((?P<cols>[^)]*)\))?\s*AS\s+(?P<body>.+?)\s*;?\s*$"
+    )
+    _DROP_VIEW_RE = re.compile(
+        r"(?is)^\s*DROP\s+VIEW\s+(?P<ifex>IF\s+EXISTS\s+)?`?(?P<name>\w+)`?\s*;?\s*$"
+    )
+
+    def _run_create_view(self, m: re.Match) -> None:
+        """CREATE [OR REPLACE] VIEW name [(cols)] AS select.
+
+        The defining SELECT goes through the full engine pipeline (dialect
+        translation, MATCH lowering, …), and the resulting *unevaluated*
+        DataFrame plan is registered as a temp view — like the reference,
+        the view expands into each consumer's plan at build time; nothing is
+        materialized."""
+        name, body = m.group("name"), m.group("body")
+        if not m.group("replace") and (
+            name in self.views
+            or name in self.tables
+            or name in self.managed
+            or self.spark.catalog.tableExists(name)
+        ):
+            # ddl.go returns ErrTableExists for a live name without OR REPLACE.
+            raise ValueError(f"CREATE VIEW: table or view {name!r} already exists")
+        df = self.sql(body)
+        if m.group("cols"):
+            cols = [c.strip().strip("`") for c in m.group("cols").split(",") if c.strip()]
+            if len(cols) != len(df.columns):
+                # planbuilder.go: ErrViewWrongList
+                raise ValueError(
+                    "CREATE VIEW: column list length "
+                    f"{len(cols)} != SELECT arity {len(df.columns)}"
+                )
+            df = df.toDF(*cols)
+        df.createOrReplaceTempView(name)
+        self.views[name] = body.strip()
+
+    def _run_drop_view(self, m: re.Match) -> None:
+        name = m.group("name")
+        if name not in self.views:
+            if m.group("ifex"):
+                return
+            # executor/ddl.go: dropping a non-view / unknown name errors
+            # (ErrWrongObject for base tables).
+            kind = "table" if (name in self.tables or name in self.managed) else "view"
+            raise ValueError(f"DROP VIEW: {name!r} is not a known view ({kind})")
+        self.spark.catalog.dropTempView(name)
+        del self.views[name]
+
+    # -- Optimizer hints (util/hint/, planner/optimize.go hint binding) ----
+    #
+    # The reference parses /*+ ... */ into per-statement hint sets.  Here:
+    # join-method hints with a Spark equivalent are rewritten into Spark's
+    # own hint comment (honored by Catalyst); everything else (LEADING,
+    # USE_INDEX, MEMORY_QUOTA, READ_FROM_STORAGE, …) is recognized and
+    # stripped — matching the reference's behavior for hints that don't
+    # apply to the chosen plan (a warning, never an error).
+
+    _HINT_BLOCK_RE = re.compile(r"/\*\+(?P<body>.*?)\*/", re.S)
+    _HINT_MAP = {
+        "BROADCAST_JOIN": "BROADCAST",
+        "BC_JOIN": "BROADCAST",
+        "TIDB_BCJ": "BROADCAST",
+        "INL_JOIN": "BROADCAST",  # index nested-loop ≈ broadcast small side
+        "TIDB_INLJ": "BROADCAST",
+        "INL_HASH_JOIN": "BROADCAST",
+        "INL_MERGE_JOIN": "BROADCAST",
+        "HASH_JOIN": "SHUFFLE_HASH",
+        "TIDB_HJ": "SHUFFLE_HASH",
+        "MERGE_JOIN": "MERGE",
+        "TIDB_SMJ": "MERGE",
+    }
+
+    def _extract_hints(self, query: str) -> tuple[str, list[str]]:
+        """Strip every /*+ ... */ block, returning Spark-translatable hints."""
+        hints: list[str] = []
+
+        def collect(m: re.Match) -> str:
+            for h in re.finditer(r"(\w+)\s*(?:\(([^()]*)\))?", m.group("body")):
+                hname, args = h.group(1).upper(), h.group(2)
+                mapped = self._HINT_MAP.get(hname)
+                if mapped and args:
+                    # Drop @query_block qualifiers (hint/hint.go QB syntax:
+                    # "@sel_1 t1" qualifies the table that follows it).
+                    tables = []
+                    for tok in args.split(","):
+                        words = [
+                            w.strip("`")
+                            for w in tok.split()
+                            if not w.startswith("@")
+                        ]
+                        tables.extend(words)
+                    if tables:
+                        hints.append(f"{mapped}({', '.join(tables)})")
+            return " "
+
+        return self._HINT_BLOCK_RE.sub(collect, query), hints
+
+    def _inject_hints(self, query: str, hints: list[str]) -> str:
+        """Re-emit surviving hints as a Spark hint comment after the first
+        SELECT (Spark only honors hints directly inside a SELECT)."""
+        if not hints:
+            return query
+        return re.sub(
+            r"(?is)\bSELECT\b",
+            "SELECT /*+ " + ", ".join(hints) + " */",
+            query,
+            count=1,
+        )
+
     def _run_show(self, query: str) -> DataFrame:
         """SHOW TABLES / DATABASES / COLUMNS (DESC/DESCRIBE) / VARIABLES /
         CREATE TABLE — the routine interactive surface (executor/show.go,
@@ -784,8 +914,20 @@ class Engine:
         mk = lambda rows, schema: self.spark.createDataFrame(rows, schema)
 
         if re.match(r"(?is)^SHOW\s+TABLES$", q):
+            # Views list alongside tables, as in MySQL/the reference
+            # (show.go fetchShowTables includes VIEW objects).
             return mk(
-                [(t,) for t in sorted(self.tables)], "Tables_in_tidb_spark string"
+                [(t,) for t in sorted(set(self.tables) | set(self.views))],
+                "Tables_in_tidb_spark string",
+            )
+        m = re.match(r"(?is)^SHOW\s+CREATE\s+VIEW\s+`?(\w+)`?$", q)
+        if m:
+            name = m.group(1)
+            if name not in self.views:
+                raise ValueError(f"SHOW CREATE VIEW: unknown view {name!r}")
+            return mk(
+                [(name, f"CREATE VIEW `{name}` AS {self.views[name]}")],
+                "View string, `Create View` string",
             )
         if re.match(r"(?is)^SHOW\s+DATABASES$", q):
             return mk(
@@ -1100,6 +1242,10 @@ class Engine:
         def _sql_type(dt) -> str:
             return dt.simpleString().upper()
 
+        if name in self.views:
+            # show.go serves views through SHOW CREATE TABLE as well
+            # (fetchShowCreateTable4View).
+            return f"CREATE VIEW `{name}` AS {self.views[name]}"
         if name in self.graph.edges:
             e = self.graph.edge(name)
             cols = []

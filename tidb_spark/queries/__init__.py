@@ -115,6 +115,9 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "sample_deterministic",
     "limit_offset",
     "cte_nonrecursive",
+    # --- round-3 new surface: hints + views ---
+    "mysqlsql_hint_join",
+    "mysqlsql_view_join",
 )
 
 

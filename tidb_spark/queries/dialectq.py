@@ -268,3 +268,58 @@ def mysqlsql_string_longtail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(TRUNCATE(c_acctbal, 1), 1) AS trunc_v "
         "FROM customer WHERE c_custkey < 200 ORDER BY c_custkey"
     )
+
+
+HINT_JOIN_ORACLE = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE c.c_custkey < 500
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@register("mysqlsql_hint_join", oracle=HINT_JOIN_ORACLE, tags=("dialect", "hints"))
+def mysqlsql_hint_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer hints (util/hint/, planner/optimize.go): TiDB-style
+    /*+ ... */ blocks are recognized — join-method hints map onto Spark's
+    hint channel (HASH_JOIN → SHUFFLE_HASH here), the rest strip cleanly
+    instead of reaching the translator; results are hint-invariant."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT /*+ HASH_JOIN(o), MEMORY_QUOTA(64 MB), USE_INDEX(c, PRIMARY) */ "
+        "c.c_mktsegment, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "WHERE c.c_custkey < 500 "
+        "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
+    )
+
+
+VIEW_JOIN_ORACLE = """
+WITH v_bigorders AS (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+)
+SELECT c.c_mktsegment, COUNT(*) AS n_big
+FROM customer c JOIN v_bigorders v ON c.c_custkey = v.o_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@register("mysqlsql_view_join", oracle=VIEW_JOIN_ORACLE, tags=("dialect", "views"))
+def mysqlsql_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW + consumption (planner/core/planbuilder.go:411
+    buildCreateView): the view expands lazily into the consumer plan —
+    filter pushdown still reaches the orders scan through it."""
+    eng = _engine(spark, sf_dir)
+    eng.sql(
+        "CREATE OR REPLACE VIEW v_bigorders AS "
+        "SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000"
+    )
+    return eng.sql(
+        "SELECT c.c_mktsegment, COUNT(*) AS n_big "
+        "FROM customer c JOIN v_bigorders v ON c.c_custkey = v.o_custkey "
+        "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
+    )
