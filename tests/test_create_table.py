@@ -187,3 +187,51 @@ def test_alter_table_graphify(engine):
         "ORDER BY s"
     ).collect()
     assert [(r.s, r.d) for r in got] == [("a", "b"), ("b", "c")]
+
+
+def test_enum_set_write_validation(engine):
+    """SURVEY §1.2: ENUM/SET store as STRING with validity enforced at
+    write (types/enum.go, types/set.go; strict-mode rejects like the
+    reference's executor/insert abort)."""
+    import pytest as _pytest
+
+    engine.sql(
+        "CREATE TABLE shirts (id BIGINT PRIMARY KEY, "
+        "size ENUM('S','M','L'), tags SET('red','green','blue'))"
+    )
+    engine.sql("INSERT INTO shirts VALUES (1, 'M', 'red,blue')")
+    engine.sql("INSERT INTO shirts VALUES (2, NULL, '')")  # NULL / empty set ok
+    rows = engine.sql("SELECT * FROM shirts ORDER BY id").collect()
+    assert [(r.size, r.tags) for r in rows] == [("M", "red,blue"), (None, "")]
+
+    with _pytest.raises(ValueError, match="Incorrect enum value"):
+        engine.sql("INSERT INTO shirts VALUES (3, 'XL', 'red')")
+    with _pytest.raises(ValueError, match="Incorrect set value"):
+        engine.sql("INSERT INTO shirts VALUES (3, 'S', 'red,purple')")
+    # UPDATE validates assigned domain columns too.
+    with _pytest.raises(ValueError, match="Incorrect enum value"):
+        engine.sql("UPDATE shirts SET size = 'HUGE' WHERE id = 1")
+    # REPLACE goes through the same gate.
+    with _pytest.raises(ValueError, match="Incorrect set value"):
+        engine.sql("REPLACE INTO shirts VALUES (1, 'S', 'mauve')")
+    # Nothing invalid landed.
+    rows = engine.sql("SELECT * FROM shirts ORDER BY id").collect()
+    assert len(rows) == 2 and rows[0].size == "M"
+
+    # Duplicate ENUM members are rejected at DDL time.
+    with _pytest.raises(ValueError, match="Duplicated value"):
+        engine.sql("CREATE TABLE bad (id BIGINT, e ENUM('a','a'))")
+
+
+def test_decimal_clamp_warns(engine):
+    """DECIMAL(65,30) exceeds Spark's 38-digit cap: DDL clamps with a
+    warning, preserving the integral range (SURVEY §1.2/§7)."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        engine.sql("CREATE TABLE money (id BIGINT PRIMARY KEY, v DECIMAL(65,30))")
+    msgs = [str(w.message) for w in caught]
+    assert any("clamped to DECIMAL(38,3)" in m for m in msgs), msgs
+    typ = dict(engine.tables["money"].dtypes)["v"]
+    assert typ == "decimal(38,3)", typ

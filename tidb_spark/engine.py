@@ -148,6 +148,7 @@ class Engine:
         df: DataFrame,
         key_cols: list[str],
         partition_spec=None,
+        domains: dict[str, tuple[str, tuple[str, ...]]] | None = None,
     ) -> ManagedTable:
         """Create a writable (managed, copy-on-write parquet) table in the
         engine workspace and expose it to SQL — the DML target surface
@@ -160,6 +161,7 @@ class Engine:
             key_cols,
             df=df,
             partition_spec=partition_spec,
+            domains=domains,
         )
         self.managed[name] = mt
         self._refresh_view(name)
@@ -190,6 +192,11 @@ class Engine:
                 return
             raise ValueError(f"table {stmt.name!r} already exists")
         empty = self.spark.createDataFrame([], schema=stmt.schema_ddl())
+        domains = {
+            c.name: (c.domain_kind, c.domain)
+            for c in stmt.columns
+            if c.domain_kind
+        } or None
         if stmt.is_edge:
             src = next(c for c in stmt.columns if c.source_ref)
             dst = next(c for c in stmt.columns if c.dest_ref)
@@ -200,12 +207,12 @@ class Engine:
             )
             self.create_table(
                 stmt.name, empty, key_cols=stmt.pk_cols,
-                partition_spec=stmt.partition_spec,
+                partition_spec=stmt.partition_spec, domains=domains,
             )
             return
         self.create_table(
             stmt.name, empty, key_cols=stmt.pk_cols,
-            partition_spec=stmt.partition_spec,
+            partition_spec=stmt.partition_spec, domains=domains,
         )
         if len(stmt.pk_cols) == 1:
             pk = next(c for c in stmt.columns if c.name == stmt.pk_cols[0])

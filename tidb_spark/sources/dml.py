@@ -58,6 +58,7 @@ class ManagedTable:
         partition_by: list[str] | None = None,
         partition_spec=None,
         retain_versions: int = 8,
+        domains: dict[str, tuple[str, tuple[str, ...]]] | None = None,
     ):
         """``partition_by`` declares directory partitioning — the columnar
         equivalent of the reference's RANGE/HASH/LIST table partitioning
@@ -83,11 +84,44 @@ class ManagedTable:
             from tidb_spark.sqlshim.partition import PART_COL
 
             self.partition_by = [PART_COL]
+        # ENUM/SET value domains per column: {col: ("enum"|"set", values)}.
+        # SURVEY §1.2 — storage type is STRING, validity enforced at write
+        # (types/enum.go, types/set.go; strict-mode ErrTruncatedWrongValue).
+        self.domains = domains or {}
         self.retain_versions = max(1, retain_versions)
         os.makedirs(root, exist_ok=True)
         self._version = self._latest_version()
         if df is not None and self._version < 0:
             self._write(df)
+
+    def _check_domains(self, rows: DataFrame, cols: set[str] | None = None) -> None:
+        """Reject out-of-domain ENUM/SET values before any write lands —
+        the strict-SQL-mode behavior of the reference (types/enum.go
+        ParseEnumName errors, executor/insert writes abort).  ENUM: the
+        value must be a member (or NULL).  SET: a comma-joined subset of
+        members, '' allowed (the empty set)."""
+        from pyspark.sql import functions as F
+
+        for col, (kind, vals) in self.domains.items():
+            if col not in rows.columns or (cols is not None and col not in cols):
+                continue
+            c = F.col(col)
+            if kind == "enum":
+                bad = c.isNotNull() & ~c.isin(*vals)
+            else:
+                bad = (
+                    c.isNotNull()
+                    & (c != "")
+                    & F.exists(
+                        F.split(c, ","), lambda v: ~v.isin(*vals)
+                    )
+                )
+            offender = rows.where(bad).select(c.cast("string")).limit(1).collect()
+            if offender:
+                raise ValueError(
+                    f"Incorrect {kind} value: {offender[0][0]!r} for column "
+                    f"{col!r} (allowed: {', '.join(vals)})"
+                )
 
     # -- storage ------------------------------------------------------------
 
@@ -234,12 +268,14 @@ class ManagedTable:
     def insert(self, rows: DataFrame) -> None:
         """INSERT: append (duplicate keys allowed, like a keyless insert;
         use replace() for the unique-key path)."""
+        self._check_domains(rows)
         self._write(self.df().unionByName(rows))
 
     def replace(self, rows: DataFrame) -> None:
         """REPLACE INTO: delete existing rows with matching keys, then
         insert — MySQL REPLACE semantics (executor/replace.go:38) as an
         anti-join + union."""
+        self._check_domains(rows)
         survivors = self.df().join(
             rows.select(*self.key_cols).distinct(), on=self.key_cols, how="left_anti"
         )
@@ -259,6 +295,7 @@ class ManagedTable:
                 for c in cur.columns
             ]
         )
+        self._check_domains(updated, cols=set(assignments))
         self._write(updated)
 
     def delete(self, where: Column) -> None:
@@ -330,7 +367,12 @@ class ManagedTable:
                 .otherwise(new)
                 .alias(c)
             )
-        self._write(joined.select(*out))
+        result = joined.select(*out)
+        # Validate inserted + assignment-touched domain columns on the
+        # merged frame (pre-existing rows were validated when written).
+        touched = set(upd) | set(source.columns)
+        self._check_domains(result, cols=touched)
+        self._write(result)
 
     def upsert(
         self, rows: DataFrame, assignments: dict[str, Column | str] | None = None

@@ -90,6 +90,10 @@ class ColumnDef:
     primary_key: bool = False
     source_ref: str | None = None  # vertex table SOURCE KEY references
     dest_ref: str | None = None
+    # ENUM('a','b') / SET('a','b') value domains (types/enum.go, types/set.go)
+    # — storage is STRING, but writes validate against the domain.
+    domain_kind: str | None = None  # "enum" | "set"
+    domain: tuple[str, ...] = ()
 
 
 @dataclass
@@ -191,6 +195,20 @@ def parse(sql: str) -> CreateTableStmt | None:
             ),
             not_null=bool(_NOT_NULL_RE.search(rest)),
         )
+        base_u = cm.group("type").upper()
+        if base_u in ("ENUM", "SET"):
+            # Capture the value domain; ENUM rejects duplicate members like
+            # the reference (types/enum.go ParseEnumName over a fixed list).
+            vals = tuple(
+                v.strip().strip("'\"")
+                for v in _split_args(cm.group("params") or "")
+                if v.strip()
+            )
+            if not vals:
+                raise ValueError(f"{base_u} column {col.name!r} needs values")
+            if len(set(vals)) != len(vals):
+                raise ValueError(f"Duplicated value in {base_u}: {col.name!r}")
+            col.domain_kind, col.domain = base_u.lower(), vals
         src_m, dst_m = _SRC_RE.search(rest), _DST_RE.search(rest)
         if src_m:
             col.source_ref = src_m.group(1)
