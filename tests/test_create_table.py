@@ -235,3 +235,40 @@ def test_decimal_clamp_warns(engine):
     assert any("clamped to DECIMAL(38,3)" in m for m in msgs), msgs
     typ = dict(engine.tables["money"].dtypes)["v"]
     assert typ == "decimal(38,3)", typ
+
+
+def test_generated_columns(engine):
+    """Generated columns (parser/model/model.go:111 GeneratedExprString):
+    computed from sibling columns on every write path, explicit writes
+    rejected (ddl ErrBadGeneratedColumn), recomputed when base columns
+    change."""
+    import pytest as _pytest
+
+    engine.sql(
+        "CREATE TABLE people (id BIGINT PRIMARY KEY, "
+        "first VARCHAR(20), last VARCHAR(20), "
+        "full VARCHAR(41) GENERATED ALWAYS AS (CONCAT(first, ' ', last)) STORED, "
+        "last_len INT AS (CHAR_LENGTH(last)) VIRTUAL)"
+    )
+    # Bare VALUES bind to the non-generated columns.
+    engine.sql("INSERT INTO people VALUES (1, 'Ada', 'Lovelace')")
+    engine.sql("INSERT INTO people (id, first, last) VALUES (2, 'Alan', 'Turing')")
+    rows = engine.sql("SELECT * FROM people ORDER BY id").collect()
+    assert [(r.full, r.last_len) for r in rows] == [
+        ("Ada Lovelace", 8),
+        ("Alan Turing", 6),
+    ]
+    # Explicit writes to generated columns are rejected.
+    with _pytest.raises(ValueError, match="generated column"):
+        engine.sql("INSERT INTO people (id, first, last, full) "
+                   "VALUES (3, 'X', 'Y', 'nope')")
+    with _pytest.raises(ValueError, match="generated column"):
+        engine.sql("UPDATE people SET full = 'nope' WHERE id = 1")
+    # Updates to base columns recompute the generated ones.
+    engine.sql("UPDATE people SET last = 'Byron' WHERE id = 1")
+    r = engine.sql("SELECT full, last_len FROM people WHERE id = 1").collect()[0]
+    assert (r.full, r.last_len) == ("Ada Byron", 5)
+    # REPLACE recomputes too.
+    engine.sql("REPLACE INTO people (id, first, last) VALUES (2, 'A', 'T')")
+    r = engine.sql("SELECT full FROM people WHERE id = 2").collect()[0]
+    assert r.full == "A T"

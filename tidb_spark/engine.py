@@ -149,6 +149,7 @@ class Engine:
         key_cols: list[str],
         partition_spec=None,
         domains: dict[str, tuple[str, tuple[str, ...]]] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> ManagedTable:
         """Create a writable (managed, copy-on-write parquet) table in the
         engine workspace and expose it to SQL — the DML target surface
@@ -162,6 +163,7 @@ class Engine:
             df=df,
             partition_spec=partition_spec,
             domains=domains,
+            generated=generated,
         )
         self.managed[name] = mt
         self._refresh_view(name)
@@ -197,6 +199,11 @@ class Engine:
             for c in stmt.columns
             if c.domain_kind
         } or None
+        generated = {
+            c.name: translate(c.generated_expr)
+            for c in stmt.columns
+            if c.generated_expr
+        } or None
         if stmt.is_edge:
             src = next(c for c in stmt.columns if c.source_ref)
             dst = next(c for c in stmt.columns if c.dest_ref)
@@ -208,11 +215,13 @@ class Engine:
             self.create_table(
                 stmt.name, empty, key_cols=stmt.pk_cols,
                 partition_spec=stmt.partition_spec, domains=domains,
+                generated=generated,
             )
             return
         self.create_table(
             stmt.name, empty, key_cols=stmt.pk_cols,
             partition_spec=stmt.partition_spec, domains=domains,
+            generated=generated,
         )
         if len(stmt.pk_cols) == 1:
             pk = next(c for c in stmt.columns if c.name == stmt.pk_cols[0])
@@ -497,11 +506,25 @@ class Engine:
                 body, odku = om.group(1).strip(), om.group(2).strip()
             vm = re.match(r"(?is)^(?:\(([^)]*)\)\s*)?VALUES\s+(.*)$", body)
             if vm:
-                cols = (
-                    [c.strip().strip("`") for c in vm.group(1).split(",")]
-                    if vm.group(1)
-                    else [f.name for f in mt.df().schema.fields]
-                )
+                if vm.group(1):
+                    cols = [c.strip().strip("`") for c in vm.group(1).split(",")]
+                    bad = [c for c in cols if c in mt.generated]
+                    if bad:
+                        # ddl: ErrBadGeneratedColumn — explicit values are
+                        # not allowed for generated columns.
+                        raise ValueError(
+                            f"The value specified for generated column "
+                            f"{bad[0]!r} in table {name!r} is not allowed"
+                        )
+                else:
+                    # Bare VALUES bind positionally to the NON-generated
+                    # columns (MySQL requires DEFAULT placeholders for
+                    # generated ones; omission is our equivalent).
+                    cols = [
+                        f.name
+                        for f in mt.df().schema.fields
+                        if f.name not in mt.generated
+                    ]
                 rows = self.spark.sql(
                     f"SELECT * FROM (VALUES {vm.group(2)}) AS "
                     f"__v({', '.join(cols)})"
@@ -553,7 +576,13 @@ class Engine:
             assignments = {}
             for frag in _split_args(set_part):  # string/paren-aware commas
                 col, expr = frag.split("=", 1)
-                assignments[col.strip().strip("`")] = F.expr(expr.strip())
+                cname = col.strip().strip("`")
+                if cname in mt.generated:
+                    raise ValueError(
+                        f"The value specified for generated column "
+                        f"{cname!r} in table {name!r} is not allowed"
+                    )
+                assignments[cname] = F.expr(expr.strip())
             mt.update(where, assignments)
         else:  # DELETE
             where = (

@@ -59,6 +59,7 @@ class ManagedTable:
         partition_spec=None,
         retain_versions: int = 8,
         domains: dict[str, tuple[str, tuple[str, ...]]] | None = None,
+        generated: dict[str, str] | None = None,
     ):
         """``partition_by`` declares directory partitioning — the columnar
         equivalent of the reference's RANGE/HASH/LIST table partitioning
@@ -88,11 +89,29 @@ class ManagedTable:
         # SURVEY §1.2 — storage type is STRING, validity enforced at write
         # (types/enum.go, types/set.go; strict-mode ErrTruncatedWrongValue).
         self.domains = domains or {}
+        # Generated columns: {col: spark SQL expr over sibling columns}
+        # (parser/model/model.go:111).  Recomputed on every write path, so
+        # stored values can never drift from their definition.
+        self.generated = generated or {}
         self.retain_versions = max(1, retain_versions)
         os.makedirs(root, exist_ok=True)
         self._version = self._latest_version()
         if df is not None and self._version < 0:
             self._write(df)
+
+    def _apply_generated(self, rows: DataFrame) -> DataFrame:
+        """Compute generated columns from their defining expressions,
+        overwriting whatever arrived (the engine rejects explicit writes to
+        generated columns before this point)."""
+        from pyspark.sql import functions as F
+
+        if not self.generated:
+            return rows
+        types = {f.name: f.dataType for f in self.df().schema.fields}
+        for col, expr in self.generated.items():
+            if col in rows.columns:
+                rows = rows.withColumn(col, F.expr(expr).cast(types[col]))
+        return rows
 
     def _check_domains(self, rows: DataFrame, cols: set[str] | None = None) -> None:
         """Reject out-of-domain ENUM/SET values before any write lands —
@@ -268,6 +287,7 @@ class ManagedTable:
     def insert(self, rows: DataFrame) -> None:
         """INSERT: append (duplicate keys allowed, like a keyless insert;
         use replace() for the unique-key path)."""
+        rows = self._apply_generated(rows)
         self._check_domains(rows)
         self._write(self.df().unionByName(rows))
 
@@ -275,6 +295,7 @@ class ManagedTable:
         """REPLACE INTO: delete existing rows with matching keys, then
         insert — MySQL REPLACE semantics (executor/replace.go:38) as an
         anti-join + union."""
+        rows = self._apply_generated(rows)
         self._check_domains(rows)
         survivors = self.df().join(
             rows.select(*self.key_cols).distinct(), on=self.key_cols, how="left_anti"
@@ -295,6 +316,7 @@ class ManagedTable:
                 for c in cur.columns
             ]
         )
+        updated = self._apply_generated(updated)
         self._check_domains(updated, cols=set(assignments))
         self._write(updated)
 
@@ -367,7 +389,7 @@ class ManagedTable:
                 .otherwise(new)
                 .alias(c)
             )
-        result = joined.select(*out)
+        result = self._apply_generated(joined.select(*out))
         # Validate inserted + assignment-touched domain columns on the
         # merged frame (pre-existing rows were validated when written).
         touched = set(upd) | set(source.columns)

@@ -94,6 +94,12 @@ class ColumnDef:
     # — storage is STRING, but writes validate against the domain.
     domain_kind: str | None = None  # "enum" | "set"
     domain: tuple[str, ...] = ()
+    # [GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED]
+    # (parser/model/model.go:111 GeneratedExprString).  Both kinds compute
+    # at write time here (columnar storage has no row-read hook; STORED
+    # semantics are read-equivalent for both).
+    generated_expr: str | None = None
+    generated_stored: bool = False
 
 
 @dataclass
@@ -195,6 +201,21 @@ def parse(sql: str) -> CreateTableStmt | None:
             ),
             not_null=bool(_NOT_NULL_RE.search(rest)),
         )
+        gm = re.search(r"(?is)\b(?:GENERATED\s+ALWAYS\s+)?AS\s*\(", rest)
+        if gm:
+            # Balanced-paren scan: the generation expression may nest calls.
+            depth, i = 1, gm.end()
+            while i < len(rest) and depth:
+                if rest[i] == "(":
+                    depth += 1
+                elif rest[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                raise ValueError(f"unbalanced generated-column expr: {item!r}")
+            col.generated_expr = rest[gm.end() : i - 1].strip()
+            tail = rest[i:]
+            col.generated_stored = bool(re.match(r"(?is)^\s*STORED\b", tail))
         base_u = cm.group("type").upper()
         if base_u in ("ENUM", "SET"):
             # Capture the value domain; ENUM rejects duplicate members like
