@@ -329,10 +329,21 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(col: Column, *, bits: int = 32) -> Column:
+def _token_hash(col: Column, hash: str) -> Column:
+    """Per-token 60-bit hash.  ``xxhash64``: fastest, JVM-native, engine-
+    specific.  ``md5``: first 15 hex chars parsed as an integer — bit-
+    identical in any engine with md5 (DuckDB: CAST('0x'||substr(md5(t),1,15)
+    AS BIGINT)), which is what makes the simhash pipeline oracle-checkable;
+    ~2× the hash cost, same plan shape."""
+    if hash == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return F.abs(F.xxhash64(col))
+
+
+def simhash(col: Column, *, bits: int = 32, hash: str = "xxhash64") -> Column:
     """SimHash: per bit, sign of the sum of ±1 votes from token hashes."""
     tokens = F.split(normalize_text(col), " ")
-    token_hashes = F.transform(tokens, lambda t: F.abs(F.xxhash64(t)))
+    token_hashes = F.transform(tokens, lambda t: _token_hash(t, hash))
 
     def _vote(bit: int):
         return lambda acc, h: acc + F.when(
@@ -352,7 +363,8 @@ def simhash(col: Column, *, bits: int = 32) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, *, bits: int = 32
+    df: DataFrame, text_col: str, id_col: str, *, bits: int = 32,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """(doc, sig) via explode tokens → groupBy doc → per-bit vote sums.
 
@@ -365,7 +377,7 @@ def simhash_signatures(
     tok = base.select(
         "doc",
         F.explode(F.split(normalize_text(F.col("_txt")), " ")).alias("t"),
-    ).select("doc", F.abs(F.xxhash64("t")).alias("h"))
+    ).select("doc", _token_hash(F.col("t"), hash).alias("h"))
     votes = tok.groupBy("doc").agg(
         *[
             F.sum(
@@ -390,6 +402,7 @@ def simhash_pairs(
     bits: int = 32,
     chunks: int = 4,
     max_hamming: int = 3,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs whose SimHash Hamming distance ≤ max_hamming; banded
     by signature chunks so only docs agreeing on ≥1 chunk are compared."""
@@ -397,7 +410,7 @@ def simhash_pairs(
     mask = (1 << chunk_bits) - 1
     # Persisted for the same reason as in minhash_lsh_pairs: both sides of
     # the chunk self-join reuse one signature computation.
-    sig = simhash_signatures(df, text_col, id_col, bits=bits).persist()
+    sig = simhash_signatures(df, text_col, id_col, bits=bits, hash=hash).persist()
     banded = sig.select(
         "doc",
         "sig",
@@ -429,7 +442,7 @@ def simhash_pairs(
             "d2",
             F.bit_count(
                 F.col("sig1").bitwiseXOR(F.col("sig2"))
-            ).alias("hamming"),
+            ).cast("int").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["d1", "d2"])

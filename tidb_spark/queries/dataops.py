@@ -166,12 +166,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("d1", "d2")
 
 
-@register("dedup_simhash", oracle=None, tags=("dedup", "approx"))
+def _simhash_oracle(bits: int = 32, chunks: int = 4, max_hamming: int = 6) -> str:
+    """Generated DuckDB mirror of simhash_pairs with md5 token hashes:
+    per-bit ±1 vote sums → signature → chunk-band join → Hamming filter —
+    the same banding the Spark operator runs, so candidacy is identical."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_list = "[" + ", ".join(str(i) for i in range(chunks)) + "]"
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS doc, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+  FROM (SELECT doc_id, {_NORM} AS n FROM documents),
+       UNNEST(string_split(n, ' ')) AS u(t)
+),
+votes AS (SELECT doc, {votes} FROM tok GROUP BY doc),
+sig AS (SELECT doc, {sig} AS sig FROM votes),
+chunks AS (
+  SELECT doc, sig, c AS chunk_id, (sig >> (c * {chunk_bits})) & {mask} AS chunk_val
+  FROM sig, UNNEST({chunk_list}) AS t(c)
+),
+pairs AS (
+  SELECT DISTINCT a.doc AS d1, b.doc AS d2,
+         CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+  WHERE a.doc < b.doc
+)
+SELECT d1, d2, hamming FROM pairs WHERE hamming <= {max_hamming}
+ORDER BY d1, d2
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit) near-dup pairs at Hamming ≤ 6 via banded chunks."""
+    """SimHash(32-bit) near-dup pairs at Hamming ≤ 6 via banded chunks.
+    Token hashes are md5-derived integers (bit-identical in any engine),
+    so signatures, banding, AND Hamming distances are oracle-checked."""
     docs = _t(spark, sf_dir, "documents")
     return dd.simhash_pairs(
-        docs, "text", "doc_id", bits=32, chunks=4, max_hamming=6
+        docs, "text", "doc_id", bits=32, chunks=4, max_hamming=6, hash="md5"
     ).orderBy("d1", "d2")
 
 
