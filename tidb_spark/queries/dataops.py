@@ -575,7 +575,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_WINNOWING_ORACLE = f"""
 WITH sh AS (
-  SELECT doc_id, i AS pos, md5(substr(n, i, 8)) AS fp
+  SELECT doc_id, i AS pos,
+         CAST('0x' || substr(md5(substr(n, i, 8)), 1, 15) AS BIGINT) AS fp
   FROM (SELECT doc_id, {_NORM} AS n FROM documents),
        UNNEST(range(1, greatest(length(n) - 6, 2))) AS t(i)
 ),
@@ -602,10 +603,12 @@ SELECT fp, n_docs, first_doc FROM shared ORDER BY n_docs DESC, fp LIMIT 100
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sets (rolling minima of shingle hashes per
     position window, Schleimer et al.'s MOSS scheme): emits fingerprints
-    shared across documents.  The shingle hash is md5 — available and
-    bit-identical in both engines, which is what makes the window-min
-    oracle-expressible (an xxhash64 variant would be ~8× narrower shuffle
-    rows at scale; swap the hash column, the plan shape is unchanged).
+    shared across documents.  The shingle hash is the first 60 bits of md5
+    as an int64 — bit-identical in both engines (DuckDB parses the same hex
+    prefix), which is what makes the window-min oracle-expressible, and 8
+    bytes instead of a 32-char digest string through the two windows + the
+    distinct + the groupBy (fixed-width lowercase hex sorts identically as
+    string or integer, so the min is the same fingerprint either way).
     Positions explode FIRST so substring+md5 run codegen'd, same as
     shingle_posting."""
     docs = _t(spark, sf_dir, "documents")
@@ -620,7 +623,15 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos"),
         "t",
     ).select(
-        "doc_id", "pos", F.md5(F.substring(F.col("t"), F.col("pos"), k)).alias("fp")
+        "doc_id",
+        "pos",
+        F.conv(
+            F.substring(F.md5(F.substring(F.col("t"), F.col("pos"), k)), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("fp"),
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     n_win = Window.partitionBy("doc_id")

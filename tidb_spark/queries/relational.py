@@ -720,18 +720,46 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_sketches", oracle=None, tags=("agg", "approx"))
+AGG_SKETCH_ORACLE = """
+SELECT l_returnflag,
+       TRUE AS cd_within_5pct,
+       TRUE AS median_within_envelope
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_approx_sketches", oracle=AGG_SKETCH_ORACLE, tags=("agg", "approx"))
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++ vs the reference's hash-sample sketch,
-    func_count_distinct.go:491) and percentile_approx (vs func_percentile.go).
-    Sketch outputs are engine-specific → rows-only check; exact counterparts
-    are oracle-checked in agg_count_distinct / agg_percentile."""
+    func_count_distinct.go:491) and percentile_approx (vs
+    func_percentile.go).  Raw sketch outputs are engine-specific, so the
+    ACCURACY CONTRACT is what gets oracle-checked: per group, the HLL
+    estimate must land within ±5% of the true distinct count (HLL++ with
+    default rsd 0.05) and the approx median inside the [p40, p60] exact-
+    quantile envelope — the oracle asserts those booleans are TRUE for
+    every group, turning the sketch guarantee itself into the hash-compared
+    value."""
     lineitem = _t(spark, sf_dir, "lineitem")
     return (
         lineitem.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
             F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+            F.expr("percentile(l_quantity, 0.4)").alias("p40"),
+            F.expr("percentile(l_quantity, 0.6)").alias("p60"),
+        )
+        .select(
+            "l_returnflag",
+            (
+                (F.col("approx_parts") >= F.col("exact_parts") * 0.95)
+                & (F.col("approx_parts") <= F.col("exact_parts") * 1.05)
+            ).alias("cd_within_5pct"),
+            F.col("approx_median_qty")
+            .between(F.col("p40"), F.col("p60"))
+            .alias("median_within_envelope"),
         )
         .orderBy("l_returnflag")
     )

@@ -24,6 +24,10 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Default 300 s can flake under heavy parallel load (observed: a
+    # broadcast build timing out while another session saturated all 32
+    # cores); the data is never the problem locally, so wait it out.
+    "spark.sql.broadcastTimeout": "1200",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.shuffle.partitions": "32",
