@@ -405,7 +405,17 @@ def simhash_pairs(
     hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs whose SimHash Hamming distance ≤ max_hamming; banded
-    by signature chunks so only docs agreeing on ≥1 chunk are compared."""
+    by signature chunks so only docs agreeing on ≥1 chunk are compared.
+
+    SCALE SIZING: each band has 2^(bits/chunks) buckets and the band join
+    does per-bucket cross products, so bucket occupancy n_docs/2^chunk_bits
+    must stay small — size ``bits`` so chunk_bits ≳ log2(n_docs): 32/4 (256
+    buckets/band) is a test-scale setting; at 10^9 docs use a 128-bit
+    simhash in 4×32-bit chunks (4.3e9 buckets/band).  Guarantee: banding
+    with c chunks catches every pair with Hamming ≤ c-1; for larger
+    ``max_hamming`` it is a deliberate recall/cost trade (the reference
+    pattern for simhash dedup), and the Hamming filter keeps precision
+    exact either way."""
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
     # Persisted for the same reason as in minhash_lsh_pairs: both sides of
