@@ -106,6 +106,40 @@ def main() -> None:
         .localCheckpoint(eager=False)
         .count()
     )
+    # Winnowing/posting shape: explode positions -> substring+md5+conv ->
+    # rows-frame window min + partition max -> distinct (first use of
+    # conv/md5 codegen + WindowExec otherwise lands on text_winnowing).
+    # Row count sized to push the md5/conv codegen past the C2 JIT
+    # threshold (~10k invocations/thread): 32 threads x 100k rows.
+    tw = (
+        spark.range(100_000)
+        .select((F.col("id") % 50).alias("doc"), F.lit("abcdefghijklmnop").alias("t"))
+        .select(
+            "doc",
+            F.explode(F.sequence(F.lit(1), F.lit(8))).alias("pos"),
+            "t",
+        )
+        .select(
+            "doc",
+            "pos",
+            F.conv(F.substring(F.md5(F.substring(F.col("t"), F.col("pos"), 8)), 1, 15), 16, 10)
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    (
+        tw.select(
+            "doc",
+            F.min("fp").over(Window.partitionBy("doc").orderBy("pos").rowsBetween(0, 3)).alias("w"),
+            F.max("pos").over(Window.partitionBy("doc")).alias("mp"),
+        )
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc").alias("d"))
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
     (
         spark.range(3)
         .select(F.col("id").alias("src_id"))
