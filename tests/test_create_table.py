@@ -272,3 +272,60 @@ def test_generated_columns(engine):
     engine.sql("REPLACE INTO people (id, first, last) VALUES (2, 'A', 'T')")
     r = engine.sql("SELECT full FROM people WHERE id = 2").collect()[0]
     assert r.full == "A T"
+
+
+def test_auto_increment(engine):
+    """AUTO_INCREMENT (ddl/ddl_api.go:2463 handleAutoIncID): NULL/omitted
+    values get sequential ids continuing from MAX(col); explicit values
+    pass through; only one auto column allowed, integral only."""
+    import pytest as _pytest
+
+    engine.sql(
+        "CREATE TABLE seq (id BIGINT AUTO_INCREMENT PRIMARY KEY, "
+        "name VARCHAR(10))"
+    )
+    engine.sql("INSERT INTO seq (name) VALUES ('a'), ('b')")
+    engine.sql("INSERT INTO seq VALUES (NULL, 'c')")
+    engine.sql("INSERT INTO seq VALUES (100, 'x')")  # explicit id honored
+    engine.sql("INSERT INTO seq (name) VALUES ('d')")  # continues past max
+    rows = engine.sql("SELECT id, name FROM seq ORDER BY id").collect()
+    ids = [r.id for r in rows]
+    assert ids[:3] == [1, 2, 3] and 100 in ids and max(ids) == 101, ids
+    names = {r.id: r.name for r in rows}
+    assert names[100] == "x" and names[101] == "d"
+
+    with _pytest.raises(ValueError, match="only one auto column"):
+        engine.sql(
+            "CREATE TABLE bad2 (a INT AUTO_INCREMENT, b INT AUTO_INCREMENT)"
+        )
+    with _pytest.raises(ValueError, match="integer"):
+        engine.sql("CREATE TABLE bad3 (a VARCHAR(5) AUTO_INCREMENT)")
+
+
+def test_information_schema(engine):
+    """INFORMATION_SCHEMA.TABLES / .COLUMNS (executor/infoschema_reader.go)
+    as queryable relations reflecting live catalog state, views included."""
+    tabs = {
+        r.TABLE_NAME
+        for r in engine.sql(
+            "SELECT TABLE_NAME FROM information_schema.tables "
+            "WHERE TABLE_TYPE = 'BASE TABLE'"
+        ).collect()
+    }
+    assert {"nation", "region", "orders", "lineitem"} <= tabs
+    cols = engine.sql(
+        "SELECT COLUMN_NAME, DATA_TYPE, ORDINAL_POSITION "
+        "FROM information_schema.columns WHERE TABLE_NAME = 'nation' "
+        "ORDER BY ORDINAL_POSITION"
+    ).collect()
+    assert [c.COLUMN_NAME for c in cols][:2] == ["n_nationkey", "n_name"]
+    # DDL is visible on the next read; views are typed VIEW.
+    engine.sql("CREATE TABLE is_t (id BIGINT PRIMARY KEY)")
+    engine.sql("CREATE VIEW is_v AS SELECT 1 AS one")
+    kinds = {
+        r.TABLE_NAME: r.TABLE_TYPE
+        for r in engine.sql(
+            "SELECT TABLE_NAME, TABLE_TYPE FROM information_schema.tables"
+        ).collect()
+    }
+    assert kinds.get("is_t") == "BASE TABLE" and kinds.get("is_v") == "VIEW"

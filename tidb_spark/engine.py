@@ -150,6 +150,7 @@ class Engine:
         partition_spec=None,
         domains: dict[str, tuple[str, tuple[str, ...]]] | None = None,
         generated: dict[str, str] | None = None,
+        auto_col: str | None = None,
     ) -> ManagedTable:
         """Create a writable (managed, copy-on-write parquet) table in the
         engine workspace and expose it to SQL — the DML target surface
@@ -164,6 +165,7 @@ class Engine:
             partition_spec=partition_spec,
             domains=domains,
             generated=generated,
+            auto_col=auto_col,
         )
         self.managed[name] = mt
         self._refresh_view(name)
@@ -204,6 +206,9 @@ class Engine:
             for c in stmt.columns
             if c.generated_expr
         } or None
+        auto_col = next(
+            (c.name for c in stmt.columns if c.auto_increment), None
+        )
         if stmt.is_edge:
             src = next(c for c in stmt.columns if c.source_ref)
             dst = next(c for c in stmt.columns if c.dest_ref)
@@ -215,13 +220,13 @@ class Engine:
             self.create_table(
                 stmt.name, empty, key_cols=stmt.pk_cols,
                 partition_spec=stmt.partition_spec, domains=domains,
-                generated=generated,
+                generated=generated, auto_col=auto_col,
             )
             return
         self.create_table(
             stmt.name, empty, key_cols=stmt.pk_cols,
             partition_spec=stmt.partition_spec, domains=domains,
-            generated=generated,
+            generated=generated, auto_col=auto_col,
         )
         if len(stmt.pk_cols) == 1:
             pk = next(c for c in stmt.columns if c.name == stmt.pk_cols[0])
@@ -740,6 +745,7 @@ class Engine:
         if re.match(r"(?is)^\s*ALTER\s+TABLE\b", query):
             self._run_alter(query)
             return self.spark.range(0).select(F.lit("OK").alias("status"))
+        query = self._rewrite_infoschema(query)
         query = translate(query)
         ddl = _DDL_RE.match(query)
         if ddl:
@@ -826,6 +832,44 @@ class Engine:
             + f"FROM {view} AS {name} WHERE "
             + m.group(2)
         )
+
+    # -- INFORMATION_SCHEMA (executor/infoschema_reader.go — the reference
+    # serves these as memtable scans; here they are small DataFrames
+    # rebuilt from catalog state at reference time) ------------------------
+
+    _IS_RE = re.compile(r"(?i)\binformation_schema\s*\.\s*(tables|columns)\b")
+
+    def _rewrite_infoschema(self, query: str) -> str:
+        """SELECTs over information_schema.tables / .columns: refresh the
+        backing temp views from live catalog state, then point the query at
+        them.  MySQL-shaped uppercase column names; Spark's case-insensitive
+        resolution accepts either case in user predicates."""
+        if not self._IS_RE.search(query):
+            return query
+        trows = [("tidb_spark", t, "BASE TABLE") for t in sorted(self.tables)]
+        trows += [("tidb_spark", v, "VIEW") for v in sorted(self.views)]
+        self.spark.createDataFrame(
+            trows, "TABLE_SCHEMA string, TABLE_NAME string, TABLE_TYPE string"
+        ).createOrReplaceTempView("__is_tables")
+        crows = []
+        for t in sorted(self.tables):
+            for i, f in enumerate(self.tables[t].schema.fields, 1):
+                crows.append(
+                    (
+                        "tidb_spark",
+                        t,
+                        f.name,
+                        i,
+                        f.dataType.simpleString(),
+                        "YES" if f.nullable else "NO",
+                    )
+                )
+        self.spark.createDataFrame(
+            crows,
+            "TABLE_SCHEMA string, TABLE_NAME string, COLUMN_NAME string, "
+            "ORDINAL_POSITION int, DATA_TYPE string, IS_NULLABLE string",
+        ).createOrReplaceTempView("__is_columns")
+        return self._IS_RE.sub(lambda m: f"__is_{m.group(1).lower()}", query)
 
     # -- Views (planner/core/planbuilder.go:411,498 buildCreateView /
     # isCreateView; executor/ddl.go view lifecycle) ------------------------

@@ -60,6 +60,7 @@ class ManagedTable:
         retain_versions: int = 8,
         domains: dict[str, tuple[str, tuple[str, ...]]] | None = None,
         generated: dict[str, str] | None = None,
+        auto_col: str | None = None,
     ):
         """``partition_by`` declares directory partitioning — the columnar
         equivalent of the reference's RANGE/HASH/LIST table partitioning
@@ -93,6 +94,13 @@ class ManagedTable:
         # (parser/model/model.go:111).  Recomputed on every write path, so
         # stored values can never drift from their definition.
         self.generated = generated or {}
+        # AUTO_INCREMENT column (ddl/ddl_api.go:2463 handleAutoIncID): the
+        # reference allocates from a per-table counter; here the counter is
+        # MAX(col) over the current version, read once per statement (one
+        # 1-row action — control-plane-sized, like the reference's counter
+        # fetch).  NULL/absent incoming values get sequential ids; explicit
+        # values pass through (MySQL semantics).
+        self.auto_col = auto_col
         self.retain_versions = max(1, retain_versions)
         os.makedirs(root, exist_ok=True)
         self._version = self._latest_version()
@@ -112,6 +120,37 @@ class ManagedTable:
             if col in rows.columns:
                 rows = rows.withColumn(col, F.expr(expr).cast(types[col]))
         return rows
+
+    def _fill_auto_increment(self, rows: DataFrame) -> DataFrame:
+        """Assign ids where the AUTO_INCREMENT column is NULL or absent.
+
+        The row_number window runs over the INSERT BATCH only (bounded by
+        statement size, not table size) — the table itself never funnels
+        through one partition."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if not self.auto_col:
+            return rows
+        types = {f.name: f.dataType for f in self.df().schema.fields}
+        auto = self.auto_col
+        if auto not in rows.columns:
+            rows = rows.withColumn(auto, F.lit(None).cast(types[auto]))
+        if rows.where(F.col(auto).isNull()).isEmpty():
+            return rows
+        start = self.df().agg(F.max(auto)).first()[0] or 0
+        w = Window.partitionBy(F.lit(0)).orderBy(F.monotonically_increasing_id())
+        return (
+            rows.withColumn("__auto_rn", F.row_number().over(w))
+            .withColumn(
+                auto,
+                F.coalesce(
+                    F.col(auto),
+                    (F.lit(start) + F.col("__auto_rn")).cast(types[auto]),
+                ),
+            )
+            .drop("__auto_rn")
+        )
 
     def _check_domains(self, rows: DataFrame, cols: set[str] | None = None) -> None:
         """Reject out-of-domain ENUM/SET values before any write lands —
@@ -287,6 +326,7 @@ class ManagedTable:
     def insert(self, rows: DataFrame) -> None:
         """INSERT: append (duplicate keys allowed, like a keyless insert;
         use replace() for the unique-key path)."""
+        rows = self._fill_auto_increment(rows)
         rows = self._apply_generated(rows)
         self._check_domains(rows)
         self._write(self.df().unionByName(rows))
@@ -295,6 +335,7 @@ class ManagedTable:
         """REPLACE INTO: delete existing rows with matching keys, then
         insert — MySQL REPLACE semantics (executor/replace.go:38) as an
         anti-join + union."""
+        rows = self._fill_auto_increment(rows)
         rows = self._apply_generated(rows)
         self._check_domains(rows)
         survivors = self.df().join(

@@ -94,6 +94,9 @@ class ColumnDef:
     # — storage is STRING, but writes validate against the domain.
     domain_kind: str | None = None  # "enum" | "set"
     domain: tuple[str, ...] = ()
+    # AUTO_INCREMENT (ddl/ddl_api.go:2463 handleAutoIncID — the reference
+    # keeps a per-table ID counter; here the counter is MAX(col) at write).
+    auto_increment: bool = False
     # [GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED]
     # (parser/model/model.go:111 GeneratedExprString).  Both kinds compute
     # at write time here (columnar storage has no row-read hook; STORED
@@ -201,6 +204,9 @@ def parse(sql: str) -> CreateTableStmt | None:
             ),
             not_null=bool(_NOT_NULL_RE.search(rest)),
         )
+        col.auto_increment = bool(
+            re.search(r"(?is)\bAUTO_INCREMENT\b", rest)
+        )
         gm = re.search(r"(?is)\b(?:GENERATED\s+ALWAYS\s+)?AS\s*\(", rest)
         if gm:
             # Balanced-paren scan: the generation expression may nest calls.
@@ -245,6 +251,15 @@ def parse(sql: str) -> CreateTableStmt | None:
                 raise ValueError("Multiple primary key defined")
             stmt.pk_cols = [col.name]
         stmt.columns.append(col)
+
+    autos = [c for c in stmt.columns if c.auto_increment]
+    if len(autos) > 1:
+        # MySQL: "there can be only one auto column"
+        raise ValueError("Incorrect table definition; there can be only one auto column")
+    if autos and autos[0].spark_type not in ("TINYINT", "SMALLINT", "INT", "BIGINT"):
+        raise ValueError("AUTO_INCREMENT column must be an integer type")
+    if autos and autos[0].generated_expr:
+        raise ValueError("AUTO_INCREMENT column cannot be generated")
 
     # handleEdgeOptions validation (ddl/ddl_api.go:1953-1985).
     srcs = [c for c in stmt.columns if c.source_ref]
