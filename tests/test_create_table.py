@@ -329,3 +329,21 @@ def test_information_schema(engine):
         ).collect()
     }
     assert kinds.get("is_t") == "BASE TABLE" and kinds.get("is_v") == "VIEW"
+
+
+def test_default_values(engine):
+    """DEFAULT column values (ast ColumnOptionDefaultValue): omitted columns
+    take their declared default; explicit NULL stays NULL; CURRENT_TIMESTAMP
+    evaluates at insert time."""
+    engine.sql(
+        "CREATE TABLE dft (id BIGINT PRIMARY KEY, "
+        "status VARCHAR(10) DEFAULT 'new', n INT DEFAULT 7, "
+        "note VARCHAR(20), created TIMESTAMP DEFAULT CURRENT_TIMESTAMP)"
+    )
+    engine.sql("INSERT INTO dft (id) VALUES (1)")
+    engine.sql("INSERT INTO dft (id, status, n) VALUES (2, 'old', NULL)")
+    rows = {r.id: r for r in engine.sql("SELECT * FROM dft").collect()}
+    assert rows[1].status == "new" and rows[1].n == 7 and rows[1].note is None
+    assert rows[1].created is not None
+    # Explicitly-provided values (including NULL) win over the default.
+    assert rows[2].status == "old" and rows[2].n is None

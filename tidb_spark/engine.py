@@ -209,6 +209,10 @@ class Engine:
         auto_col = next(
             (c.name for c in stmt.columns if c.auto_increment), None
         )
+        self._defaults_by_table = getattr(self, "_defaults_by_table", {})
+        self._defaults_by_table[stmt.name] = {
+            c.name: c.default_expr for c in stmt.columns if c.default_expr
+        }
         if stmt.is_edge:
             src = next(c for c in stmt.columns if c.source_ref)
             dst = next(c for c in stmt.columns if c.dest_ref)
@@ -534,13 +538,20 @@ class Engine:
                     f"SELECT * FROM (VALUES {vm.group(2)}) AS "
                     f"__v({', '.join(cols)})"
                 )
-                # Unnamed columns default to NULL (MySQL would use column
-                # defaults; the managed table has none).
+                # Unnamed columns take their declared DEFAULT (ast
+                # ColumnOptionDefaultValue), else NULL.
+                defaults = getattr(self, "_defaults_by_table", {}).get(
+                    name, {}
+                )
                 full = rows
                 for f in mt.df().schema.fields:
                     if f.name not in cols:
+                        dexpr = defaults.get(f.name)
                         full = full.withColumn(
-                            f.name, F.lit(None).cast(f.dataType)
+                            f.name,
+                            (
+                                F.expr(dexpr) if dexpr else F.lit(None)
+                            ).cast(f.dataType),
                         )
                 full = full.select(*[f.name for f in mt.df().schema.fields])
             else:

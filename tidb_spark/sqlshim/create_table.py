@@ -80,6 +80,12 @@ _INDEX_RE = re.compile(
 )
 _UNSIGNED_RE = re.compile(r"(?is)\bUNSIGNED\b")
 _NOT_NULL_RE = re.compile(r"(?is)\bNOT\s+NULL\b")
+_DEFAULT_RE = re.compile(
+    r"(?is)\bDEFAULT\s+("
+    r"NULL\b|CURRENT_TIMESTAMP(?:\(\d*\))?|NOW\(\)|"
+    r"'(?:[^'\\]|\\.)*'|-?\d+(?:\.\d+)?|TRUE\b|FALSE\b"
+    r")"
+)
 
 
 @dataclass
@@ -94,6 +100,9 @@ class ColumnDef:
     # — storage is STRING, but writes validate against the domain.
     domain_kind: str | None = None  # "enum" | "set"
     domain: tuple[str, ...] = ()
+    # DEFAULT literal (ast ColumnOptionDefaultValue): SQL expression text
+    # evaluated when an INSERT omits the column.
+    default_expr: str | None = None
     # AUTO_INCREMENT (ddl/ddl_api.go:2463 handleAutoIncID — the reference
     # keeps a per-table ID counter; here the counter is MAX(col) at write).
     auto_increment: bool = False
@@ -207,6 +216,15 @@ def parse(sql: str) -> CreateTableStmt | None:
         col.auto_increment = bool(
             re.search(r"(?is)\bAUTO_INCREMENT\b", rest)
         )
+        dm_ = _DEFAULT_RE.search(rest)
+        if dm_:
+            d = dm_.group(1)
+            if d.upper() != "NULL":
+                col.default_expr = (
+                    "CURRENT_TIMESTAMP"
+                    if d.upper().startswith(("CURRENT_TIMESTAMP", "NOW"))
+                    else d
+                )
         gm = re.search(r"(?is)\b(?:GENERATED\s+ALWAYS\s+)?AS\s*\(", rest)
         if gm:
             # Balanced-paren scan: the generation expression may nest calls.
