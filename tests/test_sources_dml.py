@@ -356,3 +356,44 @@ def test_update_where_in_string_literal(spark, nation, tmp_path):
     got = {r.n_nationkey: r.n_name for r in eng.sql("SELECT * FROM nat").collect()}
     assert got[3] == "WHERE x"
     assert got[4] != "WHERE x"
+
+
+def test_sql_load_data_and_outfile(engine, tmp_path):
+    """SQL LOAD DATA INFILE / SELECT INTO OUTFILE statements
+    (executor/load_data.go:46, executor/select_into.go:33): bulk CSV ingest
+    goes through the managed-table write gates (domains, auto-increment),
+    and the OUTFILE round-trips."""
+    import pytest as _pytest
+
+    csv = tmp_path / "in.csv"
+    csv.write_text("id;size\n1;M\n2;L\n")
+    engine.sql("CREATE TABLE ld (id BIGINT PRIMARY KEY, size ENUM('S','M','L'))")
+    r = engine.sql(
+        f"LOAD DATA INFILE '{csv}' INTO TABLE ld "
+        "FIELDS TERMINATED BY ';' IGNORE 1 LINES"
+    ).collect()
+    assert r[0].status == "Records: 2"
+    rows = engine.sql("SELECT * FROM ld ORDER BY id").collect()
+    assert [(x.id, x.size) for x in rows] == [(1, "M"), (2, "L")]
+
+    # Domain validation applies to bulk ingest too.
+    bad = tmp_path / "bad.csv"
+    bad.write_text("3;XXL\n")
+    with _pytest.raises(ValueError, match="Incorrect enum value"):
+        engine.sql(
+            f"LOAD DATA INFILE '{bad}' INTO TABLE ld FIELDS TERMINATED BY ';'"
+        )
+
+    out = tmp_path / "out"
+    engine.sql(
+        f"SELECT id, size FROM ld INTO OUTFILE '{out}' "
+        "FIELDS TERMINATED BY '|'"
+    )
+    import glob
+
+    lines = sorted(
+        line
+        for f in glob.glob(str(out) + "/part-*")
+        for line in open(f).read().splitlines()
+    )
+    assert lines == ["1|M", "2|L"]

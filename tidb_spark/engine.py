@@ -753,6 +753,12 @@ class Engine:
 
             self._run_create(_ct.parse(query))
             return self.spark.range(0).select(F.lit("OK").alias("status"))
+        lm = self._LOAD_DATA_RE.match(query)
+        if lm:
+            return self._run_load_data(lm)
+        om = self._INTO_OUTFILE_RE.match(query)
+        if om:
+            return self._run_into_outfile(om)
         if re.match(r"(?is)^\s*ALTER\s+TABLE\b", query):
             self._run_alter(query)
             return self.spark.range(0).select(F.lit("OK").alias("status"))
@@ -843,6 +849,67 @@ class Engine:
             + f"FROM {view} AS {name} WHERE "
             + m.group(2)
         )
+
+    # -- LOAD DATA / SELECT INTO OUTFILE statements (executor/load_data.go:46,
+    # executor/select_into.go:33) ------------------------------------------
+
+    _LOAD_DATA_RE = re.compile(
+        r"(?is)^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INFILE\s+'(?P<path>[^']+)'\s+"
+        r"INTO\s+TABLE\s+`?(?P<table>\w+)`?"
+        r"(?:\s+FIELDS(?:\s+TERMINATED\s+BY\s+'(?P<sep>[^']*)')?"
+        r"(?:\s+ENCLOSED\s+BY\s+'(?P<quote>[^']*)')?"
+        r"(?:\s+ESCAPED\s+BY\s+'(?P<esc>[^']*)')?)?"
+        r"(?:\s+IGNORE\s+(?P<skip>\d+)\s+LINES)?\s*;?\s*$"
+    )
+    _INTO_OUTFILE_RE = re.compile(
+        r"(?is)^\s*(?P<select>SELECT\b.*?)\s+INTO\s+OUTFILE\s+'(?P<path>[^']+)'"
+        r"(?:\s+FIELDS(?:\s+TERMINATED\s+BY\s+'(?P<sep>[^']*)')?"
+        r"(?:\s+ENCLOSED\s+BY\s+'(?P<quote>[^']*)')?"
+        r"(?:\s+ESCAPED\s+BY\s+'(?P<esc>[^']*)')?)?\s*;?\s*$"
+    )
+
+    def _run_load_data(self, m: re.Match) -> DataFrame:
+        """LOAD DATA INFILE … INTO TABLE t: distributed CSV scan with the
+        MySQL field options, appended through ManagedTable.insert — so
+        ENUM/SET domains, generated columns, AUTO_INCREMENT, and write
+        versioning all apply to bulk ingest exactly as to INSERT."""
+        from tidb_spark.sources import csvio
+
+        name = m.group("table")
+        mt = self.managed.get(name)
+        if mt is None:
+            raise ValueError(
+                f"LOAD DATA target {name!r} is not a managed table"
+            )
+        schema = mt.df().schema
+        rows = csvio.load_data(
+            self.spark,
+            m.group("path"),
+            schema,
+            terminated_by=m.group("sep") or ",",
+            enclosed_by=m.group("quote") or '"',
+            escaped_by=m.group("esc") or "\\",
+            ignore_lines=int(m.group("skip") or 0),
+        )
+        mt.insert(rows)
+        self._refresh_view(name)
+        n = self.tables[name].count()
+        return self.spark.createDataFrame([(f"Records: {n}",)], "status string")
+
+    def _run_into_outfile(self, m: re.Match) -> DataFrame:
+        """SELECT … INTO OUTFILE 'path': run the SELECT through the full
+        pipeline, write CSV distributed (one file per partition)."""
+        from tidb_spark.sources import csvio
+
+        df = self.sql(m.group("select"))
+        csvio.select_into_outfile(
+            df,
+            m.group("path"),
+            terminated_by=m.group("sep") or ",",
+            enclosed_by=m.group("quote") or '"',
+            escaped_by=m.group("esc") or "\\",
+        )
+        return self.spark.range(0).select(F.lit("OK").alias("status"))
 
     # -- INFORMATION_SCHEMA (executor/infoschema_reader.go — the reference
     # serves these as memtable scans; here they are small DataFrames
