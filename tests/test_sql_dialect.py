@@ -647,3 +647,11 @@ def test_hint_recognition_and_join_method(engine):
     # Query-block-qualified args (@sel_1) drop the qualifier token only.
     qb = engine.sql(base.format(h="/*+ MERGE_JOIN(@sel_1 r) */ "))
     assert qb.collect() == plain
+
+
+def test_describe_view(engine):
+    """DESC / SHOW COLUMNS on a view resolves through the catalog like the
+    reference's infoschema view handling."""
+    engine.sql("CREATE OR REPLACE VIEW v_desc AS SELECT n_nationkey AS k, n_name FROM nation")
+    rows = engine.sql("DESC v_desc").collect()
+    assert [r.Field for r in rows] == ["k", "n_name"]

@@ -1105,11 +1105,12 @@ class Engine:
         )
         if m:
             name = m.group(1)
-            df = (
-                self.tables[name]
-                if name in self.tables
-                else self.graph.vertex(name).df
-            )
+            if name in self.tables:
+                df = self.tables[name]
+            elif name in self.views:
+                df = self.spark.table(name)
+            else:
+                df = self.graph.vertex(name).df
             keys: set[str] = set()
             if name in self.managed and self.managed[name].key_cols:
                 keys = set(self.managed[name].key_cols)
