@@ -50,6 +50,24 @@ def normalize_text(col: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
+def spread_small(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition a small-file input across all cores before heavy per-row
+    compute (explode + hash, codec decode, cosine).
+
+    A tiny parquet file arrives as 1 scan partition, so any expensive
+    projection before the first shuffle runs single-threaded — on a cluster
+    a small dimension-ish input serializes the whole stage the same way.
+    Shuffling by the downstream grouping key is doubly useful: the work
+    spreads across cores AND the resulting hash partitioning satisfies the
+    later window/groupBy on that key, so the (much larger) post-explode
+    rowset never shuffles.  Skipped when the scan already yields enough
+    partitions — at scale this branch never triggers."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, *keys)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicate groups on normalized text.
 
@@ -113,14 +131,7 @@ def shingle_posting(
     normalized = df.select(
         F.col(id_col).alias("doc"), normalize_text(F.col(text_col)).alias("t")
     )
-    # Small-file inputs arrive as few partitions while the explode below
-    # fans out ~|text| rows per doc; spread docs across all cores first
-    # (cheap: only raw text moves).  Skipped when the scan already yields
-    # enough partitions — at scale this branch never triggers, so the full
-    # corpus is never gratuitously shuffled.
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        normalized = normalized.repartition(sc.defaultParallelism, "doc")
+    normalized = spread_small(normalized, "doc")
     pos = normalized.select(
         "doc",
         "t",
@@ -371,9 +382,7 @@ def simhash_signatures(
     Same distributed shape as :func:`minhash_signatures`: small expressions,
     map-side combine to one row per doc, shuffle = docs × bits ints."""
     base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        base = base.repartition(sc.defaultParallelism, "doc")
+    base = spread_small(base, "doc")
     tok = base.select(
         "doc",
         F.explode(F.split(normalize_text(F.col("_txt")), " ")).alias("t"),

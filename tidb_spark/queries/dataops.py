@@ -610,14 +610,21 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct + the groupBy (fixed-width lowercase hex sorts identically as
     string or integer, so the min is the same fingerprint either way).
     Positions explode FIRST so substring+md5 run codegen'd, same as
-    shingle_posting."""
+    shingle_posting.  The tiny source is spread by doc_id before the
+    explode (``spread_small``): the md5 of ~|text| rows/doc runs on all
+    cores AND the resulting hash partitioning satisfies the window's
+    PARTITION BY doc_id, so the full posting never shuffles.  max_pos is
+    the analytically-known explode bound (greatest(len-k+1, 1)), not a
+    second whole-posting window."""
     docs = _t(spark, sf_dir, "documents")
     w, k = 4, 8
-    normalized = docs.select(
-        F.col("doc_id"), dd.normalize_text(F.col("text")).alias("t")
+    normalized = dd.spread_small(
+        docs.select(F.col("doc_id"), dd.normalize_text(F.col("text")).alias("t")),
+        "doc_id",
     )
     posting = normalized.select(
         "doc_id",
+        F.greatest(F.length("t") - (k - 1), F.lit(1)).alias("max_pos"),
         F.explode(
             F.sequence(F.lit(1), F.greatest(F.length("t") - (k - 1), F.lit(1)))
         ).alias("pos"),
@@ -625,6 +632,7 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "pos",
+        "max_pos",
         F.conv(
             F.substring(F.md5(F.substring(F.col("t"), F.col("pos"), k)), 1, 15),
             16,
@@ -634,13 +642,12 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fp"),
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    n_win = Window.partitionBy("doc_id")
     fps = (
         posting.select(
             "doc_id",
             "pos",
+            "max_pos",
             F.min("fp").over(win).alias("wfp"),
-            F.max("pos").over(n_win).alias("max_pos"),
         )
         # Only full windows (winnowing emits n-w+1 windows; degenerate
         # short docs keep window 1).

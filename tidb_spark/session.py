@@ -33,6 +33,13 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+    # A 100+-query corpus generates hundreds of whole-stage-codegen classes;
+    # the JVM default 240 MB code cache silently flushes/stops compiling
+    # under that load (UseCodeCacheFlushing), leaving late queries running
+    # interpreted generated code — observed as 3-6x first-use costs on
+    # whichever queries sort last in the bench.  Reserve enough to hold the
+    # whole corpus compiled.
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
 }
 
 
