@@ -347,3 +347,45 @@ def test_default_values(engine):
     assert rows[1].created is not None
     # Explicitly-provided values (including NULL) win over the default.
     assert rows[2].status == "old" and rows[2].n is None
+
+
+def test_auto_increment_mixed_batch(engine):
+    """MySQL's counter advances past explicit ids within one statement: on
+    max=10, VALUES (12, …), (NULL, …) assigns 13 to the NULL row — never a
+    collision with the explicit 12 (executor/insert.go adjustAutoIncrement)."""
+    engine.sql(
+        "CREATE TABLE mixseq (id BIGINT AUTO_INCREMENT PRIMARY KEY, "
+        "name VARCHAR(10))"
+    )
+    engine.sql("INSERT INTO mixseq VALUES (10, 'base')")
+    engine.sql("INSERT INTO mixseq VALUES (12, 'explicit'), (NULL, 'auto')")
+    rows = {r.name: r.id for r in engine.sql("SELECT * FROM mixseq").collect()}
+    assert rows == {"base": 10, "explicit": 12, "auto": 13}, rows
+    # Two NULLs around an explicit id: both numbered past it, in order.
+    engine.sql("INSERT INTO mixseq VALUES (NULL, 'a'), (20, 'e2'), (NULL, 'b')")
+    rows = {r.name: r.id for r in engine.sql("SELECT * FROM mixseq").collect()}
+    assert rows["e2"] == 20 and {rows["a"], rows["b"]} == {21, 22}, rows
+
+
+def test_insert_select_generated_columns(engine):
+    """INSERT … SELECT into a table with generated columns: the SELECT binds
+    the non-generated columns (values recomputed on write); a SELECT wide
+    enough to supply the generated columns raises ErrBadGeneratedColumn."""
+    import pytest as _pytest
+
+    engine.sql(
+        "CREATE TABLE gsrc (id BIGINT PRIMARY KEY, a VARCHAR(10), b VARCHAR(10), "
+        "ab VARCHAR(21) AS (CONCAT(a, b)) STORED)"
+    )
+    engine.sql(
+        "INSERT INTO gsrc SELECT n_nationkey, n_name, n_name FROM nation "
+        "WHERE n_nationkey < 2"
+    )
+    rows = engine.sql("SELECT * FROM gsrc ORDER BY id").collect()
+    assert len(rows) == 2 and all(r.ab == r.a + r.b for r in rows)
+    with _pytest.raises(ValueError, match="generated column"):
+        engine.sql(
+            "INSERT INTO gsrc SELECT n_nationkey + 10, n_name, n_name, 'nope' "
+            "FROM nation WHERE n_nationkey < 1"
+        )
+    engine.sql("DROP TABLE gsrc")

@@ -655,3 +655,203 @@ def test_describe_view(engine):
     engine.sql("CREATE OR REPLACE VIEW v_desc AS SELECT n_nationkey AS k, n_name FROM nation")
     rows = engine.sql("DESC v_desc").collect()
     assert [r.Field for r in rows] == ["k", "n_name"]
+
+
+def test_view_reflects_dml(engine):
+    """Views must track base-table DML (MySQL views expand per statement,
+    planbuilder.go buildDataSource): rows inserted after CREATE VIEW are
+    visible, and the view survives version pruning (> retain_versions
+    writes) instead of dangling on a deleted parquet dir."""
+    engine.sql("CREATE TABLE vsrc (id BIGINT PRIMARY KEY, v INT)")
+    engine.sql("INSERT INTO vsrc VALUES (1, 10)")
+    engine.sql("CREATE VIEW v_live AS SELECT SUM(v) AS total FROM vsrc")
+    assert engine.sql("SELECT total FROM v_live").collect()[0].total == 10
+    engine.sql("INSERT INTO vsrc VALUES (2, 32)")
+    assert engine.sql("SELECT total FROM v_live").collect()[0].total == 42
+    # Column-list rename survives the rebuild too.
+    engine.sql("CREATE VIEW v_named (t) AS SELECT SUM(v) FROM vsrc")
+    assert engine.sql("SELECT t FROM v_named").collect()[0].t == 42
+    # Push past retain_versions (8): the old frozen plan's files are pruned;
+    # a stale view would throw file-not-found here.
+    for i in range(3, 13):
+        engine.sql(f"INSERT INTO vsrc VALUES ({i}, 1)")
+    assert engine.sql("SELECT total FROM v_live").collect()[0].total == 52
+    engine.sql("DROP VIEW v_live")
+    engine.sql("DROP VIEW v_named")
+    engine.sql("DROP TABLE vsrc")
+
+
+def test_create_or_replace_view_rejects_tables(engine):
+    """OR REPLACE may only replace a VIEW — MySQL ErrWrongObject when the
+    name is a base or managed table (executor/ddl.go)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="is not a VIEW"):
+        engine.sql("CREATE OR REPLACE VIEW nation AS SELECT 1 AS x")
+    engine.sql("CREATE TABLE orv (id BIGINT PRIMARY KEY)")
+    with _pytest.raises(ValueError, match="is not a VIEW"):
+        engine.sql("CREATE OR REPLACE VIEW orv AS SELECT 1 AS x")
+    engine.sql("DROP TABLE orv")
+
+
+def test_hint_lands_on_top_level_select(engine):
+    """A join-method hint inside a WITH query must attach to the outer
+    (top-level) SELECT — anchored via paren/string-aware scanning, not the
+    textually-first SELECT (which belongs to the CTE body and would make
+    Catalyst silently drop the hint)."""
+    q = (
+        "WITH big AS (SELECT n_nationkey, n_name, n_regionkey FROM nation) "
+        "SELECT {h}n_name, r_name FROM big "
+        "JOIN region r ON big.n_regionkey = r.r_regionkey "
+        "WHERE n_nationkey < 5 ORDER BY n_name"
+    )
+    plain = engine.sql(q.format(h="")).collect()
+    hj = engine.sql(q.format(h="/*+ HASH_JOIN(r) */ "))
+    assert hj.collect() == plain
+    plan = hj._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    # A string literal containing 'select' must not attract the hint.
+    s = engine.sql(
+        "SELECT /*+ MERGE_JOIN(r) */ 'select me' AS tag, r_name "
+        "FROM region r ORDER BY r_name LIMIT 1"
+    ).collect()
+    assert s[0].tag == "select me"
+
+
+def test_prepare_execute_deallocate(engine):
+    """PREPARE / EXECUTE USING / DEALLOCATE (executor/prepared.go:1,
+    planner/core/common_plans.go Execute rebind): ? placeholders bind
+    positionally from user variables, string-literal ?s are untouched,
+    re-EXECUTE rebinds, and reference-shaped errors for unknown handlers /
+    wrong arity."""
+    import pytest as _pytest
+
+    engine.sql("PREPARE get_nation FROM 'SELECT n_name FROM nation "
+               "WHERE n_nationkey = ?'")
+    engine.sql("SET @k = 3")
+    r = engine.sql("EXECUTE get_nation USING @k").collect()
+    assert len(r) == 1
+    engine.sql("SET @k = 4")
+    r2 = engine.sql("EXECUTE get_nation USING @k").collect()
+    assert len(r2) == 1 and r2[0].n_name != r[0].n_name
+    # PREPARE FROM @var; '?' inside a string literal is not a parameter.
+    engine.sql("SET @src = 'SELECT CONCAT(n_name, ''?'') AS q FROM nation "
+               "WHERE n_nationkey < ?'")
+    engine.sql("PREPARE p2 FROM @src")
+    rows = engine.sql("EXECUTE p2 USING @k").collect()
+    assert len(rows) == 4 and all(row.q.endswith("?") for row in rows)
+    with _pytest.raises(ValueError, match="Incorrect arguments"):
+        engine.sql("EXECUTE p2")
+    with _pytest.raises(ValueError, match="Unknown prepared statement"):
+        engine.sql("EXECUTE nope USING @k")
+    engine.sql("DEALLOCATE PREPARE p2")
+    with _pytest.raises(ValueError, match="Unknown prepared statement"):
+        engine.sql("EXECUTE p2 USING @k")
+    engine.sql("DROP PREPARE get_nation")  # DROP synonym
+    with _pytest.raises(ValueError, match="not set"):
+        engine.sql("PREPARE p3 FROM @unset_var")
+
+
+def test_sequence_lifecycle(engine):
+    """CREATE SEQUENCE + NEXTVAL/LASTVAL/SETVAL (ddl/sequence.go; builtins
+    at the end of expression/builtin.go's registry): engine-side counter
+    like AUTO_INCREMENT, SHOW CREATE SEQUENCE round-trip, cycle and
+    run-out semantics."""
+    import pytest as _pytest
+
+    engine.sql("CREATE SEQUENCE sq START WITH 5 INCREMENT BY 2")
+    assert engine.sql("SELECT LASTVAL(sq) AS v").collect()[0].v is None
+    assert engine.sql("SELECT NEXTVAL(sq) AS v").collect()[0].v == 5
+    assert engine.sql("SELECT NEXTVAL(sq) AS v").collect()[0].v == 7
+    assert engine.sql("SELECT LASTVAL(sq) AS v").collect()[0].v == 7
+    # SETVAL: next allocation continues past the set point.
+    assert engine.sql("SELECT SETVAL(sq, 100) AS v").collect()[0].v == 100
+    assert engine.sql("SELECT NEXTVAL(sq) AS v").collect()[0].v == 102
+    # Multi-row INSERT: each NEXTVAL occurrence allocates.
+    engine.sql("CREATE TABLE sq_t (id BIGINT PRIMARY KEY, tag VARCHAR(5))")
+    engine.sql("INSERT INTO sq_t VALUES (NEXTVAL(sq), 'a'), (NEXTVAL(sq), 'b')")
+    ids = sorted(r.id for r in engine.sql("SELECT id FROM sq_t").collect())
+    assert ids == [104, 106], ids
+    # SHOW CREATE SEQUENCE round-trips through a fresh create.
+    ddl = engine.sql("SHOW CREATE SEQUENCE sq").collect()[0][1]
+    assert "START WITH 5" in ddl and "INCREMENT BY 2" in ddl
+    engine.sql("DROP SEQUENCE sq")
+    engine.sql(ddl.replace("`sq`", "`sq2`"))
+    assert engine.sql("SELECT NEXTVAL(sq2) AS v").collect()[0].v == 5
+    # Run-out vs cycle.
+    engine.sql("CREATE SEQUENCE tiny START WITH 1 MAXVALUE 2")
+    assert [engine.sql("SELECT NEXTVAL(tiny) AS v").collect()[0].v
+            for _ in range(2)] == [1, 2]
+    with _pytest.raises(ValueError, match="run out"):
+        engine.sql("SELECT NEXTVAL(tiny) AS v")
+    engine.sql("CREATE SEQUENCE loopy START WITH 1 MAXVALUE 2 CYCLE")
+    assert [engine.sql("SELECT NEXTVAL(loopy) AS v").collect()[0].v
+            for _ in range(3)] == [1, 2, 1]
+    with _pytest.raises(ValueError, match="not a sequence"):
+        engine.sql("DROP SEQUENCE nation")
+    engine.sql("DROP SEQUENCE IF EXISTS ghost")  # no error
+    with _pytest.raises(ValueError, match="Unknown SEQUENCE"):
+        engine.sql("SELECT NEXTVAL(ghost) AS v")
+    engine.sql("DROP SEQUENCE sq2"); engine.sql("DROP SEQUENCE tiny")
+    engine.sql("DROP SEQUENCE loopy"); engine.sql("DROP TABLE sq_t")
+
+
+def test_show_longtail(engine):
+    """SHOW INDEX / SHOW STATUS / SHOW GRANTS (executor/show.go): the
+    BI-tool probe surface, MySQL-shaped columns."""
+    import pytest as _pytest
+
+    engine.sql("CREATE TABLE idx_t (a BIGINT, b BIGINT, PRIMARY KEY (a, b))")
+    rows = engine.sql("SHOW INDEX FROM idx_t").collect()
+    assert [(r.Key_name, r.Seq_in_index, r.Column_name) for r in rows] == [
+        ("PRIMARY", 1, "a"), ("PRIMARY", 2, "b")
+    ]
+    assert engine.sql("SHOW INDEX FROM nation").collect() == []
+    with _pytest.raises(ValueError, match="unknown table"):
+        engine.sql("SHOW INDEX FROM ghost")
+    st = {r.Variable_name: r.Value for r in engine.sql("SHOW STATUS").collect()}
+    # The module-scoped engine may carry tables from earlier tests; the
+    # status row must agree with live state.
+    assert int(st["tidb_spark_managed_tables"]) == len(engine.managed) >= 1
+    g = engine.sql("SHOW GRANTS").collect()
+    assert "GRANT ALL PRIVILEGES" in g[0][0]
+    g2 = engine.sql("SHOW GRANTS FOR 'app'@'%'").collect()
+    assert "'app'@'%'" in g2[0][0]
+    engine.sql("DROP TABLE idx_t")
+
+
+def test_ci_collation_shim(engine):
+    """COLLATE …_ci columns (util/collate/ — utf8mb4_general_ci is MySQL's
+    default): '=', LIKE, join-key equality, and ORDER BY are
+    case-insensitive via the LOWER() shim; non-_ci columns keep binary
+    semantics."""
+    engine.sql(
+        "CREATE TABLE ci_t (id BIGINT PRIMARY KEY, "
+        "tag VARCHAR(10) COLLATE utf8mb4_general_ci, "
+        "raw VARCHAR(10))"
+    )
+    engine.sql(
+        "INSERT INTO ci_t VALUES (1, 'Apple', 'Apple'), (2, 'apple', 'apple'), "
+        "(3, 'BANANA', 'BANANA'), (4, 'banana', 'banana')"
+    )
+    # '=' matches across case on the _ci column only.
+    assert {r.id for r in engine.sql(
+        "SELECT id FROM ci_t WHERE tag = 'APPLE'").collect()} == {1, 2}
+    assert {r.id for r in engine.sql(
+        "SELECT id FROM ci_t WHERE raw = 'APPLE'").collect()} == set()
+    # LIKE and reversed literal-first compare.
+    assert {r.id for r in engine.sql(
+        "SELECT id FROM ci_t WHERE tag LIKE 'b%'").collect()} == {3, 4}
+    assert {r.id for r in engine.sql(
+        "SELECT id FROM ci_t WHERE 'Banana' = tag").collect()} == {3, 4}
+    # ORDER BY groups case variants together (MySQL _ci sort).
+    tags = [r.tag for r in engine.sql(
+        "SELECT tag FROM ci_t ORDER BY tag, id").collect()]
+    assert [t.lower() for t in tags] == ["apple", "apple", "banana", "banana"]
+    # _ci = _ci join-key equality matches across case.
+    n = engine.sql(
+        "SELECT COUNT(*) AS n FROM ci_t a JOIN ci_t b ON a.tag = b.tag "
+        "WHERE a.id < b.id"
+    ).collect()[0].n
+    assert n == 2  # (1,2) and (3,4)
+    engine.sql("DROP TABLE ci_t")

@@ -54,6 +54,41 @@ _USER_VAR_RE = re.compile(r"(?<![@\w])@(\w+)\b")
 
 _CHECKSUM_RE = re.compile(r"(?is)^\s*ADMIN\s+CHECKSUM\s+TABLE\s+(\w+)\s*;?\s*$")
 
+# PREPARE / EXECUTE / DEALLOCATE statement forms (executor/prepared.go:1
+# PrepareExec; planner/core/common_plans.go Execute rebind).  The reference
+# caches a physical plan per prepared statement; on Spark, Catalyst re-plans
+# per EXECUTE (AQE makes per-execution planning the *better* strategy at
+# scale — literal parameters enable partition pruning a cached generic plan
+# would lose).
+_PREPARE_RE = re.compile(
+    r"(?is)^\s*PREPARE\s+`?(?P<name>\w+)`?\s+FROM\s+(?P<src>.+?)\s*;?\s*$"
+)
+_EXECUTE_RE = re.compile(
+    r"(?is)^\s*EXECUTE\s+`?(?P<name>\w+)`?"
+    r"(?:\s+USING\s+(?P<args>.+?))?\s*;?\s*$"
+)
+_DEALLOC_RE = re.compile(
+    r"(?is)^\s*(?:DEALLOCATE|DROP)\s+PREPARE\s+`?(?P<name>\w+)`?\s*;?\s*$"
+)
+
+# Sequence objects (ddl/sequence.go; NEXTVAL/LASTVAL/SETVAL in the builtin
+# registry, expression/builtin.go).  Counter state is engine-side like the
+# AUTO_INCREMENT counter: allocation is a 1-row control-plane action, never
+# a distributed operation (the reference allocates cached ranges from KV
+# the same way).
+_CREATE_SEQ_RE = re.compile(
+    r"(?is)^\s*CREATE\s+SEQUENCE\s+(?P<ifnex>IF\s+NOT\s+EXISTS\s+)?"
+    r"`?(?P<name>\w+)`?\s*(?P<opts>.*?)\s*;?\s*$"
+)
+_DROP_SEQ_RE = re.compile(
+    r"(?is)^\s*DROP\s+SEQUENCE\s+(?P<ifex>IF\s+EXISTS\s+)?"
+    r"`?(?P<name>\w+)`?\s*;?\s*$"
+)
+_SEQ_FUNC_RE = re.compile(
+    r"(?i)\b(?P<fn>NEXTVAL|LASTVAL|SETVAL)\s*\(\s*`?(?P<seq>\w+)`?"
+    r"\s*(?:,\s*(?P<val>-?\d+)\s*)?\)"
+)
+
 _DDL_RE = re.compile(
     r"(?is)^\s*(?:(?P<dverb>DROP|TRUNCATE)\s+TABLE\s+(?P<dtab>\w+)"
     r"|(?P<fverb>FLASHBACK)\s+TABLE\s+(?P<ftab>\w+)(?:\s+TO\s+(?P<fnew>\w+))?)"
@@ -116,6 +151,17 @@ class Engine:
         # reference stores the SELECT text in the view's TableInfo,
         # planner/core/planbuilder.go:411-498 buildCreateView).
         self.views: dict[str, str] = {}
+        # Optional explicit column list per view (CREATE VIEW v (a, b) AS …),
+        # needed to rebuild the view after base-table DML.
+        self._view_cols: dict[str, list[str] | None] = {}
+        # PREPARE handler -> statement text (executor/prepared.go).
+        self.prepared: dict[str, str] = {}
+        # Sequence objects: name -> options + counter (ddl/sequence.go).
+        self.sequences: dict[str, dict] = {}
+        # Columns declared with a *_ci collation (util/collate/), per
+        # table so DROP TABLE retires them: the opt-in case-insensitive
+        # comparison shim keys off the union of these names.
+        self._ci_cols_by_table: dict[str, set[str]] = {}
         self._tmp_view_n = 0
         register_shim_udfs(spark)
 
@@ -181,6 +227,25 @@ class Engine:
             self.graph.edges[name].df = df
         if name in self.graph.vertices:
             self.graph.vertices[name].df = df
+        # Views captured the PREVIOUS parquet version of this table in their
+        # analyzed plans (and would eventually dangle once retain_versions
+        # prunes it); rebuild every view definition against current state —
+        # reference/MySQL views always reflect current data (view bodies are
+        # expanded per consuming statement, planbuilder.go buildDataSource).
+        self._reregister_views()
+
+    def _reregister_views(self) -> None:
+        for vname, body in self.views.items():
+            try:
+                vdf = self.sql(body)
+                cols = self._view_cols.get(vname)
+                if cols:
+                    vdf = vdf.toDF(*cols)
+                vdf.createOrReplaceTempView(vname)
+            except Exception:
+                # A view whose base objects are gone stays registered with
+                # its old plan; MySQL likewise only errors at use time.
+                pass
 
     def _run_create(self, stmt) -> None:
         """CREATE TABLE → managed copy-on-write table, plus graph-schema
@@ -213,6 +278,13 @@ class Engine:
         self._defaults_by_table[stmt.name] = {
             c.name: c.default_expr for c in stmt.columns if c.default_expr
         }
+        ci = {
+            c.name
+            for c in stmt.columns
+            if c.collation and c.collation.lower().endswith("_ci")
+        }
+        if ci:
+            self._ci_cols_by_table[stmt.name] = ci
         if stmt.is_edge:
             src = next(c for c in stmt.columns if c.source_ref)
             dst = next(c for c in stmt.columns if c.dest_ref)
@@ -472,6 +544,7 @@ class Engine:
                 del self.managed[name]
                 del self.tables[name]
                 self.spark.catalog.dropTempView(name)
+                self._ci_cols_by_table.pop(name, None)
                 self.dropped[name] = mt
             else:
                 mt._pre_truncate_version = mt._version  # noqa: SLF001
@@ -556,6 +629,32 @@ class Engine:
                 full = full.select(*[f.name for f in mt.df().schema.fields])
             else:
                 full = self.spark.sql(body)
+                if mt.generated:
+                    # INSERT … SELECT binds positionally; a SELECT wide
+                    # enough to cover the generated columns is supplying
+                    # explicit values for them — ErrBadGeneratedColumn,
+                    # same as the VALUES path above.  The accepted shape
+                    # binds the non-generated columns only (generated ones
+                    # are recomputed from their expressions on write).
+                    fields = mt.df().schema.fields
+                    non_gen = [
+                        f.name for f in fields if f.name not in mt.generated
+                    ]
+                    if len(full.columns) != len(non_gen):
+                        gen_name = next(iter(mt.generated))
+                        raise ValueError(
+                            f"The value specified for generated column "
+                            f"{gen_name!r} in table {name!r} is not allowed"
+                            f" (SELECT must supply exactly the "
+                            f"{len(non_gen)} non-generated columns)"
+                        )
+                    full = full.toDF(*non_gen)
+                    for f in fields:
+                        if f.name in mt.generated:
+                            full = full.withColumn(
+                                f.name, F.lit(None).cast(f.dataType)
+                            )
+                    full = full.select(*[f.name for f in fields])
             if odku is not None:
                 # ON DUPLICATE KEY UPDATE (executor/insert.go:43): in each
                 # assignment, VALUES(col) is the incoming row, a bare column
@@ -734,6 +833,23 @@ class Engine:
         cm = _CHECKSUM_RE.match(query)
         if cm:
             return self.checksum(cm.group(1))
+        pm = _PREPARE_RE.match(query)
+        if pm:
+            return self._run_prepare(pm)
+        dm_ = _DEALLOC_RE.match(query)
+        if dm_:
+            return self._run_deallocate(dm_)
+        em = _EXECUTE_RE.match(query)
+        if em:
+            return self._run_execute(em)
+        csm = _CREATE_SEQ_RE.match(query)
+        if csm:
+            return self._run_create_sequence(csm)
+        dsm = _DROP_SEQ_RE.match(query)
+        if dsm:
+            return self._run_drop_sequence(dsm)
+        if self.sequences:
+            query = self._substitute_sequence_funcs(query)
         # Hints first: @query_block qualifiers inside /*+ ... */ must not be
         # mistaken for @user variables by the substitution pass.
         query, hints = self._extract_hints(query)
@@ -777,6 +893,7 @@ class Engine:
         query = self._rewrite_as_of(query)
         query = self._rewrite_partition_selection(query)
         query = self._apply_static_pruning(query)
+        query = self._apply_ci_collation(query)
         query = self._inject_hints(query, hints)
         parsed = mc.find_and_parse(query)
         if parsed is not None:
@@ -977,6 +1094,14 @@ class Engine:
         ):
             # ddl.go returns ErrTableExists for a live name without OR REPLACE.
             raise ValueError(f"CREATE VIEW: table or view {name!r} already exists")
+        if (
+            m.group("replace")
+            and name not in self.views
+            and (name in self.tables or name in self.managed)
+        ):
+            # MySQL: OR REPLACE may only replace a VIEW, never shadow a base
+            # table (ErrWrongObject "is not VIEW").
+            raise ValueError(f"CREATE OR REPLACE VIEW: {name!r} is not a VIEW")
         df = self.sql(body)
         if m.group("cols"):
             cols = [c.strip().strip("`") for c in m.group("cols").split(",") if c.strip()]
@@ -989,6 +1114,11 @@ class Engine:
             df = df.toDF(*cols)
         df.createOrReplaceTempView(name)
         self.views[name] = body.strip()
+        self._view_cols[name] = (
+            [c.strip().strip("`") for c in m.group("cols").split(",") if c.strip()]
+            if m.group("cols")
+            else None
+        )
 
     def _run_drop_view(self, m: re.Match) -> None:
         name = m.group("name")
@@ -1001,6 +1131,7 @@ class Engine:
             raise ValueError(f"DROP VIEW: {name!r} is not a known view ({kind})")
         self.spark.catalog.dropTempView(name)
         del self.views[name]
+        self._view_cols.pop(name, None)
 
     # -- Optimizer hints (util/hint/, planner/optimize.go hint binding) ----
     #
@@ -1051,16 +1182,78 @@ class Engine:
 
         return self._HINT_BLOCK_RE.sub(collect, query), hints
 
+    _SQL_STR = r"'(?:[^'\\]|\\.|'')*'"
+
+    def _apply_ci_collation(self, query: str) -> str:
+        """Opt-in *_ci collation shim (util/collate/; the reference carries
+        full MySQL collations, used throughout expression/).  Columns
+        declared ``COLLATE …_ci`` compare and sort case-insensitively via
+        LOWER() normalization — an approximation of utf8mb4_general_ci
+        (ASCII-correct; no ICU weights/accent folding, README-documented).
+
+        Rewritten contexts: ``col <op> 'literal'`` (and reversed),
+        ``col = col`` when both are _ci (join keys), and ``col`` tokens
+        inside ORDER BY.  GROUP BY is NOT rewritten (Spark would then
+        reject the bare SELECT column; MySQL's arbitrary-case group
+        representative has no clean Spark analogue) — documented gap."""
+        active = set().union(*self._ci_cols_by_table.values()) if (
+            self._ci_cols_by_table
+        ) else set()
+        if not active:
+            return query
+        cols = "|".join(re.escape(c) for c in sorted(active))
+        qual = rf"(?:\w+\.)?(?:{cols})"
+        ops = r"(?:=|<>|!=|<=|>=|<|>|(?i:LIKE))"
+        # col <op> 'lit'  /  'lit' <op> col
+        query = re.sub(
+            rf"(?<![\w.])(?P<c>{qual})\b\s*(?P<op>{ops})\s*(?P<lit>{self._SQL_STR})",
+            lambda m: f"LOWER({m.group('c')}) {m.group('op')} "
+            f"LOWER({m.group('lit')})",
+            query,
+        )
+        query = re.sub(
+            rf"(?P<lit>{self._SQL_STR})\s*(?P<op>{ops})\s*(?P<c>{qual})\b",
+            lambda m: f"LOWER({m.group('lit')}) {m.group('op')} "
+            f"LOWER({m.group('c')})",
+            query,
+        )
+        # _ci col = _ci col (both sides normalize, MySQL join semantics)
+        query = re.sub(
+            rf"(?<![\w.])(?P<a>{qual})\b\s*=\s*(?P<b>{qual})\b",
+            lambda m: f"LOWER({m.group('a')}) = LOWER({m.group('b')})",
+            query,
+        )
+        # ORDER BY … col … (clause ends at LIMIT or end-of-statement)
+        def order_fix(m: re.Match) -> str:
+            clause = re.sub(
+                rf"(?<![\w.(])(?P<c>{qual})\b(?!\s*\()",
+                lambda cm: f"LOWER({cm.group('c')})",
+                m.group(2),
+            )
+            return m.group(1) + clause
+
+        return re.sub(
+            r"(?is)(\bORDER\s+BY\s+)(.+?)(?=\bLIMIT\b|$)", order_fix, query
+        )
+
     def _inject_hints(self, query: str, hints: list[str]) -> str:
         """Re-emit surviving hints as a Spark hint comment after the first
-        SELECT (Spark only honors hints directly inside a SELECT)."""
+        TOP-LEVEL SELECT (Spark only honors hints directly inside a
+        SELECT's own block).  A bare regex would land inside a WITH cte's
+        parenthesized body — Catalyst then silently drops the hint as
+        referencing unknown relations — or inside a string literal."""
         if not hints:
             return query
-        return re.sub(
-            r"(?is)\bSELECT\b",
-            "SELECT /*+ " + ", ".join(hints) + " */",
-            query,
-            count=1,
+        parts = merge_clause._split_top_level(query, "SELECT")
+        if len(parts) < 2:
+            return query
+        pos = len(parts[0])  # first top-level SELECT keyword starts here
+        return (
+            query[:pos]
+            + "SELECT /*+ "
+            + ", ".join(hints)
+            + " */"
+            + query[pos + len("SELECT") :]
         )
 
     def _run_show(self, query: str) -> DataFrame:
@@ -1090,6 +1283,64 @@ class Engine:
         if re.match(r"(?is)^SHOW\s+DATABASES$", q):
             return mk(
                 [("INFORMATION_SCHEMA",), ("tidb_spark",)], "Database string"
+            )
+        m = re.match(r"(?is)^SHOW\s+CREATE\s+SEQUENCE\s+`?(\w+)`?$", q)
+        if m:
+            name = m.group(1)
+            if name not in self.sequences:
+                raise ValueError(f"SHOW CREATE SEQUENCE: unknown sequence {name!r}")
+            s = self.sequences[name]
+            ddl = (
+                f"CREATE SEQUENCE `{name}` START WITH {s['start']} "
+                f"INCREMENT BY {s['increment']} MINVALUE {s['min']} "
+                f"MAXVALUE {s['max']} {'CYCLE' if s['cycle'] else 'NOCYCLE'}"
+            )
+            return mk(
+                [(name, ddl)], "Sequence string, `Create Sequence` string"
+            )
+        m = re.match(
+            r"(?is)^SHOW\s+(?:INDEX|INDEXES|KEYS)\s+(?:FROM|IN)\s+`?(\w+)`?$", q
+        )
+        if m:
+            # show.go fetchShowIndex: one row per key column.  The engine's
+            # only index-like object is a managed table's PRIMARY KEY (scans
+            # are columnar; secondary indexes are n/a by design — SURVEY §2
+            # rows 2-3).
+            name = m.group(1)
+            rows = []
+            if name in self.managed:
+                for i, col in enumerate(self.managed[name].key_cols, 1):
+                    rows.append((name, 0, "PRIMARY", i, col, "A"))
+            elif name not in self.tables:
+                raise ValueError(f"SHOW INDEX: unknown table {name!r}")
+            return mk(
+                rows,
+                "Table string, Non_unique int, Key_name string, "
+                "Seq_in_index int, Column_name string, Collation string",
+            )
+        m = re.match(r"(?is)^SHOW\s+(?:GLOBAL\s+|SESSION\s+)?STATUS$", q)
+        if m:
+            # show.go fetchShowStatus: BI tools probe a handful of rows;
+            # serve deterministic engine-true values.
+            return mk(
+                [
+                    ("Ssl_cipher", ""),
+                    ("Threads_connected", "1"),
+                    ("Queries", "0"),
+                    ("tidb_spark_managed_tables", str(len(self.managed))),
+                    ("tidb_spark_views", str(len(self.views))),
+                ],
+                "Variable_name string, Value string",
+            )
+        m = re.match(r"(?is)^SHOW\s+GRANTS(?:\s+FOR\s+(.+?))?$", q)
+        if m:
+            # privilege/privileges is out of scope (BASELINE.json); every
+            # session is the all-privilege user, as show.go would render
+            # for root.
+            who = (m.group(1) or "'root'@'%'").strip()
+            return mk(
+                [(f"GRANT ALL PRIVILEGES ON *.* TO {who}",)],
+                "`Grants` string",
             )
         m = re.match(r"(?is)^SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?$", q)
         if m:
@@ -1162,6 +1413,182 @@ class Engine:
                 sorted(base.items()), "Variable_name string, Value string"
             )
         raise ValueError(f"unsupported SHOW statement: {query!r}")
+
+    @staticmethod
+    def _unquote_sql_string(s: str) -> str:
+        """Decode a SQL string literal ('…' or "…"; doubled-quote and
+        backslash escapes) — the PREPARE … FROM source form."""
+        s = s.strip()
+        if len(s) < 2 or s[0] not in "'\"" or s[-1] != s[0]:
+            raise ValueError(
+                f"PREPARE: expected a string literal or @variable, got {s!r}"
+            )
+        q = s[0]
+        return (
+            s[1:-1]
+            .replace(q + q, q)
+            .replace("\\" + q, q)
+            .replace("\\\\", "\\")
+        )
+
+    def _run_prepare(self, m: re.Match) -> DataFrame:
+        """PREPARE stmt FROM '…' / FROM @var (executor/prepared.go:1)."""
+        src = m.group("src").strip()
+        uv = re.match(r"^@(\w+)$", src)
+        if uv:
+            src = self.user_vars.get(uv.group(1))
+            if src is None:
+                # set.go: preparing from an unset variable is an error
+                # (the statement text would be NULL).
+                raise ValueError(f"PREPARE: user variable @{uv.group(1)} is not set")
+        text = self._unquote_sql_string(src)
+        self.prepared[m.group("name")] = text
+        return self.spark.range(0).select(F.lit("OK").alias("status"))
+
+    def _run_execute(self, m: re.Match) -> DataFrame:
+        """EXECUTE stmt [USING @a, @b, …]: bind each ``?`` placeholder
+        (positionally, outside string literals) to the user variable's
+        current literal value, then run through the full engine pipeline —
+        Catalyst re-plans per execution (common_plans.go Execute rebind;
+        see _PREPARE_RE note on why re-planning beats a plan cache here)."""
+        from tidb_spark.sqlshim.translate import _map_code
+
+        name = m.group("name")
+        if name not in self.prepared:
+            # executor/prepared.go ErrStmtNotFound
+            raise ValueError(f"Unknown prepared statement handler {name!r}")
+        text = self.prepared[name]
+        vals: list[str] = []
+        if m.group("args"):
+            for tok in m.group("args").split(","):
+                tok = tok.strip()
+                av = re.match(r"^@(\w+)$", tok)
+                if not av:
+                    # parser: USING accepts user variables only
+                    raise ValueError(
+                        f"EXECUTE … USING expects @variables, got {tok!r}"
+                    )
+                vals.append(self.user_vars.get(av.group(1), "NULL"))
+        n_params = 0
+
+        def count(code: str) -> str:
+            nonlocal n_params
+            n_params += code.count("?")
+            return code
+
+        _map_code(text, count)
+        if n_params != len(vals):
+            # executor/prepared.go ErrWrongParamCount
+            raise ValueError(
+                f"Incorrect arguments to EXECUTE: statement takes "
+                f"{n_params} parameters, {len(vals)} given"
+            )
+        it = iter(vals)
+
+        def bind(code: str) -> str:
+            return re.sub(r"\?", lambda _m: next(it), code)
+
+        return self.sql(_map_code(text, bind) if vals else text)
+
+    def _run_deallocate(self, m: re.Match) -> DataFrame:
+        name = m.group("name")
+        if name not in self.prepared:
+            raise ValueError(f"Unknown prepared statement handler {name!r}")
+        del self.prepared[name]
+        return self.spark.range(0).select(F.lit("OK").alias("status"))
+
+    _SEQ_OPT_RE = re.compile(
+        r"(?i)(START\s+WITH|INCREMENT\s+BY|MINVALUE|MAXVALUE|CACHE)\s+"
+        r"(-?\d+)|(?P<flag>CYCLE|NOCYCLE|NO\s+CYCLE)"
+    )
+
+    def _run_create_sequence(self, m: re.Match) -> DataFrame:
+        """CREATE SEQUENCE (ddl/sequence.go CreateSequence): START WITH /
+        INCREMENT BY / MINVALUE / MAXVALUE / CYCLE.  CACHE is accepted and
+        ignored — it tunes the reference's KV round-trip batching, which
+        the engine-side counter replaces."""
+        name = m.group("name")
+        if name in self.sequences:
+            if m.group("ifnex"):
+                return self.spark.range(0).select(F.lit("OK").alias("status"))
+            raise ValueError(f"CREATE SEQUENCE: {name!r} already exists")
+        if name in self.tables or name in self.managed or name in self.views:
+            raise ValueError(f"CREATE SEQUENCE: table or view {name!r} exists")
+        opts = {"start": 1, "increment": 1, "min": 1, "max": 2**63 - 1,
+                "cycle": False}
+        for om in self._SEQ_OPT_RE.finditer(m.group("opts") or ""):
+            if om.group("flag"):
+                opts["cycle"] = om.group("flag").upper() == "CYCLE"
+            else:
+                key = re.sub(r"\s+", " ", om.group(1).upper())
+                val = int(om.group(2))
+                opts[{"START WITH": "start", "INCREMENT BY": "increment",
+                      "MINVALUE": "min", "MAXVALUE": "max", "CACHE": "cache"}
+                     [key]] = val
+        if opts["increment"] == 0:
+            raise ValueError("CREATE SEQUENCE: INCREMENT BY must be non-zero")
+        opts.pop("cache", None)
+        # next value to hand out; lastval = last handed out (None until used)
+        opts["next"] = opts["start"]
+        opts["lastval"] = None
+        self.sequences[name] = opts
+        return self.spark.range(0).select(F.lit("OK").alias("status"))
+
+    def _run_drop_sequence(self, m: re.Match) -> DataFrame:
+        name = m.group("name")
+        if name not in self.sequences:
+            if m.group("ifex"):
+                return self.spark.range(0).select(F.lit("OK").alias("status"))
+            # ddl.go ErrWrongObject shape: dropping a non-sequence errors.
+            raise ValueError(f"DROP SEQUENCE: {name!r} is not a sequence")
+        del self.sequences[name]
+        return self.spark.range(0).select(F.lit("OK").alias("status"))
+
+    def _seq_nextval(self, name: str) -> int:
+        s = self.sequences[name]
+        val = s["next"]
+        if val > s["max"] or val < s["min"]:
+            if not s["cycle"]:
+                # ddl/sequence.go ErrSequenceRunOut
+                raise ValueError(f"Sequence {name!r} has run out")
+            val = s["min"] if s["increment"] > 0 else s["max"]
+        s["next"] = val + s["increment"]
+        s["lastval"] = val
+        return val
+
+    def _substitute_sequence_funcs(self, query: str) -> str:
+        """Evaluate NEXTVAL/LASTVAL/SETVAL calls against engine-side
+        counters, splicing literal values into the statement (string-
+        literal-aware).  Each textual occurrence allocates once per
+        statement — so a multi-row ``INSERT … VALUES (NEXTVAL(s), …),
+        (NEXTVAL(s), …)`` numbers each row, matching the reference's
+        per-row evaluation for the statement shapes the engine accepts."""
+        from tidb_spark.sqlshim.translate import _map_code
+
+        def sub(code: str) -> str:
+            def repl(fm: re.Match) -> str:
+                seq = fm.group("seq")
+                if seq not in self.sequences:
+                    raise ValueError(f"Unknown SEQUENCE {seq!r}")
+                fn = fm.group("fn").upper()
+                if fn == "NEXTVAL":
+                    return str(self._seq_nextval(seq))
+                if fn == "LASTVAL":
+                    last = self.sequences[seq]["lastval"]
+                    return "NULL" if last is None else str(last)
+                if fm.group("val") is None:
+                    raise ValueError("SETVAL(seq, value) requires a value")
+                # SETVAL(seq, n): the next NEXTVAL returns a value past n
+                # (TiDB docs); LASTVAL (session-scoped) is unaffected.
+                val = int(fm.group("val"))
+                self.sequences[seq]["next"] = (
+                    val + self.sequences[seq]["increment"]
+                )
+                return str(val)
+
+            return _SEQ_FUNC_RE.sub(repl, code)
+
+        return _map_code(query, sub)
 
     def _run_set(self, m: re.Match) -> DataFrame:
         """SET @var = expr / SET @@sysvar = value (executor/set.go:41-96).

@@ -62,62 +62,64 @@ _LOADED = False
 # representative per SURVEY §2 family so every family gets driver rows;
 # everything not listed keeps its natural (import) order after slot 50.
 _PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- the 11 queries never driver-verified in rounds 1-2 (VERDICT r2) ---
-    "dedup_simhash",
-    "func_control",
-    "func_hash_inet",
-    "func_like_regexp",
-    "func_math",
-    "func_mysql_shims",
-    "mysqlsql_date_funcs",
-    "mysqlsql_datetime_longtail",
-    "mysqlsql_json_read",
-    "mysqlsql_string_longtail",
-    "mysqlsql_string_misc",
-    # --- changed in round 3: shared-BFS graph family, cached e_knows ---
-    "graph_any_shortest",
-    "graph_any_shortest_len",
-    "graph_all_shortest",
-    "graph_top_k_shortest",
-    "graph_match_out",
-    "graph_match_in",
-    "graph_match_both",
-    "graph_match_2hop",
-    "graph_match_multipath",
-    "graph_match_edge_props",
-    "mysqlsql_match_1hop",
-    "cte_recursive",
-    # --- changed in round 3: stream source tz pinning ---
-    "stream_tumbling_hour",
-    "stream_sliding_1h_15m",
-    "stream_session_30m",
-    "stream_dedup_keys",
-    "stream_interval_join",
-    # --- round-3 new oracles / plan changes ---
-    "dedup_minhash_lsh",
-    "sim_topk_cosine",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
+    # --- round 4: ALL 34 queries whose latest driver check is round 1 ---
+    # (rotation policy: staleness table in COVERAGE.md; agg_approx_sketches
+    # is the priority case — its accuracy-contract oracle has never been
+    # seen by the driver, only r1's no_oracle row.)
+    "agg_approx_sketches",
+    "agg_bit_ops",
+    "agg_count_distinct",
+    "agg_group_concat",
+    "agg_minmax_first",
+    "agg_var_stddev",
+    "distinct_op",
+    "join_cross",
+    "join_inner_nonequi",
+    "join_left_outer",
+    "join_right_outer",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "setop_union_distinct",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    "window_lead_lag",
+    "window_partition_agg",
+    "window_rank_family",
+    "window_rows_frame",
+    # --- round-4 plan changes (spread_small / winnowing rewrite / numpy
+    #     PNG defilter) must re-verify ---
     "text_winnowing",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
     "multimodal_features",
-    "tpch_q1",
-    "tpch_q12",
-    # --- rotation: refresh the oldest (round-1-only) verifications ---
-    "tpch_q6",
-    "tpch_q9",
-    "tpch_q18",
-    "join_full_outer",
-    "join_null_safe",
-    "setop_intersect_all",
-    "window_range_frame",
-    "agg_percentile",
-    "agg_rollup",
-    "sample_deterministic",
-    "limit_offset",
-    "cte_nonrecursive",
-    # --- round-3 new surface: hints + views ---
-    "mysqlsql_hint_join",
-    "mysqlsql_view_join",
+    "multimodal_frames",
+    # --- round-4 new surface ---
+    "mysqlsql_prepare",
+    # --- oldest round-2 checks, rotated forward ---
+    "dedup_exact",
+    "dedup_cluster",
+    "embedding_neardup",
+    "tpch_q2",
+    "tpch_q21",
+    "subq_scalar",
+    "subq_correlated",
+    "subq_in_notin",
+    "subq_exists_bool",
 )
 
 

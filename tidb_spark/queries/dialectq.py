@@ -323,3 +323,31 @@ def mysqlsql_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM customer c JOIN v_bigorders v ON c.c_custkey = v.o_custkey "
         "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
     )
+
+
+PREPARE_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE o_custkey = 370 OR o_custkey = 371
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("mysqlsql_prepare", oracle=PREPARE_ORACLE, tags=("dialect", "prepare"))
+def mysqlsql_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-level PREPARE / EXECUTE USING / DEALLOCATE (executor/prepared.go:1;
+    planner/core/common_plans.go Execute rebind).  Catalyst re-plans per
+    EXECUTE — the bound literal reaches the scan as a pushed filter, which a
+    cached generic plan could not do."""
+    eng = _engine(spark, sf_dir)
+    eng.sql(
+        "PREPARE prio_count FROM 'SELECT o_orderpriority, COUNT(*) AS n "
+        "FROM orders WHERE o_custkey = ? OR o_custkey = ? "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority'"
+    )
+    eng.sql("SET @c1 = 370")
+    eng.sql("SET @c2 = 371")
+    out = eng.sql("EXECUTE prio_count USING @c1, @c2")
+    eng.sql("DEALLOCATE PREPARE prio_count")
+    return out

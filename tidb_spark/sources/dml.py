@@ -138,18 +138,26 @@ class ManagedTable:
             rows = rows.withColumn(auto, F.lit(None).cast(types[auto]))
         if rows.where(F.col(auto).isNull()).isEmpty():
             return rows
+        # MySQL's counter advances past explicit values: a batch of
+        # [explicit 12, NULL] on max=10 assigns 13, never 12.  So the base
+        # is max(table, explicit-in-batch), and only NULL rows consume ids
+        # (running count of NULLs, not whole-batch row_number — otherwise an
+        # explicit row shifts the numbering into collision).
         start = self.df().agg(F.max(auto)).first()[0] or 0
-        w = Window.partitionBy(F.lit(0)).orderBy(F.monotonically_increasing_id())
-        return (
-            rows.withColumn("__auto_rn", F.row_number().over(w))
-            .withColumn(
-                auto,
-                F.coalesce(
-                    F.col(auto),
-                    (F.lit(start) + F.col("__auto_rn")).cast(types[auto]),
-                ),
-            )
-            .drop("__auto_rn")
+        batch_max = rows.agg(F.max(auto)).first()[0]
+        if batch_max is not None:
+            start = max(start, batch_max)
+        w = (
+            Window.partitionBy(F.lit(0))
+            .orderBy(F.monotonically_increasing_id())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        nth_null = F.sum(
+            F.when(F.col(auto).isNull(), 1).otherwise(0)
+        ).over(w)
+        return rows.withColumn(
+            auto,
+            F.coalesce(F.col(auto), (F.lit(start) + nth_null).cast(types[auto])),
         )
 
     def _check_domains(self, rows: DataFrame, cols: set[str] | None = None) -> None:

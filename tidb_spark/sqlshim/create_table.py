@@ -112,6 +112,9 @@ class ColumnDef:
     # semantics are read-equivalent for both).
     generated_expr: str | None = None
     generated_stored: bool = False
+    # COLLATE name (util/collate/): recorded so the engine can apply its
+    # case-insensitive comparison shim for *_ci collations.
+    collation: str | None = None
 
 
 @dataclass
@@ -240,6 +243,9 @@ def parse(sql: str) -> CreateTableStmt | None:
             col.generated_expr = rest[gm.end() : i - 1].strip()
             tail = rest[i:]
             col.generated_stored = bool(re.match(r"(?is)^\s*STORED\b", tail))
+        colm = re.search(r"(?is)\bCOLLATE\s+`?(\w+)`?", rest)
+        if colm:
+            col.collation = colm.group(1)
         base_u = cm.group("type").upper()
         if base_u in ("ENUM", "SET"):
             # Capture the value domain; ENUM rejects duplicate members like
