@@ -18,6 +18,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -113,7 +114,13 @@ def decode_features(
             )
             yield out
 
-    return media.repartition("media_id").mapInPandas(
+    from tidb_spark.data.dedup import spread_small
+
+    # spread_small instead of an unconditional repartition: when the
+    # producer already hash-partitioned by media_id (synthesize_media) the
+    # payload bytes never re-shuffle; a too-few-partition input still
+    # spreads across all cores.
+    return spread_small(media, "media_id").mapInPandas(
         decode_batches, schema=FEATURE_SCHEMA
     )
 
@@ -156,7 +163,7 @@ def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", _z.compress(raw, 9))
+        + _png_chunk(b"IDAT", _z.compress(raw, 6))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -183,44 +190,67 @@ def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
         elif tag == b"IEND":
             break
         pos += 12 + length
-    raw = _z.decompress(idat)
-    out = bytearray()
-    prev = bytearray(width)
+    import numpy as _np
+
+    raw = _np.frombuffer(_z.decompress(idat), dtype=_np.uint8).reshape(
+        height, width + 1
+    )
+    # Defilter per SCANLINE with numpy (a per-pixel Python loop here is a
+    # row-at-a-time-UDF equivalent inside mapInPandas — unusable at scale):
+    # filter 0 copies, 2 (Up) is one vector add, 1 (Sub) is a cumsum
+    # (reconstructed[x] = Σ raw[0..x] mod 256 — addition mod 256 is
+    # associative, so uint8 wraparound via a wide cumsum is exact).
+    # Filters 3/4 (Average/Paeth) are inherently sequential in the left
+    # neighbor; they keep a pixel loop but never occur in this engine's own
+    # encoder output (filter-0 scanlines).
+    out = _np.empty((height, width), dtype=_np.uint8)
+    prev = _np.zeros(width, dtype=_np.uint8)
     for y in range(height):
-        ftype = raw[y * (width + 1)]
-        line = bytearray(raw[y * (width + 1) + 1 : (y + 1) * (width + 1)])
-        for x in range(width):
-            a = line[x - 1] if x else 0  # left (already reconstructed)
-            b = prev[x]  # up
-            c = prev[x - 1] if x else 0  # up-left
-            if ftype == 1:
-                line[x] = (line[x] + a) & 0xFF
-            elif ftype == 2:
-                line[x] = (line[x] + b) & 0xFF
-            elif ftype == 3:
-                line[x] = (line[x] + (a + b) // 2) & 0xFF
-            elif ftype == 4:  # Paeth
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                line[x] = (line[x] + pr) & 0xFF
-        out += line
-        prev = line
-    return width, height, bytes(out)
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:]
+        if ftype == 0:
+            rec = line.copy()
+        elif ftype == 1:
+            rec = _np.cumsum(line, dtype=_np.uint64).astype(_np.uint8)
+        elif ftype == 2:
+            rec = line + prev  # uint8 wraparound == mod-256 add
+        else:
+            rec = _np.empty(width, dtype=_np.uint8)
+            for x in range(width):
+                a = int(rec[x - 1]) if x else 0
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x else 0
+                if ftype == 3:
+                    rec[x] = (int(line[x]) + (a + b) // 2) & 0xFF
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec[x] = (int(line[x]) + pr) & 0xFF
+        out[y] = rec
+        prev = rec
+    return width, height, out.tobytes()
 
 
-def encode_wav_pcm16(samples: list[int], rate: int = 8000) -> bytes:
-    """Real WAV writer (stdlib wave module), mono PCM16."""
+def encode_wav_pcm16(samples, rate: int = 8000) -> bytes:
+    """Real WAV writer (stdlib wave module), mono PCM16.  ``samples`` is a
+    list[int] or an int numpy array (vectorized little-endian pack)."""
     import io
     import struct
     import wave as _w
 
+    import numpy as _np
+
+    if isinstance(samples, _np.ndarray):
+        frames = samples.astype("<i2").tobytes()
+    else:
+        frames = struct.pack(f"<{len(samples)}h", *samples)
     buf = io.BytesIO()
     with _w.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(rate)
-        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        w.writeframes(frames)
     return buf.getvalue()
 
 
@@ -233,8 +263,10 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int]:
     with _w.open(io.BytesIO(data), "rb") as w:
         n, ch, rate = w.getnframes(), w.getnchannels(), w.getframerate()
         frames = w.readframes(n)
-    vals = struct.unpack(f"<{n * ch}h", frames)
-    return n, ch, rate, int(sum(vals))
+    import numpy as _np
+
+    vals = _np.frombuffer(frames, dtype="<i2")
+    return n, ch, rate, int(vals.sum())
 
 
 def encode_video_frames(frames: list[bytes]) -> bytes:
@@ -257,9 +289,11 @@ def decode_video(data: bytes) -> tuple[int, int, int, int]:
     pos, width, height, total = 8, 0, 0, 0
     for _ in range(count):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        import numpy as _np
+
         w, h, px = decode_png_gray(data[pos + 4 : pos + 4 + ln])
         width, height = w, h
-        total += sum(px)
+        total += int(_np.frombuffer(px, dtype=_np.uint8).sum())
         pos += 4 + ln
     return width, height, count, total
 
@@ -279,13 +313,15 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 kind = ("image", "audio", "video")[i % 3]
                 if kind == "image":
                     w, h = i % 32 + 8, i % 24 + 8
-                    px = bytes((i * 31 + j) % 256 for j in range(w * h))
+                    px = ((i * 31 + np.arange(w * h)) % 256).astype(
+                        np.uint8
+                    ).tobytes()
                     payloads.append(encode_png_gray(w, h, px))
                 elif kind == "audio":
                     n = i % 500 + 100
                     payloads.append(
                         encode_wav_pcm16(
-                            [((i * 7 + j * 13) % 65536) - 32768 for j in range(n)]
+                            ((i * 7 + 13 * np.arange(n)) % 65536) - 32768
                         )
                     )
                 else:
@@ -297,10 +333,10 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                                 encode_png_gray(
                                     w,
                                     h,
-                                    bytes(
-                                        (i * 31 + f * 17 + j) % 256
-                                        for j in range(w * h)
-                                    ),
+                                    (
+                                        (i * 31 + f * 17 + np.arange(w * h))
+                                        % 256
+                                    ).astype(np.uint8).tobytes(),
                                 )
                                 for f in range(1, nf + 1)
                             ]
@@ -312,7 +348,12 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids, "media_type": types, "payload": payloads}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    from tidb_spark.data.dedup import spread_small
+
+    # Small-file sources arrive as one scan partition; spread ids before
+    # the encode so payload synthesis runs on all cores (and the
+    # repartition already matches decode_media's media_id partitioning).
+    return spread_small(df.select(F.col(id_col)), id_col).mapInPandas(
         gen, schema="media_id long, media_type string, payload binary"
     )
 
@@ -344,7 +385,10 @@ def decode_media(media: DataFrame) -> DataFrame:
                 data = bytes(payload)
                 if data[:8] == PNG_SIG:
                     w, h, px = decode_png_gray(data)
-                    vals = (w, h, 1, int(sum(px)))
+                    vals = (
+                        w, h, 1,
+                        int(np.frombuffer(px, dtype=np.uint8).sum()),
+                    )
                 elif data[:4] == b"RIFF":
                     n, ch, _rate, ssum = decode_wav(data)
                     vals = (n, ch, n, ssum)
@@ -371,7 +415,13 @@ def decode_media(media: DataFrame) -> DataFrame:
                 rows["checksum"].append(vals[3])
             yield pd.DataFrame(rows)
 
-    return media.repartition("media_id").mapInPandas(dec, schema=DECODED_SCHEMA)
+    from tidb_spark.data.dedup import spread_small
+
+    # See decode_features: avoid re-shuffling payload bytes that are
+    # already spread/partitioned by media_id.
+    return spread_small(media, "media_id").mapInPandas(
+        dec, schema=DECODED_SCHEMA
+    )
 
 
 def frame_sample(

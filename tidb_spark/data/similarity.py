@@ -434,18 +434,24 @@ def ivf_topk(
     Pass ``centroids`` (e.g. from :func:`kmeans_centroids`) to probe a
     trained coarse quantizer instead of the deterministic sample."""
     if centroids is None:
-        sample = vectors.select(id_col, vec_col).orderBy(id_col).limit(nlist)
-        # Ranking the nlist-row sample is a single-partition window over
-        # ≤nlist rows — negligible by construction.  The constant partition
-        # key is semantically identical to a global window but keeps the
-        # benign case out of the 'WindowExec: No Partition Defined' warning
-        # channel, so real accidental global windows stay visible.
-        centroids = sample.select(
-            (
-                F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(id_col))
-                - 1
-            ).alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
+        # The nlist-row sample is collected below anyway (to build the
+        # broadcast assignment matrix), so number it driver-side and
+        # re-emit as a LOCAL relation: no window at all.  The previous
+        # row_number-over-lit(0) form still tripped the 'WindowExec: No
+        # Partition Defined' warning (Catalyst constant-folds the foldable
+        # partition key away, leaving an empty spec) and, worse, the
+        # un-materialized centroid subtree re-evaluated once per consumer
+        # (collect + probe crossJoin + rescore join).  TakeOrderedAndProject
+        # keeps the sample itself distributed (per-partition top-nlist).
+        sample_rows = (
+            vectors.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
+        )
+        centroids = vectors.sparkSession.createDataFrame(
+            [
+                (i, [float(x) for x in r[vec_col]])
+                for i, r in enumerate(sample_rows)
+            ],
+            "centroid_id int, centroid_vec array<float>",
         )
     # Nearest-centroid assignment as a map-side Arrow argmax: the centroid
     # matrix (nlist rows — control-plane-sized, like a broadcast dim) rides
