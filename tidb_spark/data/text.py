@@ -127,3 +127,21 @@ def winnowing_fingerprints(col: Column, *, k: int = 8, window: int = 4) -> Colum
     ``shingle_hashes`` in one select, then :func:`winnowing_from_hashes` on
     the materialized column (see that function's warning)."""
     return winnowing_from_hashes(shingle_hashes(col, k), window=window)
+
+
+def scrub_pii(col: Column) -> Column:
+    """PII redaction for training-data hygiene: emails, phone-ish number
+    runs, and IPv4 literals replaced with typed placeholder tokens.
+
+    Pure codegen regexp_replace chain (no UDF).  Patterns restrict to the
+    RE2 ∩ java.util.regex common subset (no backrefs/lookaround) so an
+    external engine (the DuckDB oracle, a Flink port) reproduces them
+    byte-for-byte."""
+    out = F.regexp_replace(
+        col, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    out = F.regexp_replace(
+        out, r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"
+    )
+    out = F.regexp_replace(out, r"\+?\d[\d -]{7,}\d", "<PHONE>")
+    return out

@@ -629,6 +629,19 @@ class Engine:
                 full = full.select(*[f.name for f in mt.df().schema.fields])
             else:
                 full = self.spark.sql(body)
+                if not mt.generated:
+                    # INSERT … SELECT binds positionally (MySQL); rename to
+                    # the target schema so the write path's by-name union
+                    # sees the table's columns.
+                    fields = mt.df().schema.fields
+                    if len(full.columns) != len(fields):
+                        # MySQL ERROR 1136
+                        raise ValueError(
+                            f"Column count doesn't match value count: "
+                            f"table {name!r} has {len(fields)} columns, "
+                            f"SELECT supplies {len(full.columns)}"
+                        )
+                    full = full.toDF(*[f.name for f in fields])
                 if mt.generated:
                     # INSERT … SELECT binds positionally; a SELECT wide
                     # enough to cover the generated columns is supplying

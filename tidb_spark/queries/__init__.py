@@ -108,18 +108,18 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "multimodal_features",
     "multimodal_frames",
-    # --- round-4 new surface ---
+    # --- round-4 new surface (never driver-checked) ---
     "mysqlsql_prepare",
+    "mysqlsql_collation_ci",
+    "text_pii_scrub",
+    "dedup_decontaminate",
+    "sample_stratified",
+    "text_seq_packing",
     # --- oldest round-2 checks, rotated forward ---
     "dedup_exact",
     "dedup_cluster",
     "embedding_neardup",
     "tpch_q2",
-    "tpch_q21",
-    "subq_scalar",
-    "subq_correlated",
-    "subq_in_notin",
-    "subq_exists_bool",
 )
 
 

@@ -796,3 +796,191 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.quality_score_micros(F.col("text")).alias("quality_micros"),
         tx.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Training-data hygiene: PII scrubbing, benchmark decontamination,
+# stratified sampling, sequence packing.
+
+_PII_INJECT_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), "
+    "'@example.com node 10.0.', CAST(doc_id % 256 AS STRING), "
+    "'.7 call +1 555 01', CAST(doc_id AS STRING), ' end')"
+)
+_PII_INJECT_DUCK = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com node 10.0.' || CAST(doc_id % 256 AS VARCHAR) "
+    "|| '.7 call +1 555 01' || CAST(doc_id AS VARCHAR) || ' end'"
+)
+
+TEXT_PII_ORACLE = f"""
+WITH inj AS (SELECT doc_id, {_PII_INJECT_DUCK} AS t FROM documents),
+scrub AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}', '<IP>', 'g'),
+           '\\+?\\d[\\d -]{{7,}}\\d', '<PHONE>', 'g') AS s
+  FROM inj
+)
+SELECT doc_id, md5(s) AS scrub_md5, length(s) AS n_chars
+FROM scrub ORDER BY doc_id
+"""
+
+
+@register("text_pii_scrub", oracle=TEXT_PII_ORACLE, tags=("text",))
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / phone-number runs → typed placeholder
+    tokens) — the scrub stage of a training-data pipeline.  Synthetic PII
+    is first injected deterministically from doc_id (the fixture text has
+    none), then scrubbed; the md5 of the scrubbed text pins every replaced
+    byte.  Pure codegen regexp chain, no UDF; patterns restricted to the
+    RE2 ∩ java.util.regex subset so both engines replace identically."""
+    docs = _t(spark, sf_dir, "documents")
+    scrubbed = tx.scrub_pii(F.expr(_PII_INJECT_SPARK))
+    return docs.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrub_md5"),
+        F.length(scrubbed).cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         UNNEST(list_distinct([substr(n, i, 8) FOR i IN range(1, greatest(length(n) - 6, 2))])) AS s
+  FROM (SELECT doc_id, {_NORM} AS n FROM documents)
+),
+bench AS (SELECT * FROM sh WHERE doc_id % 97 = 0),
+train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0 AND doc_id < 300)
+SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc, COUNT(*) AS n_shared
+FROM train t JOIN bench b ON t.s = b.s
+GROUP BY train_doc, bench_doc
+HAVING COUNT(*) >= 20
+ORDER BY train_doc, bench_doc
+"""
+
+
+@register("dedup_decontaminate", oracle=DECONTAMINATE_ORACLE, tags=("dedup",))
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥20
+    distinct 8-gram shingles with any held-out 'benchmark' doc (doc_id %
+    97 == 0 stands in for the eval set).  Same posting-join shape as
+    n-gram dedup — one shuffle keyed on shingle hash, benchmark side is
+    small (≈1%) so the join broadcasts at scale; the train-side doc_id
+    bound keeps the local fixture cheap and mirrors the real pipeline's
+    per-shard batching.  Counts over hashes equal counts over strings
+    (xxhash64, collision-free at corpus scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    posting = dd.shingle_posting(docs, "text", "doc_id", k=8)
+    bench = (
+        posting.where(F.col("doc") % 97 == 0)
+        .withColumnRenamed("doc", "bench_doc")
+    )
+    train = posting.where((F.col("doc") % 97 != 0) & (F.col("doc") < 300))
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy(F.col("doc").alias("train_doc"), "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 20)
+        .orderBy("train_doc", "bench_doc")
+    )
+
+
+STRATIFIED_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked
+WHERE rk <= (n_lang + 4) // 5
+ORDER BY doc_id
+"""
+
+
+@register("sample_stratified", oracle=STRATIFIED_ORACLE, tags=("sample",))
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 20% sample, proportional per language stratum —
+    deterministic (rank by md5 of the id, ceil(n/5) kept per stratum, no
+    RNG) so reruns and the oracle agree exactly.  One window per stratum,
+    partitioned by lang: scales as a single shuffle; no stratum counts
+    ever leave the executors."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    nw = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(nw).alias("n_lang"),
+        )
+        .where(F.col("rk") <= (F.col("n_lang") + 4) / F.lit(5))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+SEQ_PACKING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS bucket,
+         CASE WHEN length({_NORM}) = 0 THEN 0
+              ELSE len(string_split({_NORM}, ' ')) END AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM toks
+)
+SELECT doc_id, bucket,
+       bucket * 1000000 + start_tok // 2048 AS pack_id,
+       start_tok % 2048 AS pack_offset
+FROM packed ORDER BY doc_id
+"""
+
+
+@register("text_seq_packing", oracle=SEQ_PACKING_ORACLE, tags=("text",))
+def text_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LM training: concatenate documents in bucket
+    order and cut at a 2048-token capacity — each doc gets the pack it
+    starts in and its offset (GPT-style pack-then-split; docs may straddle
+    packs).  Buckets (doc_id % 8) bound the running-sum window so packing
+    parallelizes: at 100 TB you raise the bucket count, never the
+    partition size — no global-order window anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    cap = 2048
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("long").alias("bucket"),
+        tx.token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.select(
+        "doc_id",
+        "bucket",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        .cast("long")
+        .alias("start_tok"),
+    )
+    return packed.select(
+        "doc_id",
+        "bucket",
+        (F.col("bucket") * 1_000_000 + F.floor(F.col("start_tok") / cap))
+        .cast("long")
+        .alias("pack_id"),
+        (F.col("start_tok") % cap).alias("pack_offset"),
+    ).orderBy("doc_id")

@@ -351,3 +351,42 @@ def mysqlsql_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = eng.sql("EXECUTE prio_count USING @c1, @c2")
     eng.sql("DEALLOCATE PREPARE prio_count")
     return out
+
+
+COLLATION_CI_ORACLE = """
+WITH ci_names AS (
+  SELECT n_nationkey AS k,
+         CASE WHEN n_nationkey % 2 = 0 THEN UPPER(n_name) ELSE LOWER(n_name) END AS name
+  FROM nation
+)
+SELECT k, name FROM ci_names
+WHERE LOWER(name) = LOWER('Nation_3') OR LOWER(name) < LOWER('NATION_11')
+ORDER BY LOWER(name), k
+"""
+
+
+@register(
+    "mysqlsql_collation_ci", oracle=COLLATION_CI_ORACLE, tags=("dialect", "collation")
+)
+def mysqlsql_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """*_ci collation shim (util/collate/ — utf8mb4_general_ci is MySQL's
+    default): a COLLATE-declared column compares and sorts
+    case-insensitively through the engine's LOWER() normalization; the
+    oracle spells the LOWER() calls out explicitly, pinning the shim's
+    semantics (stored case preserved, comparisons folded)."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS ci_names")
+    eng.sql(
+        "CREATE TABLE ci_names (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(30) COLLATE utf8mb4_general_ci)"
+    )
+    eng.sql(
+        "INSERT INTO ci_names SELECT n_nationkey, "
+        "CASE WHEN n_nationkey % 2 = 0 THEN UPPER(n_name) ELSE LOWER(n_name) END "
+        "FROM nation"
+    )
+    return eng.sql(
+        "SELECT k, name FROM ci_names "
+        "WHERE name = 'Nation_3' OR name < 'NATION_11' "
+        "ORDER BY name, k"
+    )
