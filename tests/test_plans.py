@@ -285,9 +285,12 @@ def test_similarity_plans_have_no_corpus_single_partition_exchange(spark):
         sim.ivf_topk(emb, qs)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "TakeOrderedAndProject" in ivf_plan
-    # exactly the bounded centroid-sample window, nothing else
-    assert ivf_plan.count("Exchange SinglePartition") <= 1
+    # The centroid sample is materialized driver-side (TakeOrderedAndProject
+    # runs inside that collect, so the consumer plan sees only a local
+    # relation) — no window, no SinglePartition exchange anywhere.
+    assert re.search(r"Scan ExistingRDD|LocalTableScan", ivf_plan)
+    assert "Exchange SinglePartition" not in ivf_plan
+    assert "Window" not in ivf_plan or "windowspecdefinition(query_id" in ivf_plan
     # Centroid assignment is a map-side Arrow argmax (MapInPandas) — the
     # corpus must NOT shuffle on vec_id to pick its nearest centroid (the
     # old crossJoin + row_number form pushed |corpus|×nlist rows through a
@@ -332,3 +335,26 @@ def test_ivf_kmeans_centroids_recall(spark):
     a = sorted(map(tuple, (r.centroid_vec for r in cents.collect())))
     b = sorted(map(tuple, (r.centroid_vec for r in again.collect())))
     assert a == b
+
+
+def test_winnowing_posting_never_shuffles(spark):
+    """text_winnowing's 100 TB contract, pinned in the physical plan: the
+    only exchange below the explode is the tiny pre-explode repartition of
+    raw docs by doc_id (spread_small), whose partitioning the window AND
+    the (doc_id, fp) distinct then reuse — the exploded posting (~|text|
+    rows/doc) crosses no exchange.  Total exchanges: that repartition plus
+    the final per-fingerprint aggregate."""
+    df = all_queries()["text_winnowing"].spark(spark, TEST_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    gen_pos = plan.index("Generate explode")
+    win_pos = plan.index("Window ")
+    assert win_pos < gen_pos  # tree prints consumers above producers
+    # No exchange between the window and the explode feeding it.
+    assert "Exchange" not in plan[win_pos:gen_pos]
+    below_gen = plan[gen_pos:]
+    assert below_gen.count("Exchange") == 1
+    assert "hashpartitioning(doc_id" in below_gen
+    # Scan prunes to the two referenced columns.
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan)
+    # Whole plan: spread repartition + final fp aggregate, nothing else.
+    assert plan.count("Exchange") == 2, plan

@@ -475,9 +475,13 @@ def register_shim_udfs(spark) -> None:
     translated statements can call them verbatim."""
     reg = spark.udf.register
 
-    reg("conv", lambda n, f, t: (
-        None if n is None else _conv(str(n), int(f), int(t))
-    ), "string")
+    # NOTE: no "conv" shim.  Spark's builtin conv() IS the MySQL-modeled
+    # base converter, and registering a same-named Python UDF would shadow
+    # the builtin SESSION-WIDE — pyspark's F.conv resolves through the
+    # function registry, so every later DataFrame query in the session
+    # (text_winnowing's shingle hash!) would silently drop out of codegen
+    # into BatchEvalPython (observed: +4 s on text_winnowing whenever any
+    # Engine had been constructed first).
     reg("inet_aton", lambda ip: (
         None if ip is None else _inet_aton_py(ip)
     ), "long")
@@ -550,22 +554,6 @@ def register_shim_udfs(spark) -> None:
     reg("random_bytes", lambda n: (
         None if n is None else __import__("os").urandom(int(n))
     ), "binary")
-
-
-def _conv(n: str, from_base: int, to_base: int) -> str | None:
-    try:
-        v = int(n, from_base)
-    except ValueError:
-        return "0"
-    if v == 0:
-        return "0"
-    digits = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-    neg, v = v < 0, abs(v)
-    out = ""
-    while v:
-        out = digits[v % to_base] + out
-        v //= to_base
-    return ("-" if neg else "") + out
 
 
 def _inet_aton_py(ip: str) -> int | None:
