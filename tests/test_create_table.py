@@ -389,3 +389,69 @@ def test_insert_select_generated_columns(engine):
             "FROM nation WHERE n_nationkey < 1"
         )
     engine.sql("DROP TABLE gsrc")
+
+
+def test_ctas_and_create_like(engine):
+    """CREATE TABLE AS SELECT (schema inferred, populated in-statement,
+    keyless like MySQL CTAS) and CREATE TABLE LIKE (full clone of keys /
+    domains / generated / AUTO_INCREMENT / DEFAULTs, empty)."""
+    import pytest as _pytest
+
+    engine.sql(
+        "CREATE TABLE nation_top AS "
+        "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5"
+    )
+    rows = engine.sql("SELECT * FROM nation_top ORDER BY n_nationkey").collect()
+    assert len(rows) == 5 and rows[0].n_name is not None
+    engine.sql("INSERT INTO nation_top VALUES (99, 'NEW')")
+    assert engine.sql("SELECT COUNT(*) AS n FROM nation_top").collect()[0].n == 6
+    with _pytest.raises(ValueError, match="already exists"):
+        engine.sql("CREATE TABLE nation_top AS SELECT 1 AS x")
+    engine.sql("CREATE TABLE IF NOT EXISTS nation_top AS SELECT 1 AS x")  # no-op
+
+    engine.sql(
+        "CREATE TABLE proto (id BIGINT AUTO_INCREMENT PRIMARY KEY, "
+        "kind ENUM('a','b'), note VARCHAR(20) DEFAULT 'none', "
+        "kind2 VARCHAR(3) AS (UPPER(kind)) STORED)"
+    )
+    engine.sql("CREATE TABLE clone LIKE proto")
+    assert engine.sql("SELECT COUNT(*) AS n FROM clone").collect()[0].n == 0
+    # Clone inherits AUTO_INCREMENT, DEFAULT, generated, ENUM domain.
+    engine.sql("INSERT INTO clone (kind) VALUES ('a')")
+    r = engine.sql("SELECT * FROM clone").collect()[0]
+    assert (r.id, r.kind, r.note, r.kind2) == (1, "a", "none", "A")
+    with _pytest.raises(ValueError):
+        engine.sql("INSERT INTO clone (kind) VALUES ('zzz')")  # domain
+    with _pytest.raises(ValueError, match="unknown table"):
+        engine.sql("CREATE TABLE ghost_clone LIKE no_such_table")
+    # LIKE from a read-only base table: schema-only clone, writable.
+    engine.sql("CREATE TABLE region_clone LIKE region")
+    engine.sql("INSERT INTO region_clone SELECT * FROM region")
+    assert engine.sql("SELECT COUNT(*) AS n FROM region_clone").collect()[0].n == 5
+    for t in ("nation_top", "proto", "clone", "region_clone"):
+        engine.sql(f"DROP TABLE {t}")
+
+
+def test_insert_column_list_select_and_set(engine):
+    """INSERT INTO t (cols) SELECT … (listed columns bind positionally,
+    rest take DEFAULT) and the MySQL INSERT … SET single-row form."""
+    import pytest as _pytest
+
+    engine.sql(
+        "CREATE TABLE tgt (id BIGINT PRIMARY KEY, name VARCHAR(30), "
+        "score INT DEFAULT 7)"
+    )
+    engine.sql(
+        "INSERT INTO tgt (id, name) "
+        "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 3"
+    )
+    rows = engine.sql("SELECT * FROM tgt ORDER BY id").collect()
+    assert len(rows) == 3 and all(r.score == 7 for r in rows)
+    engine.sql("INSERT INTO tgt SET id = 50, name = CONCAT('x', 'y')")
+    r = engine.sql("SELECT * FROM tgt WHERE id = 50").collect()[0]
+    assert (r.name, r.score) == ("xy", 7)
+    with _pytest.raises(ValueError, match="Column count"):
+        engine.sql("INSERT INTO tgt (id, name) SELECT 1")
+    with _pytest.raises(ValueError, match="Unknown column"):
+        engine.sql("INSERT INTO tgt (id, nope) SELECT 1, 2")
+    engine.sql("DROP TABLE tgt")

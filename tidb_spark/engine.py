@@ -217,6 +217,89 @@ class Engine:
         self._refresh_view(name)
         return mt
 
+    def _check_create_name(self, name: str, if_not_exists: bool) -> bool:
+        """Shared exists-check for the CREATE TABLE forms; True = proceed."""
+        if name in self.managed or name in self.tables or name in self.views:
+            if if_not_exists:
+                return False
+            raise ValueError(f"table {name!r} already exists")
+        return True
+
+    def _run_ctas(self, m: re.Match) -> None:
+        """CREATE TABLE … AS SELECT (executor/ddl.go CreateTableWithInfo via
+        planner CreateTableAsSelect): schema inferred from the SELECT, data
+        populated in the same statement, no keys (MySQL CTAS copies no
+        indexes)."""
+        name = m.group("name")
+        if not self._check_create_name(name, bool(m.group("ine"))):
+            return
+        df = self.sql(m.group("sel"))
+        self.create_table(name, df, key_cols=[])
+
+    def _run_create_like(self, m: re.Match) -> None:
+        """CREATE TABLE a LIKE b (executor/ddl.go CreateTableLike): clone
+        schema, keys, domains, generated columns, AUTO_INCREMENT and
+        DEFAULTs from a managed table; base dataset tables clone schema
+        only (their keys are not declared)."""
+        name, src = m.group("name"), m.group("src")
+        if not self._check_create_name(name, bool(m.group("ine"))):
+            return
+        if src in self.managed:
+            smt = self.managed[src]
+            empty = self.spark.createDataFrame([], schema=smt.df().schema)
+            self.create_table(
+                name,
+                empty,
+                key_cols=list(smt.key_cols),
+                partition_spec=smt.partition_spec,
+                domains=dict(smt.domains) if smt.domains else None,
+                generated=dict(smt.generated) if smt.generated else None,
+                auto_col=smt.auto_col,
+            )
+            defaults = getattr(self, "_defaults_by_table", {}).get(src)
+            if defaults:
+                self._defaults_by_table[name] = dict(defaults)
+        elif src in self.tables:
+            empty = self.spark.createDataFrame(
+                [], schema=self.tables[src].schema
+            )
+            self.create_table(name, empty, key_cols=[])
+        else:
+            raise ValueError(f"CREATE TABLE LIKE: unknown table {src!r}")
+
+    def _bind_insert(
+        self, mt, name: str, rows: DataFrame, cols: list[str]
+    ) -> DataFrame:
+        """Bind an incoming row source to the target schema: the named
+        columns take the source's output positionally, generated columns
+        are rejected (ErrBadGeneratedColumn), unknown names error, and
+        every unnamed column takes its declared DEFAULT else NULL
+        (executor/insert.go fillRow)."""
+        fields = mt.df().schema.fields
+        known = {f.name for f in fields}
+        bad = [c for c in cols if c in mt.generated]
+        if bad:
+            raise ValueError(
+                f"The value specified for generated column {bad[0]!r} "
+                f"in table {name!r} is not allowed"
+            )
+        unknown = [c for c in cols if c not in known]
+        if unknown:
+            # MySQL ERROR 1054
+            raise ValueError(
+                f"Unknown column {unknown[0]!r} in table {name!r}"
+            )
+        full = rows.toDF(*cols)
+        defaults = getattr(self, "_defaults_by_table", {}).get(name, {})
+        for f in fields:
+            if f.name not in cols:
+                dexpr = defaults.get(f.name)
+                full = full.withColumn(
+                    f.name,
+                    (F.expr(dexpr) if dexpr else F.lit(None)).cast(f.dataType),
+                )
+        return full.select(*[f.name for f in fields])
+
     def _refresh_view(self, name: str) -> None:
         df = self.managed[name].df()
         df.createOrReplaceTempView(name)
@@ -587,17 +670,13 @@ class Engine:
             if om and verb == "INSERT":
                 body, odku = om.group(1).strip(), om.group(2).strip()
             vm = re.match(r"(?is)^(?:\(([^)]*)\)\s*)?VALUES\s+(.*)$", body)
+            csm = re.match(
+                r"(?is)^\(([^)]*)\)\s*((?:SELECT|WITH|TABLE)\b.*)$", body
+            )
+            setm = re.match(r"(?is)^SET\s+(.*)$", body)
             if vm:
                 if vm.group(1):
                     cols = [c.strip().strip("`") for c in vm.group(1).split(",")]
-                    bad = [c for c in cols if c in mt.generated]
-                    if bad:
-                        # ddl: ErrBadGeneratedColumn — explicit values are
-                        # not allowed for generated columns.
-                        raise ValueError(
-                            f"The value specified for generated column "
-                            f"{bad[0]!r} in table {name!r} is not allowed"
-                        )
                 else:
                     # Bare VALUES bind positionally to the NON-generated
                     # columns (MySQL requires DEFAULT placeholders for
@@ -611,63 +690,63 @@ class Engine:
                     f"SELECT * FROM (VALUES {vm.group(2)}) AS "
                     f"__v({', '.join(cols)})"
                 )
-                # Unnamed columns take their declared DEFAULT (ast
-                # ColumnOptionDefaultValue), else NULL.
-                defaults = getattr(self, "_defaults_by_table", {}).get(
-                    name, {}
+                full = self._bind_insert(mt, name, rows, cols)
+            elif csm:
+                # INSERT INTO t (c1, c2) SELECT … — the listed columns bind
+                # positionally to the SELECT output, the rest take DEFAULT.
+                cols = [c.strip().strip("`") for c in csm.group(1).split(",")]
+                rows = self.spark.sql(csm.group(2))
+                if len(rows.columns) != len(cols):
+                    # MySQL ERROR 1136
+                    raise ValueError(
+                        f"Column count doesn't match value count: column "
+                        f"list names {len(cols)}, SELECT supplies "
+                        f"{len(rows.columns)}"
+                    )
+                full = self._bind_insert(mt, name, rows, cols)
+            elif setm:
+                # INSERT INTO t SET a = 1, b = 'x' (MySQL alternative
+                # single-row form, parser/ast/dml.go Setlist).
+                from tidb_spark.sqlshim.translate import _split_args
+
+                cols, exprs = [], []
+                for frag in _split_args(setm.group(1)):
+                    col, expr = frag.split("=", 1)
+                    cols.append(col.strip().strip("`"))
+                    exprs.append(expr.strip())
+                rows = self.spark.sql(
+                    "SELECT "
+                    + ", ".join(
+                        f"({e}) AS `{c}`" for c, e in zip(cols, exprs)
+                    )
                 )
-                full = rows
-                for f in mt.df().schema.fields:
-                    if f.name not in cols:
-                        dexpr = defaults.get(f.name)
-                        full = full.withColumn(
-                            f.name,
-                            (
-                                F.expr(dexpr) if dexpr else F.lit(None)
-                            ).cast(f.dataType),
-                        )
-                full = full.select(*[f.name for f in mt.df().schema.fields])
+                full = self._bind_insert(mt, name, rows, cols)
             else:
-                full = self.spark.sql(body)
-                if not mt.generated:
-                    # INSERT … SELECT binds positionally (MySQL); rename to
-                    # the target schema so the write path's by-name union
-                    # sees the table's columns.
-                    fields = mt.df().schema.fields
-                    if len(full.columns) != len(fields):
-                        # MySQL ERROR 1136
-                        raise ValueError(
-                            f"Column count doesn't match value count: "
-                            f"table {name!r} has {len(fields)} columns, "
-                            f"SELECT supplies {len(full.columns)}"
-                        )
-                    full = full.toDF(*[f.name for f in fields])
-                if mt.generated:
-                    # INSERT … SELECT binds positionally; a SELECT wide
-                    # enough to cover the generated columns is supplying
-                    # explicit values for them — ErrBadGeneratedColumn,
-                    # same as the VALUES path above.  The accepted shape
-                    # binds the non-generated columns only (generated ones
-                    # are recomputed from their expressions on write).
-                    fields = mt.df().schema.fields
-                    non_gen = [
-                        f.name for f in fields if f.name not in mt.generated
-                    ]
-                    if len(full.columns) != len(non_gen):
-                        gen_name = next(iter(mt.generated))
-                        raise ValueError(
-                            f"The value specified for generated column "
-                            f"{gen_name!r} in table {name!r} is not allowed"
-                            f" (SELECT must supply exactly the "
-                            f"{len(non_gen)} non-generated columns)"
-                        )
-                    full = full.toDF(*non_gen)
-                    for f in fields:
-                        if f.name in mt.generated:
-                            full = full.withColumn(
-                                f.name, F.lit(None).cast(f.dataType)
-                            )
-                    full = full.select(*[f.name for f in fields])
+                # Plain INSERT … SELECT binds positionally: the full table
+                # arity for ordinary tables, the non-generated arity when
+                # generated columns exist (supplying those is
+                # ErrBadGeneratedColumn, as in the VALUES path).
+                rows = self.spark.sql(body)
+                fields = mt.df().schema.fields
+                non_gen = [
+                    f.name for f in fields if f.name not in mt.generated
+                ]
+                if mt.generated and len(rows.columns) != len(non_gen):
+                    gen_name = next(iter(mt.generated))
+                    raise ValueError(
+                        f"The value specified for generated column "
+                        f"{gen_name!r} in table {name!r} is not allowed"
+                        f" (SELECT must supply exactly the "
+                        f"{len(non_gen)} non-generated columns)"
+                    )
+                if not mt.generated and len(rows.columns) != len(fields):
+                    # MySQL ERROR 1136
+                    raise ValueError(
+                        f"Column count doesn't match value count: "
+                        f"table {name!r} has {len(fields)} columns, "
+                        f"SELECT supplies {len(rows.columns)}"
+                    )
+                full = self._bind_insert(mt, name, rows, non_gen)
             if odku is not None:
                 # ON DUPLICATE KEY UPDATE (executor/insert.go:43): in each
                 # assignment, VALUES(col) is the incoming row, a bare column
@@ -878,6 +957,22 @@ class Engine:
             self._run_drop_view(dvm)
             return self.spark.range(0).select(F.lit("OK").alias("status"))
         if re.match(r"(?is)^\s*CREATE\s+TABLE\b", query):
+            ctas = re.match(
+                r"(?is)^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+                r"`?(?P<name>\w+)`?\s+AS\s+(?P<sel>(?:SELECT|WITH|TABLE)\b.*)$",
+                query,
+            )
+            if ctas:
+                self._run_ctas(ctas)
+                return self.spark.range(0).select(F.lit("OK").alias("status"))
+            likem = re.match(
+                r"(?is)^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+                r"`?(?P<name>\w+)`?\s+LIKE\s+`?(?P<src>\w+)`?\s*;?\s*$",
+                query,
+            )
+            if likem:
+                self._run_create_like(likem)
+                return self.spark.range(0).select(F.lit("OK").alias("status"))
             from tidb_spark.sqlshim import create_table as _ct
 
             self._run_create(_ct.parse(query))
