@@ -397,3 +397,65 @@ def test_sql_load_data_and_outfile(engine, tmp_path):
         for line in open(f).read().splitlines()
     )
     assert lines == ["1|M", "2|L"]
+
+
+def test_dml_where_subqueries(engine):
+    """IN / scalar subqueries inside UPDATE and DELETE predicates resolve
+    against the live catalog (planner builds them as semi/scalar joins)."""
+    engine.sql(
+        "CREATE TABLE subq_t AS "
+        "SELECT n_nationkey AS id, n_name AS nm, n_regionkey AS rk FROM nation"
+    )
+    engine.sql(
+        "DELETE FROM subq_t WHERE id IN "
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey = 0)"
+    )
+    assert engine.sql("SELECT COUNT(*) AS n FROM subq_t").collect()[0].n == 20
+    engine.sql(
+        "UPDATE subq_t SET nm = 'X' "
+        "WHERE rk = (SELECT MAX(r_regionkey) FROM region)"
+    )
+    assert (
+        engine.sql("SELECT COUNT(*) AS n FROM subq_t WHERE nm = 'X'")
+        .collect()[0].n == 5
+    )
+    engine.sql("DROP TABLE subq_t")
+
+
+def test_multi_table_update_delete(engine):
+    """MySQL multi-table forms (executor/update.go, executor/delete.go):
+    UPDATE t JOIN u ON ... SET t.c = expr-over-join [WHERE], and
+    DELETE t FROM t JOIN u ON ... [WHERE] — both execute as one join
+    producing keys/values plus one keyed MERGE."""
+    import pytest as _pytest
+
+    engine.sql(
+        "CREATE TABLE accounts (id BIGINT PRIMARY KEY, region_name "
+        "VARCHAR(30), rk BIGINT)"
+    )
+    engine.sql(
+        "INSERT INTO accounts SELECT n_nationkey, 'unknown', n_regionkey "
+        "FROM nation"
+    )
+    engine.sql(
+        "UPDATE accounts JOIN region ON accounts.rk = region.r_regionkey "
+        "SET accounts.region_name = region.r_name WHERE region.r_regionkey < 2"
+    )
+    rows = engine.sql(
+        "SELECT region_name, COUNT(*) AS n FROM accounts "
+        "GROUP BY region_name ORDER BY region_name"
+    ).collect()
+    by_name = {r.region_name: r.n for r in rows}
+    assert by_name["unknown"] == 15 and len(by_name) == 3, by_name
+    # assignments may only touch the target table
+    with _pytest.raises(ValueError, match="may only assign"):
+        engine.sql(
+            "UPDATE accounts JOIN region ON accounts.rk = region.r_regionkey "
+            "SET region.r_name = 'nope'"
+        )
+    engine.sql(
+        "DELETE accounts FROM accounts JOIN region "
+        "ON accounts.rk = region.r_regionkey WHERE region.r_regionkey = 3"
+    )
+    assert engine.sql("SELECT COUNT(*) AS n FROM accounts").collect()[0].n == 20
+    engine.sql("DROP TABLE accounts")

@@ -799,6 +799,105 @@ class Engine:
         self._refresh_view(name)
         return self.tables[name]
 
+    def _run_multi_update(self, head: str, tail: str) -> DataFrame:
+        """Multi-table UPDATE (MySQL ``UPDATE t1 JOIN t2 ON … SET t1.c =
+        expr [WHERE …]``; executor/update.go multi-table path).  The first
+        table in the join list is the write target (assignments may only
+        name it); the join + WHERE select which rows update and the
+        assignment expressions see the joined row.  Executes as: one SQL
+        join producing (key, new values), then one keyed MERGE — two
+        shuffles total, no driver-side rows."""
+        from tidb_spark.sqlshim.translate import _split_args
+
+        hm = re.match(r"(?is)^\s*`?(?P<tab>\w+)`?(?:\s+(?:AS\s+)?"
+                      r"(?P<alias>(?!JOIN\b|INNER\b|LEFT\b|RIGHT\b)\w+))?",
+                      head)
+        name = hm.group("tab")
+        alias = hm.group("alias") or name
+        if name not in self.managed:
+            raise ValueError(
+                f"table {name!r} is not writable; engine.create_table() "
+                "creates a managed copy-on-write table"
+            )
+        mt = self.managed[name]
+        if not mt.key_cols:
+            raise ValueError(
+                f"multi-table UPDATE requires a PRIMARY KEY on {name!r}"
+            )
+        parts = merge_clause._split_top_level(tail, "WHERE")
+        if len(parts) > 2:
+            raise ValueError("UPDATE: multiple top-level WHERE clauses")
+        set_list, where = parts[0], parts[1] if len(parts) == 2 else "TRUE"
+        assignments: dict[str, str] = {}
+        for frag in _split_args(set_list):
+            col, expr = frag.split("=", 1)
+            cname = col.strip().strip("`")
+            if "." in cname:
+                qual, cname = cname.split(".", 1)
+                qual, cname = qual.strip("`"), cname.strip("`")
+                if qual not in (name, alias):
+                    # update.go: only the named target is writable here
+                    raise ValueError(
+                        f"multi-table UPDATE may only assign columns of "
+                        f"{name!r} (got {qual}.{cname})"
+                    )
+            if cname in mt.generated:
+                raise ValueError(
+                    f"The value specified for generated column {cname!r} "
+                    f"in table {name!r} is not allowed"
+                )
+            assignments[cname] = expr.strip()
+        key_sel = ", ".join(f"`{alias}`.`{k}` AS `{k}`" for k in mt.key_cols)
+        set_sel = ", ".join(
+            f"({e}) AS `{c}`"
+            for c, e in assignments.items()
+            if c not in mt.key_cols
+        )
+        src = self.spark.sql(
+            f"SELECT {key_sel}{', ' + set_sel if set_sel else ''} "
+            f"FROM {head} WHERE {where}"
+        )
+        from tidb_spark.sources.dml import _NEW_PREFIX
+
+        mt.merge(
+            src,
+            when_matched_update={
+                c: F.col(_NEW_PREFIX + c)
+                for c in assignments
+                if c not in mt.key_cols
+            },
+            when_not_matched_insert=False,
+        )
+        self._refresh_view(name)
+        return self.tables[name]
+
+    def _run_multi_delete(self, target: str, src_clause: str) -> DataFrame:
+        """Multi-table DELETE (MySQL ``DELETE t1 FROM t1 JOIN t2 ON …
+        [WHERE …]``; executor/delete.go multi-table path): delete the
+        target rows that participate in the join.  One SQL join selecting
+        the doomed keys, one keyed MERGE with a delete action."""
+        if target not in self.managed:
+            raise ValueError(
+                f"table {target!r} is not writable; engine.create_table() "
+                "creates a managed copy-on-write table"
+            )
+        mt = self.managed[target]
+        if not mt.key_cols:
+            raise ValueError(
+                f"multi-table DELETE requires a PRIMARY KEY on {target!r}"
+            )
+        key_sel = ", ".join(f"`{target}`.`{k}` AS `{k}`" for k in mt.key_cols)
+        doomed = self.spark.sql(
+            f"SELECT DISTINCT {key_sel} FROM {src_clause}"
+        )
+        mt.merge(
+            doomed,
+            when_matched_delete=F.lit(True),
+            when_not_matched_insert=False,
+        )
+        self._refresh_view(target)
+        return self.tables[target]
+
     def _run_merge(self, stmt) -> DataFrame:
         """MERGE INTO (sqlshim/merge_clause.py) → ``ManagedTable.merge``:
         the statement's three WHEN actions map 1:1 onto the operator's
@@ -992,6 +1091,20 @@ class Engine:
         if ddl:
             self._run_ddl(ddl)
             return self.spark.range(0).select(F.lit("OK").alias("status"))
+        um = re.match(r"(?is)^\s*UPDATE\s+(?P<rest>.+)$", query)
+        if um:
+            head_tail = merge_clause._split_top_level(um.group("rest"), "SET")
+            if len(head_tail) == 2 and re.search(
+                r"(?is)\bJOIN\b", head_tail[0]
+            ):
+                return self._run_multi_update(head_tail[0], head_tail[1])
+        dmm = re.match(
+            r"(?is)^\s*DELETE\s+`?(?P<tgt>\w+)`?\s+FROM\s+(?P<src>.+?)"
+            r"\s*;?\s*$",
+            query,
+        )
+        if dmm:
+            return self._run_multi_delete(dmm.group("tgt"), dmm.group("src"))
         dm = _DML_RE.match(query)
         if dm and dm.group(0):
             return self._run_dml(dm)
