@@ -573,3 +573,77 @@ def any_shortest(
         sources, edge, max_hops=max_hops, prepared_edges=prepared_edges
     )
     return pair_results(reached, sources, destinations)
+
+
+def bounded_cheapest(
+    sources: DataFrame,
+    weighted_edges: DataFrame,
+    *,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Cheapest cost within ≤ ``max_hops`` edges: frontier-pruned
+    Bellman-Ford (the weighted extension of the reference's ANY SHORTEST,
+    graph_shortest.go — its planner has no CHEAPEST; extension).
+
+    ``weighted_edges`` is (__src, __dst, __w long).  State is one row per
+    (root, vertex) holding the best (cost, hops) — lexicographic struct
+    min, so ties on cost resolve to fewest hops, deterministically.  Each
+    round relaxes only rows improved last round (textbook queue
+    optimization; the hop-order invariant — after round r, state = min
+    cost over ≤ r-edge walks — is preserved).  Scale: state is bounded by
+    |roots|×|V| two-long rows, rounds by ``max_hops``; every step is a
+    keyed join + map-side-combined aggregate, no driver-side rows beyond
+    the per-round 1-row count."""
+    seed = (
+        sources.select(
+            F.col("root").cast("long").alias("root"),
+            F.col("root").cast("long").alias("id"),
+            F.lit(0).cast("long").alias("cost"),
+            F.lit(0).alias("hops"),
+        )
+        .dropDuplicates(["root"])
+        .localCheckpoint(eager=True)
+    )
+    dists = seed
+    frontier = seed
+    for _hop in range(1, max_hops + 1):
+        cand = (
+            frontier.join(
+                weighted_edges, frontier["id"] == weighted_edges["__src"]
+            )
+            .select(
+                "root",
+                F.col("__dst").alias("id"),
+                (F.col("cost") + F.col("__w")).alias("cost"),
+                (F.col("hops") + 1).alias("hops"),
+            )
+            .groupBy("root", "id")
+            .agg(F.min(F.struct("cost", "hops")).alias("s"))
+            .select(
+                "root", "id",
+                F.col("s.cost").alias("cost"),
+                F.col("s.hops").alias("hops"),
+            )
+        )
+        best = dists.select("root", "id", F.col("cost").alias("__bc"))
+        improved = (
+            cand.join(best, on=["root", "id"], how="left")
+            .where(F.col("__bc").isNull() | (F.col("cost") < F.col("__bc")))
+            .drop("__bc")
+            .localCheckpoint(eager=False)
+        )
+        if improved.count() == 0:
+            break
+        dists = (
+            dists.unionByName(improved)
+            .groupBy("root", "id")
+            .agg(F.min(F.struct("cost", "hops")).alias("s"))
+            .select(
+                "root", "id",
+                F.col("s.cost").alias("cost"),
+                F.col("s.hops").alias("hops"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        frontier = improved
+    return dists

@@ -115,11 +115,11 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_decontaminate",
     "sample_stratified",
     "text_seq_packing",
+    "graph_any_cheapest",
     # --- oldest round-2 checks, rotated forward ---
     "dedup_exact",
     "dedup_cluster",
     "embedding_neardup",
-    "tpch_q2",
 )
 
 

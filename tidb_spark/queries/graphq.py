@@ -530,3 +530,61 @@ def graph_top_k_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hops=4,
         walk=_walk(spark, sf_dir),
     ).orderBy("src_id", "dst_id", "rank")
+
+
+ANY_CHEAPEST_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.o_custkey AS src, b.o_custkey AS dst
+  FROM orders a JOIN orders b ON a.o_orderkey = b.o_orderkey - 1
+  WHERE a.o_custkey <> b.o_custkey
+),
+w AS (SELECT src, dst, (src * 7 + dst * 13) % 97 + 1 AS wt FROM e),
+roots(r) AS (SELECT UNNEST([1, 3, 5, 7])),
+walk(root, id, cost, hops) AS (
+  SELECT r, r, CAST(0 AS BIGINT), 0 FROM roots
+  UNION ALL
+  SELECT walk.root, w.dst, walk.cost + w.wt, walk.hops + 1
+  FROM walk JOIN w ON walk.id = w.src
+  WHERE walk.hops < 4
+),
+best AS (SELECT root, id, MIN(cost) AS min_cost FROM walk GROUP BY root, id),
+besth AS (
+  SELECT b.root, b.id, b.min_cost, MIN(wk.hops) AS hops
+  FROM best b JOIN walk wk
+    ON wk.root = b.root AND wk.id = b.id AND wk.cost = b.min_cost
+  GROUP BY b.root, b.id, b.min_cost
+)
+SELECT root AS src_id, id AS dst_id, min_cost, hops
+FROM besth WHERE id <> root
+ORDER BY src_id, dst_id
+"""
+
+
+@register("graph_any_cheapest", oracle=ANY_CHEAPEST_ORACLE, tags=("graph",))
+def graph_any_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted cheapest path within ≤4 hops (extension — the reference
+    planner parses no CHEAPEST; this is the weighted analogue of its ANY
+    SHORTEST, graph_shortest.go).  Edge weight is the closed-form
+    (src*7 + dst*13) % 97 + 1 over the shared prepared e_knows projection,
+    so the DuckDB oracle re-derives identical integer costs from a bounded
+    recursive walk; frontier-pruned Bellman-Ford on the Spark side."""
+    from tidb_spark.graph.shortest import bounded_cheapest
+
+    g = _graph(spark, sf_dir)
+    edges = _knows_edges(spark, sf_dir, g)
+    wedges = edges.withColumn(
+        "__w",
+        ((F.col("__src") * 7 + F.col("__dst") * 13) % 97 + 1).cast("long"),
+    )
+    sources = spark.createDataFrame([(1,), (3,), (5,), (7,)], "root long")
+    res = bounded_cheapest(sources, wedges, max_hops=4)
+    return (
+        res.where(F.col("id") != F.col("root"))
+        .select(
+            F.col("root").alias("src_id"),
+            F.col("id").alias("dst_id"),
+            F.col("cost").alias("min_cost"),
+            "hops",
+        )
+        .orderBy("src_id", "dst_id")
+    )
