@@ -606,10 +606,17 @@ def bounded_cheapest(
     )
     dists = seed
     frontier = seed
+    frontier_rows = seed.count()
+    dist_rows = frontier_rows
     for _hop in range(1, max_hops + 1):
+        f = (
+            F.broadcast(frontier)
+            if frontier_rows <= _BROADCAST_MAX_ROWS
+            else frontier
+        )
         cand = (
-            frontier.join(
-                weighted_edges, frontier["id"] == weighted_edges["__src"]
+            f.join(
+                weighted_edges, f["id"] == weighted_edges["__src"]
             )
             .select(
                 "root",
@@ -632,8 +639,10 @@ def bounded_cheapest(
             .drop("__bc")
             .localCheckpoint(eager=False)
         )
-        if improved.count() == 0:
+        frontier_rows = improved.count()
+        if frontier_rows == 0:
             break
+        dist_rows += frontier_rows
         dists = (
             dists.unionByName(improved)
             .groupBy("root", "id")
