@@ -116,8 +116,8 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "sample_stratified",
     "text_seq_packing",
     "graph_any_cheapest",
+    "dedup_semantic_ivf",
     # --- oldest round-2 checks, rotated forward ---
-    "dedup_exact",
     "dedup_cluster",
     "embedding_neardup",
 )

@@ -984,3 +984,74 @@ def text_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pack_id"),
         (F.col("start_tok") % cap).alias("pack_offset"),
     ).orderBy("doc_id")
+
+
+DEDUP_SEMANTIC_IVF_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM q
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         qv AS cqv, n2 AS cn2
+  FROM (SELECT * FROM n ORDER BY vec_id LIMIT 16)
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_MICRO_COS.format(aqv="v.qv", an2="v.n2", bqv="c.cqv", bn2="c.cn2")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM n v CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+k AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS kv
+  FROM embeddings
+),
+kn AS (
+  SELECT vec_id, kv,
+         CAST(list_sum(list_transform(kv, x -> x * x)) AS BIGINT) AS kn2
+  FROM k
+),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2, aa.centroid_id,
+         CAST(list_sum(list_transform(list_zip(ka.kv, kb.kv), p -> p[1] * p[2])) AS BIGINT) AS dot,
+         ka.kn2 AS na2, kb.kn2 AS nb2
+  FROM assigned aa
+  JOIN assigned ab ON aa.centroid_id = ab.centroid_id AND aa.vec_id < ab.vec_id
+  JOIN n a ON a.vec_id = aa.vec_id
+  JOIN n b ON b.vec_id = ab.vec_id
+  JOIN kn ka ON ka.vec_id = aa.vec_id
+  JOIN kn kb ON kb.vec_id = ab.vec_id
+)
+SELECT v1, v2, centroid_id, dot
+FROM pairs
+WHERE dot > 0 AND dot * dot * 25 >= 4 * na2 * nb2
+ORDER BY v1, v2
+"""
+
+
+@register(
+    "dedup_semantic_ivf", oracle=DEDUP_SEMANTIC_IVF_ORACLE, tags=("dedup",)
+)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup via IVF bucketing — the scale path for embedding
+    dedup: zero-shuffle centroid assignment (Arrow argmax vs a broadcast
+    16-row centroid matrix), then exact quantized-cosine pairs WITHIN a
+    bucket only (n²/nlist work, plain hash join on centroid_id — at rest
+    the bucket is the partition key, so it co-locates for free).  The
+    oracle re-derives the identical assignment analytically (micro-cosine
+    argmax over the id-sample centroids) and the identical pair test
+    (dot²·25 ≥ 4·‖a‖²·‖b‖², 1e3 quantization — all integer, no FP)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_bucketed_neardup(
+        emb, nlist=16, scale=1000, threshold_num=2, threshold_den=5
+    ).orderBy("v1", "v2")
