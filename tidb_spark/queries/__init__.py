@@ -117,9 +117,9 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "text_seq_packing",
     "graph_any_cheapest",
     "dedup_semantic_ivf",
+    "text_pipeline_e2e",
     # --- oldest round-2 checks, rotated forward ---
     "dedup_cluster",
-    "embedding_neardup",
 )
 
 

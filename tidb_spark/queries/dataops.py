@@ -1055,3 +1055,100 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_bucketed_neardup(
         emb, nlist=16, scale=1000, threshold_num=2, threshold_den=5
     ).orderBy("v1", "v2")
+
+
+PIPELINE_E2E_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, {_NORM} AS n,
+         (CASE WHEN length({_NORM}) BETWEEN 50 AND 10000 THEN 400000 ELSE 100000 END) AS len_part
+  FROM documents
+),
+kept AS (SELECT * FROM scored WHERE len_part = 400000),
+canon AS (
+  SELECT doc_id, lang, n,
+         MIN(doc_id) OVER (PARTITION BY md5(n)) AS canonical_id
+  FROM kept
+),
+uniq AS (SELECT doc_id, lang, n FROM canon WHERE doc_id = canonical_id),
+ranked AS (
+  SELECT doc_id, lang, n,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM uniq
+),
+sampled AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(n) = 0 THEN 0
+              ELSE len(string_split(n, ' ')) END AS n_tokens
+  FROM ranked WHERE rk <= (n_lang + 1) // 2
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM sampled
+)
+SELECT doc_id, lang, n_tokens, start_tok // 1024 AS pack_no
+FROM packed ORDER BY doc_id
+"""
+
+
+@register("text_pipeline_e2e", oracle=PIPELINE_E2E_ORACLE, tags=("text",))
+def text_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline in ONE DataFrame program — the
+    composition a reference user actually runs: quality filter (length
+    band) → exact dedup (keep canonical = min doc_id per normalized-text
+    md5) → deterministic 50% stratified sample per language → sequence
+    packing at 1024 tokens within each language stream.  Every stage is a
+    window or aggregate over the same lang/doc partitioning, so the whole
+    pipeline is three shuffles end-to-end regardless of corpus size; the
+    oracle replays the identical CTE chain."""
+    docs = _t(spark, sf_dir, "documents")
+    n = dd.normalize_text(F.col("text"))
+    scored = docs.select(
+        "doc_id", "lang", n.alias("n")
+    ).where(F.length("n").between(50, 10_000))
+    canon_w = Window.partitionBy(F.md5("n"))
+    uniq = (
+        scored.withColumn("canonical_id", F.min("doc_id").over(canon_w))
+        .where(F.col("doc_id") == F.col("canonical_id"))
+        .drop("canonical_id")
+    )
+    rk_w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    n_w = Window.partitionBy("lang")
+    sampled = (
+        uniq.withColumn("rk", F.row_number().over(rk_w))
+        .withColumn("n_lang", F.count(F.lit(1)).over(n_w))
+        .where(F.col("rk") <= (F.col("n_lang") + 1) / F.lit(2))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.length("n") == 0, 0)
+            .otherwise(F.size(F.split(F.col("n"), " ")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    pack_w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        sampled.withColumn(
+            "start_tok",
+            F.coalesce(F.sum("n_tokens").over(pack_w), F.lit(0)).cast("long"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor(F.col("start_tok") / 1024).cast("long").alias("pack_no"),
+        )
+        .orderBy("doc_id")
+    )
