@@ -520,8 +520,9 @@ def test_show_statements(engine):
     assert ct.Table == "e_knows"
     assert "SOURCE KEY REFERENCES" in ct[1]
 
+    # PROCESSLIST gained support in round 4; TRIGGERS remains out of scope.
     with pytest.raises(ValueError, match="unsupported SHOW"):
-        engine.sql("SHOW PROCESSLIST")
+        engine.sql("SHOW TRIGGERS")
 
 
 def test_builtin_longtail_point_values(engine):
@@ -855,3 +856,41 @@ def test_ci_collation_shim(engine):
     ).collect()[0].n
     assert n == 2  # (1,2) and (3,4)
     engine.sql("DROP TABLE ci_t")
+
+
+def test_tool_compat_statements(engine):
+    """Client/BI-tool session statements (session layer of the reference):
+    SET NAMES / SET CHARACTER SET / USE / BEGIN / START TRANSACTION /
+    COMMIT / KILL accept as no-ops (autocommit model), ROLLBACK errors
+    (its promise cannot be honored), SELECT ... FOR UPDATE / LOCK IN SHARE
+    MODE strip the lock suffix, SHOW PROCESSLIST answers."""
+    import pytest as _pytest
+
+    for stmt in (
+        "SET NAMES utf8mb4",
+        "SET NAMES utf8mb4 COLLATE utf8mb4_general_ci",
+        "SET CHARACTER SET utf8",
+        "USE tidb_spark",
+        "BEGIN",
+        "START TRANSACTION",
+        "COMMIT",
+        "KILL QUERY 42",
+        "KILL 42",
+    ):
+        assert engine.sql(stmt).collect() == [] or True  # no error is the test
+    with _pytest.raises(ValueError, match="ROLLBACK"):
+        engine.sql("ROLLBACK")
+    r = engine.sql(
+        "SELECT n_name FROM nation WHERE n_nationkey = 1 FOR UPDATE"
+    ).collect()
+    assert len(r) == 1
+    r2 = engine.sql(
+        "SELECT n_name FROM nation WHERE n_nationkey = 1 LOCK IN SHARE MODE"
+    ).collect()
+    assert r2 == r
+    r3 = engine.sql(
+        "SELECT n_name FROM nation WHERE n_nationkey = 1 FOR UPDATE SKIP LOCKED;"
+    ).collect()
+    assert r3 == r
+    pl = engine.sql("SHOW PROCESSLIST").collect()
+    assert len(pl) == 1 and pl[0].User == "root"

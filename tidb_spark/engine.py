@@ -52,6 +52,28 @@ _SET_RE = re.compile(
 
 _USER_VAR_RE = re.compile(r"(?<![@\w])@(\w+)\b")
 
+# Client/BI-tool session statements (the reference accepts these at the
+# session layer: session/session.go SET NAMES, USE, autocommit txn verbs).
+_TOOL_STMT_RE = re.compile(
+    r"(?is)^\s*(?:"
+    r"(?P<setnames>SET\s+NAMES\s+\S+(?:\s+COLLATE\s+\S+)?)"
+    r"|(?P<setcs>SET\s+CHARACTER\s+SET\s+\S+)"
+    r"|(?P<use>USE\s+`?\w+`?)"
+    r"|(?P<begin>BEGIN|START\s+TRANSACTION)"
+    r"|(?P<commit>COMMIT)"
+    r"|(?P<rollback>ROLLBACK)"
+    r"|(?P<kill>KILL\s+(?:QUERY\s+)?\d+)"
+    r")\s*;?\s*$"
+)
+
+# SELECT … FOR UPDATE / LOCK IN SHARE MODE: the reference plans a
+# SelectLockExec; with no transaction scope the lock is a no-op here
+# (SURVEY §2 row 18 n/a) — strip the suffix, run the SELECT.
+_SELECT_LOCK_RE = re.compile(
+    r"(?is)\s+(?:FOR\s+UPDATE(?:\s+NOWAIT|\s+SKIP\s+LOCKED)?"
+    r"|LOCK\s+IN\s+SHARE\s+MODE)\s*(;?)\s*$"
+)
+
 _CHECKSUM_RE = re.compile(r"(?is)^\s*ADMIN\s+CHECKSUM\s+TABLE\s+(\w+)\s*;?\s*$")
 
 # PREPARE / EXECUTE / DEALLOCATE statement forms (executor/prepared.go:1
@@ -1018,6 +1040,24 @@ class Engine:
         ``args`` binds named (``:name``) or positional (``?``) parameters —
         the prepared-statement surface (executor/prepared.go; Catalyst
         re-plans per execution, replacing the reference's plan cache)."""
+        tm = _TOOL_STMT_RE.match(query)
+        if tm:
+            if tm.group("rollback"):
+                # The engine runs autocommit single-statement semantics
+                # (txn scope is out of OLAP scope per BASELINE) — BEGIN /
+                # COMMIT are harmless no-ops under that model, but a
+                # ROLLBACK promise cannot be honored, so it errors rather
+                # than silently keeping the writes.
+                raise ValueError(
+                    "ROLLBACK is not supported: statements auto-commit "
+                    "(no transaction scope in this engine)"
+                )
+            # SET NAMES / SET CHARACTER SET (always utf8mb4 here), USE (one
+            # database), BEGIN/START TRANSACTION/COMMIT (autocommit), KILL
+            # (no wire connections): accepted no-ops for client/BI-tool
+            # compatibility, as the reference session layer does for
+            # settings it ignores.
+            return self.spark.range(0).select(F.lit("OK").alias("status"))
         sm = _SET_RE.match(query)
         if sm:
             return self._run_set(sm)
@@ -1041,6 +1081,7 @@ class Engine:
             return self._run_drop_sequence(dsm)
         if self.sequences:
             query = self._substitute_sequence_funcs(query)
+        query = _SELECT_LOCK_RE.sub(r"\1", query)
         # Hints first: @query_block qualifiers inside /*+ ... */ must not be
         # mistaken for @user variables by the substitution pass.
         query, hints = self._extract_hints(query)
@@ -1552,6 +1593,13 @@ class Engine:
                     ("tidb_spark_views", str(len(self.views))),
                 ],
                 "Variable_name string, Value string",
+            )
+        if re.match(r"(?is)^SHOW\s+(?:FULL\s+)?PROCESSLIST$", q):
+            # show.go fetchShowProcessList: one in-process session here.
+            return mk(
+                [(1, "root", "localhost", "tidb_spark", "Query", 0, "", None)],
+                "Id bigint, User string, Host string, db string, "
+                "Command string, Time int, State string, Info string",
             )
         m = re.match(r"(?is)^SHOW\s+GRANTS(?:\s+FOR\s+(.+?))?$", q)
         if m:
