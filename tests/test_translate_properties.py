@@ -196,3 +196,69 @@ def test_dialect_exprs_match_duckdb(_fuzz_engine, batch):
             f"drift at c{i}: spark={m!r} duckdb={t!r} "
             f"mysql={batch[i][0]!r} oracle={batch[i][1]!r}"
         )
+
+
+# ---------------------------------------------------------------------------
+# PREPARE/EXECUTE parameter binding: '?' placeholders bind positionally and
+# string literals are never touched, for any interleaving of code and
+# quoted text.
+
+_lit_text = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" ?."
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@st.composite
+def _prepared_stmt(draw):
+    """Build SELECT <exprs> with a random mix of ? params and string
+    literals containing '?'; returns (statement, param_values)."""
+    pieces, vals = [], []
+    for _ in range(draw(st.integers(1, 5))):
+        kind = draw(st.integers(0, 2))
+        if kind == 0:
+            vals.append(draw(st.integers(-1000, 1000)))
+            pieces.append("? + 0")
+        elif kind == 1:
+            s = draw(_lit_text).replace("'", "")
+            pieces.append(f"'{s}'")
+        else:
+            pieces.append(str(draw(st.integers(0, 99))))
+    stmt = "SELECT " + ", ".join(
+        f"{p} AS c{i}" for i, p in enumerate(pieces)
+    )
+    return stmt, vals
+
+
+@given(sp=_prepared_stmt())
+@settings(max_examples=40, deadline=None)
+def test_prepare_binding_matches_inline(_fuzz_engine, sp):
+    stmt, vals = sp
+    eng = _fuzz_engine
+    eng.sql("PREPARE fuzz_stmt FROM '" + stmt.replace("'", "''") + "'")
+    using = []
+    for i, v in enumerate(vals):
+        eng.sql(f"SET @fz{i} = {v}")
+        using.append(f"@fz{i}")
+    try:
+        got = eng.sql(
+            "EXECUTE fuzz_stmt" + (f" USING {', '.join(using)}" if using else "")
+        ).collect()[0]
+    finally:
+        eng.sql("DEALLOCATE PREPARE fuzz_stmt")
+    # Expected binding: left-to-right over CODE segments only (a '?'
+    # inside a string literal is payload, not a parameter).
+    from tidb_spark.sqlshim.translate import _map_code
+
+    it = iter(str(v) for v in vals)
+
+    def bind(code: str) -> str:
+        import re as _re
+
+        return _re.sub(r"\?", lambda _m: next(it), code)
+
+    want = eng.sql(_map_code(stmt, bind)).collect()[0]
+    assert list(got) == list(want), (stmt, vals)
