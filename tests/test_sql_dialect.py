@@ -894,3 +894,68 @@ def test_tool_compat_statements(engine):
     assert r3 == r
     pl = engine.sql("SHOW PROCESSLIST").collect()
     assert len(pl) == 1 and pl[0].User == "root"
+
+
+def test_ci_collation_shim_edges(engine):
+    """Review-hardening for the _ci shim: string literals are never
+    rewritten, OVER(ORDER BY …) and subquery ORDER BYs are untouched, the
+    rewrite applies only to the statement-final top-level ORDER BY, and
+    CREATE TABLE LIKE clones collations independent of the source's
+    lifetime."""
+    engine.sql(
+        "CREATE TABLE ci_e (id BIGINT PRIMARY KEY, "
+        "name VARCHAR(20) COLLATE utf8mb4_general_ci, note VARCHAR(40))"
+    )
+    engine.sql(
+        "INSERT INTO ci_e VALUES (1, 'Ann', 'name = name'), (2, 'bob', 'x')"
+    )
+    # Literal containing a ci-column comparison must stay byte-identical.
+    r = engine.sql(
+        "SELECT id FROM ci_e WHERE note = 'name = name'"
+    ).collect()
+    assert [x.id for x in r] == [1]
+    # Window ORDER BY must not attract LOWER(); output case preserved.
+    rows = engine.sql(
+        "SELECT ROW_NUMBER() OVER (ORDER BY id) AS rn, name FROM ci_e "
+        "ORDER BY name"
+    ).collect()
+    assert [x.name for x in rows] == ["Ann", "bob"]  # ci sort, case kept
+    # LIKE clone keeps _ci semantics after the source is dropped.
+    engine.sql("CREATE TABLE ci_c LIKE ci_e")
+    engine.sql("DROP TABLE ci_e")
+    engine.sql("INSERT INTO ci_c VALUES (9, 'ZED', 'x')")
+    assert engine.sql(
+        "SELECT id FROM ci_c WHERE name = 'zed'"
+    ).collect()[0].id == 9
+    engine.sql("DROP TABLE ci_c")
+
+
+def test_multi_update_key_assignment_rejected(engine):
+    import pytest as _pytest
+
+    engine.sql("CREATE TABLE mu_t (id BIGINT PRIMARY KEY, v BIGINT)")
+    engine.sql("INSERT INTO mu_t VALUES (1, 10)")
+    with _pytest.raises(ValueError, match="key column"):
+        engine.sql(
+            "UPDATE mu_t JOIN region ON mu_t.v = region.r_regionkey "
+            "SET mu_t.id = region.r_regionkey"
+        )
+    engine.sql("DROP TABLE mu_t")
+
+
+def test_nextval_insert_select_rejected(engine):
+    import pytest as _pytest
+
+    engine.sql("CREATE SEQUENCE bulk_seq")
+    engine.sql("CREATE TABLE ns_t (id BIGINT PRIMARY KEY, v BIGINT)")
+    with _pytest.raises(ValueError, match="per row"):
+        engine.sql(
+            "INSERT INTO ns_t SELECT NEXTVAL(bulk_seq), n_nationkey FROM nation"
+        )
+    # Multi-row VALUES (one occurrence per row) still allocates correctly.
+    engine.sql(
+        "INSERT INTO ns_t VALUES (NEXTVAL(bulk_seq), 1), (NEXTVAL(bulk_seq), 2)"
+    )
+    ids = sorted(r.id for r in engine.sql("SELECT id FROM ns_t").collect())
+    assert ids == [1, 2]
+    engine.sql("DROP TABLE ns_t"); engine.sql("DROP SEQUENCE bulk_seq")

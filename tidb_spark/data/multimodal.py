@@ -289,11 +289,9 @@ def decode_video(data: bytes) -> tuple[int, int, int, int]:
     pos, width, height, total = 8, 0, 0, 0
     for _ in range(count):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
-        import numpy as _np
-
         w, h, px = decode_png_gray(data[pos + 4 : pos + 4 + ln])
         width, height = w, h
-        total += int(_np.frombuffer(px, dtype=_np.uint8).sum())
+        total += int(np.frombuffer(px, dtype=np.uint8).sum())
         pos += 4 + ln
     return width, height, count, total
 

@@ -198,7 +198,28 @@ def allpairs_cosine_above(
         a_n2 = np.einsum("ij,ij->i", A, A)
         b_n2 = np.einsum("ij,ij->i", B, B)
         D = A @ B.T  # exact int64 block matmul
-        ok = (D > 0) & (D * D * den2 >= num2 * a_n2[:, None] * b_n2[None, :])
+        # The SQUARED threshold test overflows int64 for dims*scale^2 past
+        # ~3e9 (dim >= ~608 at scale 1000 — common embedding sizes), and
+        # numpy wraps silently.  Decide in float64 (exact for the int64
+        # inputs; the PRODUCTS round at ~1e-16 relative), then re-check the
+        # rare borderline entries with exact Python bignum arithmetic.
+        Df = D.astype(np.float64)
+        lhs = Df * Df * den2
+        rhs = num2 * (
+            a_n2.astype(np.float64)[:, None] * b_n2.astype(np.float64)[None, :]
+        )
+        ok = (D > 0) & (lhs >= rhs)
+        border = (D > 0) & (
+            np.abs(lhs - rhs) <= 1e-9 * np.maximum(np.abs(lhs), np.abs(rhs))
+        )
+        if border.any():
+            for bi_, bj_ in zip(*np.nonzero(border)):
+                d_ = int(D[bi_, bj_])
+                ok[bi_, bj_] = (
+                    d_ > 0
+                    and d_ * d_ * den2
+                    >= num2 * int(a_n2[bi_]) * int(b_n2[bj_])
+                )
         if bi == bj:
             # Diagonal cell: both sides are the same block — keep one order.
             ok &= a_ids[:, None] < b_ids[None, :]
@@ -594,6 +615,14 @@ def ivf_bucketed_neardup(
         F.col(vec_col).alias("_vb"),
         F.col("_n2").alias("nb2"),
     )
+    # The squared test runs in DECIMAL(38,0): values reach
+    # (dim*scale^2)^2*den^2 — past int64 for dim >= ~608 at scale 1000
+    # (common embedding sizes), where a LongType comparison would wrap
+    # silently.  38 digits covers dims to ~1e8; the arithmetic stays
+    # exact integer.
+    dot_d = F.col("dot").cast("decimal(38,0)")
+    na_d = F.col("na2").cast("decimal(38,0)")
+    nb_d = F.col("nb2").cast("decimal(38,0)")
     pairs = (
         a.join(b, "centroid_id")
         .where(F.col("v1") < F.col("v2"))
@@ -607,10 +636,7 @@ def ivf_bucketed_neardup(
         )
         .where(
             (F.col("dot") > 0)
-            & (
-                F.col("dot") * F.col("dot") * F.lit(den2)
-                >= F.lit(num2) * F.col("na2") * F.col("nb2")
-            )
+            & (dot_d * dot_d * F.lit(den2) >= F.lit(num2) * na_d * nb_d)
         )
     )
     return pairs.select("v1", "v2", "centroid_id", "dot")

@@ -281,6 +281,12 @@ class Engine:
             defaults = getattr(self, "_defaults_by_table", {}).get(src)
             if defaults:
                 self._defaults_by_table[name] = dict(defaults)
+            if src in self._ci_cols_by_table:
+                # MySQL LIKE clones column collations; keep the clone's
+                # *_ci semantics independent of the source's lifetime.
+                self._ci_cols_by_table[name] = set(
+                    self._ci_cols_by_table[src]
+                )
         elif src in self.tables:
             empty = self.spark.createDataFrame(
                 [], schema=self.tables[src].schema
@@ -334,13 +340,21 @@ class Engine:
             self.graph.vertices[name].df = df
         # Views captured the PREVIOUS parquet version of this table in their
         # analyzed plans (and would eventually dangle once retain_versions
-        # prunes it); rebuild every view definition against current state —
+        # prunes it); rebuild view definitions against current state —
         # reference/MySQL views always reflect current data (view bodies are
         # expanded per consuming statement, planbuilder.go buildDataSource).
-        self._reregister_views()
+        self._reregister_views(touched=name)
 
-    def _reregister_views(self) -> None:
+    def _reregister_views(self, touched: str | None = None) -> None:
+        """Re-register view definitions.  ``touched`` limits the rebuild to
+        views whose body mentions that table name (word-boundary substring
+        — conservative: false positives only re-run a cheap analysis) so a
+        DML statement costs O(dependent views), not O(all views)."""
         for vname, body in self.views.items():
+            if touched is not None and not re.search(
+                rf"\b{re.escape(touched)}\b", body
+            ):
+                continue
             try:
                 vdf = self.sql(body)
                 cols = self._view_cols.get(vname)
@@ -868,6 +882,15 @@ class Engine:
                     f"The value specified for generated column {cname!r} "
                     f"in table {name!r} is not allowed"
                 )
+            if cname in mt.key_cols:
+                # The merge is keyed on these columns; rewriting the key in
+                # the same pass is not expressible as one keyed MERGE.
+                # MySQL allows it — reject loudly rather than silently
+                # dropping the assignment.
+                raise ValueError(
+                    f"multi-table UPDATE cannot assign key column "
+                    f"{cname!r} of {name!r}; use DELETE + INSERT"
+                )
             assignments[cname] = expr.strip()
         key_sel = ", ".join(f"`{alias}`.`{k}` AS `{k}`" for k in mt.key_cols)
         set_sel = ", ".join(
@@ -1079,7 +1102,21 @@ class Engine:
         dsm = _DROP_SEQ_RE.match(query)
         if dsm:
             return self._run_drop_sequence(dsm)
-        if self.sequences:
+        if self.sequences and _SEQ_FUNC_RE.search(query):
+            if re.match(
+                r"(?is)^\s*(?:INSERT|REPLACE)\b(?:[^\x27\x22]*?)\b(?:SELECT|WITH|TABLE)\b",
+                query,
+            ):
+                # Substitution splices ONE literal per textual occurrence;
+                # a SELECT source would stamp every row with the same
+                # value — reference sequences allocate per row.  Reject
+                # rather than silently duplicate (use AUTO_INCREMENT for
+                # bulk loads).
+                raise ValueError(
+                    "NEXTVAL/SETVAL inside INSERT ... SELECT is not "
+                    "supported (one allocation per statement occurrence, "
+                    "not per row); use an AUTO_INCREMENT column instead"
+                )
             query = self._substitute_sequence_funcs(query)
         query = _SELECT_LOCK_RE.sub(r"\1", query)
         # Hints first: @query_block qualifiers inside /*+ ... */ must not be
@@ -1365,8 +1402,12 @@ class Engine:
             # table (ErrWrongObject "is not VIEW").
             raise ValueError(f"CREATE OR REPLACE VIEW: {name!r} is not a VIEW")
         df = self.sql(body)
-        if m.group("cols"):
-            cols = [c.strip().strip("`") for c in m.group("cols").split(",") if c.strip()]
+        cols = (
+            [c.strip().strip("`") for c in m.group("cols").split(",") if c.strip()]
+            if m.group("cols")
+            else None
+        )
+        if cols:
             if len(cols) != len(df.columns):
                 # planbuilder.go: ErrViewWrongList
                 raise ValueError(
@@ -1376,11 +1417,7 @@ class Engine:
             df = df.toDF(*cols)
         df.createOrReplaceTempView(name)
         self.views[name] = body.strip()
-        self._view_cols[name] = (
-            [c.strip().strip("`") for c in m.group("cols").split(",") if c.strip()]
-            if m.group("cols")
-            else None
-        )
+        self._view_cols[name] = cols
 
     def _run_drop_view(self, m: re.Match) -> None:
         name = m.group("name")
@@ -1463,40 +1500,98 @@ class Engine:
         ) else set()
         if not active:
             return query
+        # Mask string literals first: a literal containing "name = name"
+        # must never be rewritten (the other rewrite passes route through
+        # _map_code for the same reason).
+        lits: list[str] = []
+
+        def stash(m: re.Match) -> str:
+            lits.append(m.group(0))
+            return f"\x00{len(lits) - 1}\x00"
+
+        masked = merge_clause._STRING_RE.sub(stash, query)
+        ph = r"\x00\d+\x00"
         cols = "|".join(re.escape(c) for c in sorted(active))
         qual = rf"(?:\w+\.)?(?:{cols})"
         ops = r"(?:=|<>|!=|<=|>=|<|>|(?i:LIKE))"
-        # col <op> 'lit'  /  'lit' <op> col
-        query = re.sub(
-            rf"(?<![\w.])(?P<c>{qual})\b\s*(?P<op>{ops})\s*(?P<lit>{self._SQL_STR})",
+        # col <op> 'lit'  /  'lit' <op> col  (literals are placeholders now)
+        masked = re.sub(
+            rf"(?<![\w.])(?P<c>{qual})\b\s*(?P<op>{ops})\s*(?P<lit>{ph})",
             lambda m: f"LOWER({m.group('c')}) {m.group('op')} "
             f"LOWER({m.group('lit')})",
-            query,
+            masked,
         )
-        query = re.sub(
-            rf"(?P<lit>{self._SQL_STR})\s*(?P<op>{ops})\s*(?P<c>{qual})\b",
+        masked = re.sub(
+            rf"(?P<lit>{ph})\s*(?P<op>{ops})\s*(?P<c>{qual})\b",
             lambda m: f"LOWER({m.group('lit')}) {m.group('op')} "
             f"LOWER({m.group('c')})",
-            query,
+            masked,
         )
         # _ci col = _ci col (both sides normalize, MySQL join semantics)
-        query = re.sub(
+        masked = re.sub(
             rf"(?<![\w.])(?P<a>{qual})\b\s*=\s*(?P<b>{qual})\b",
             lambda m: f"LOWER({m.group('a')}) = LOWER({m.group('b')})",
-            query,
+            masked,
         )
-        # ORDER BY … col … (clause ends at LIMIT or end-of-statement)
-        def order_fix(m: re.Match) -> str:
+        # Statement-final TOP-LEVEL ORDER BY only: a window's OVER(ORDER
+        # BY …) or a subquery's ORDER BY lives inside parens and must not
+        # attract the rewrite (nor may the rewrite run past the clause
+        # into projections — the old tail regex did both).
+        span = self._last_top_level_order_by(masked)
+        if span:
+            s_, e_ = span
             clause = re.sub(
                 rf"(?<![\w.(])(?P<c>{qual})\b(?!\s*\()",
                 lambda cm: f"LOWER({cm.group('c')})",
-                m.group(2),
+                masked[s_:e_],
             )
-            return m.group(1) + clause
-
+            masked = masked[:s_] + clause + masked[e_:]
         return re.sub(
-            r"(?is)(\bORDER\s+BY\s+)(.+?)(?=\bLIMIT\b|$)", order_fix, query
+            r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], masked
         )
+
+    @staticmethod
+    def _last_top_level_order_by(text: str) -> tuple[int, int] | None:
+        """(start, end) of the body of the LAST depth-0 ORDER BY clause,
+        ending at a depth-0 LIMIT or end-of-text; None if absent.  ``text``
+        must already have string literals masked."""
+        ob = re.compile(r"(?is)ORDER\s+BY\s+")
+        depth, i, best = 0, 0, None
+        while i < len(text):
+            c = text[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and c in "Oo":
+                boundary = i == 0 or not (
+                    text[i - 1].isalnum() or text[i - 1] in "_."
+                )
+                m = ob.match(text, i)
+                if boundary and m:
+                    best = m.end()
+                    i = m.end()
+                    continue
+            i += 1
+        if best is None:
+            return None
+        depth, j = 0, best
+        while j < len(text):
+            c = text[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif (
+                depth == 0
+                and text[j : j + 5].upper() == "LIMIT"
+                and not (text[j - 1].isalnum() or text[j - 1] == "_")
+            ):
+                break
+            j += 1
+        return (best, j)
 
     def _inject_hints(self, query: str, hints: list[str]) -> str:
         """Re-emit surviving hints as a Spark hint comment after the first
