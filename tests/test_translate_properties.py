@@ -162,7 +162,11 @@ def _render(tpl_idx, args):
             opts = [args["a"], args["b"], args["c"]]
             return mysql, f"'{opts[args['k'] - 1]}'"
         if mysql_t.startswith("FIELD"):
-            return mysql, "2"  # '{b}' always sits at position 2
+            # FIELD returns the FIRST match: when hypothesis draws equal
+            # strings for a/b, position 1 wins (MySQL semantics — the old
+            # constant "2" oracle was wrong for duplicate candidates).
+            opts = [args["a"], args["b"], args["c"]]
+            return mysql, str(opts.index(args["b"]) + 1)
     return mysql, duck_t.format(**args)
 
 
