@@ -656,3 +656,59 @@ def bounded_cheapest(
         )
         frontier = improved
     return dists
+
+
+def pagerank_int(
+    weighted_or_plain_edges: DataFrame,
+    *,
+    iters: int = 5,
+    base: int = 150_000,
+    damp_num: int = 17,
+    damp_den: int = 20,
+    init: int = 1_000_000,
+) -> DataFrame:
+    """Integer-exact PageRank power iteration (extension — the reference
+    has no iterative graph analytics beyond shortest paths; this reuses
+    the same prepared-edge machinery).
+
+    All arithmetic is integer: per-edge contribution is ``score DIV
+    out_degree`` and the damping step is ``base + (damp_num * Σcontrib)
+    DIV damp_den`` — deterministic and bit-identical in any engine, which
+    is what makes the unrolled-CTE oracle exact (FP PageRank is
+    fold-order-sensitive).  Sink vertices (no out-edges) leak rank, as in
+    the simplified textbook formulation — mirrored identically by the
+    oracle.  Scale: per round one keyed join (scores × out-edges) + one
+    map-side-combined sum, state = |V| two-long rows; rounds are a fixed
+    constant, so the whole run is ``iters`` linear passes."""
+    edges = weighted_or_plain_edges.select("__src", "__dst")
+    verts = (
+        edges.select(F.col("__src").alias("id"))
+        .unionByName(edges.select(F.col("__dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    edges_d = edges.join(deg, "__src").localCheckpoint(eager=True)
+    s = verts.withColumn("score", F.lit(init).cast("long"))
+    for _ in range(iters):
+        sums = (
+            s.join(edges_d, s["id"] == edges_d["__src"])
+            .select(
+                F.col("__dst").alias("id"),
+                F.expr("score div __deg").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("t"))
+        )
+        s = verts.join(sums, "id", "left").select(
+            "id",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damp_num} * coalesce(t, 0)) div {damp_den}"
+                )
+            )
+            .cast("long")
+            .alias("score"),
+        )
+    return s

@@ -118,8 +118,9 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "graph_any_cheapest",
     "dedup_semantic_ivf",
     "text_pipeline_e2e",
-    # --- oldest round-2 checks, rotated forward ---
-    "dedup_cluster",
+    "graph_pagerank",
+    # (round-2-stale rows dedup_exact / dedup_cluster / embedding_neardup /
+    # subq_* were displaced by new surface; they lead the r5 rotation.)
 )
 
 

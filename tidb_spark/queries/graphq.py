@@ -588,3 +588,46 @@ def graph_any_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_id", "dst_id")
     )
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled power-iteration CTE chain (recursive CTEs cannot aggregate
+    over the recursive reference, so the fixed iteration count is spelled
+    out — same integer arithmetic as the Spark loop, term for term)."""
+    head = """
+WITH e AS (
+  SELECT DISTINCT a.o_custkey AS src, b.o_custkey AS dst
+  FROM orders a JOIN orders b ON a.o_orderkey = b.o_orderkey - 1
+  WHERE a.o_custkey <> b.o_custkey
+),
+d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+s0 AS (SELECT id, CAST(1000000 AS BIGINT) AS score FROM verts)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+s{i} AS (
+  SELECT v.id,
+         CAST(150000 + (17 * COALESCE(c.t, 0)) // 20 AS BIGINT) AS score
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(s{i-1}.score // d.deg) AS t
+    FROM s{i-1} JOIN d ON s{i-1}.id = d.src JOIN e ON e.src = s{i-1}.id
+    GROUP BY e.dst
+  ) c ON v.id = c.id
+)""")
+    return head + "".join(steps) + f"""
+SELECT id, score FROM s{iters} ORDER BY id"""
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle(), tags=("graph",))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank, 5 power iterations over the shared prepared
+    e_knows projection (extension — the reference has no iterative graph
+    analytics).  DIV-based contributions and damping keep every
+    intermediate an int64, so the unrolled-CTE oracle matches bit for
+    bit."""
+    from tidb_spark.graph.shortest import pagerank_int
+
+    g = _graph(spark, sf_dir)
+    edges = _knows_edges(spark, sf_dir, g)
+    return pagerank_int(edges, iters=5).orderBy("id")
