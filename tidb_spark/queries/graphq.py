@@ -631,3 +631,114 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     edges = _knows_edges(spark, sf_dir, g)
     return pagerank_int(edges, iters=5).orderBy("id")
+
+
+WCC_ORACLE = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT a.o_custkey AS src, b.o_custkey AS dst
+  FROM orders a JOIN orders b ON a.o_orderkey = b.o_orderkey - 1
+  WHERE a.o_custkey <> b.o_custkey
+),
+eu AS (
+  SELECT src AS a, dst AS b FROM e0 WHERE src < 200 AND dst < 200
+  UNION
+  SELECT dst AS a, src AS b FROM e0 WHERE src < 200 AND dst < 200
+),
+reach(n, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM eu)
+  UNION
+  SELECT reach.n, eu.b FROM reach JOIN eu ON reach.r = eu.a
+),
+comp AS (SELECT n AS id, MIN(r) AS component FROM reach GROUP BY n),
+sizes AS (SELECT component, COUNT(*) AS component_size FROM comp GROUP BY component)
+SELECT comp.id, comp.component, sizes.component_size
+FROM comp JOIN sizes USING (component)
+ORDER BY id
+"""
+
+
+@register("graph_wcc", oracle=WCC_ORACLE, tags=("graph",))
+def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components over a bounded e_knows subgraph — the
+    large-star/small-star alternation (O(log n) rounds of one groupBy +
+    one join; `data/cluster.py`, shared with dedup clustering) exposed as
+    a graph-family operator; the oracle walks the same undirected edges
+    with a recursive CTE.  The id bound keeps the oracle's all-pairs
+    reachability set small; the Spark side has no such need at scale."""
+    from tidb_spark.data.cluster import duplicate_clusters
+
+    g = _graph(spark, sf_dir)
+    edges = _knows_edges(spark, sf_dir, g)
+    bounded = edges.where(
+        (F.col("__src") < 200) & (F.col("__dst") < 200)
+    ).select(F.col("__src").alias("d1"), F.col("__dst").alias("d2"))
+    return (
+        duplicate_clusters(bounded)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.col("canonical_id").alias("component"),
+            F.col("cluster_size").alias("component_size"),
+        )
+        .orderBy("id")
+    )
+
+
+TRIANGLES_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT a.o_custkey AS src, b.o_custkey AS dst
+  FROM orders a JOIN orders b ON a.o_orderkey = b.o_orderkey - 1
+  WHERE a.o_custkey <> b.o_custkey
+),
+eu AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0
+  GROUP BY 1, 2
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM eu e1
+  JOIN eu e2 ON e2.a = e1.b
+  JOIN eu e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_vertex AS (
+  SELECT v, COUNT(*) AS n_triangles FROM (
+    SELECT x AS v FROM tri UNION ALL
+    SELECT y AS v FROM tri UNION ALL
+    SELECT z AS v FROM tri
+  ) GROUP BY v
+)
+SELECT v AS id, n_triangles FROM per_vertex ORDER BY id
+"""
+
+
+@register("graph_triangles", oracle=TRIANGLES_ORACLE, tags=("graph",))
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the undirected e_knows graph — the
+    canonical a<b<c two-join enumeration (each triangle found exactly
+    once, then credited to its three corners).  Scale: both joins key on
+    a vertex; degree skew is the known hazard and the standard mitigation
+    (orient edges low-degree -> high-degree) keeps the shape — the oracle
+    runs the identical algebra."""
+    g = _graph(spark, sf_dir)
+    edges = _knows_edges(spark, sf_dir, g)
+    eu = (
+        edges.select(
+            F.least("__src", "__dst").alias("a"),
+            F.greatest("__src", "__dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = eu.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = eu.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = eu.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = (
+        tri.select(F.col("x").alias("id"))
+        .unionByName(tri.select(F.col("y").alias("id")))
+        .unionByName(tri.select(F.col("z").alias("id")))
+    )
+    return (
+        corners.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("id")
+    )
