@@ -1152,3 +1152,40 @@ def text_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+TOP_TOKENS_ORACLE = f"""
+WITH tok AS (
+  SELECT u.t AS token
+  FROM (SELECT {_NORM} AS n FROM documents),
+       UNNEST(string_split(n, ' ')) AS u(t)
+  WHERE length(u.t) >= 3
+),
+counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+SELECT token, n FROM counts
+ORDER BY n DESC, token
+LIMIT 50
+"""
+
+
+@register("text_top_tokens", oracle=TOP_TOKENS_ORACLE, tags=("text",))
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: explode whitespace tokens (length
+    ≥ 3), count, top 50 with a deterministic (count DESC, token) tiebreak.
+    The everyday vocabulary-stats pass of a text pipeline: one map-side-
+    combined count shuffle + TakeOrderedAndProject — no global sort, no
+    skew hazard (the combiner absorbs hot tokens before the shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        dd.spread_small(
+            docs.select(dd.normalize_text(F.col("text")).alias("n")), "n"
+        )
+        .select(F.explode(F.split(F.col("n"), " ")).alias("token"))
+        .where(F.length("token") >= 3)
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
