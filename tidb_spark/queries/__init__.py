@@ -89,7 +89,6 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "tpch_q10",
     "tpch_q11",
     "tpch_q13",
-    "tpch_q17",
     "tpch_q19",
     "tpch_q20",
     "tpch_q22",
@@ -119,6 +118,7 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "graph_wcc",
     "graph_triangles",
     "text_top_tokens",
+    "agg_grouping_sets",
     # (round-2-stale rows dedup_exact / dedup_cluster / embedding_neardup /
     # subq_*, plus unchanged r1-rows tpch_q14/q16, were displaced by new
     # surface; they lead the r5 rotation.)

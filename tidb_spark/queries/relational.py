@@ -818,6 +818,39 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AGG_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linenumber,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linenumber) AS g_line,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linenumber), (l_returnflag, l_linenumber), ())
+ORDER BY g_flag, g_line, l_returnflag NULLS FIRST, l_linenumber NULLS FIRST
+"""
+
+
+@register("agg_grouping_sets", oracle=AGG_GROUPING_SETS_ORACLE, tags=("agg",))
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS with GROUPING() markers — the ROLLUP
+    sibling (beyond reference parity, SURVEY §2.4; native in Spark: one
+    Expand + one aggregate, each grouping set a map-side-combined lane,
+    so the cost is #sets × one shuffle's worth of partial rows, never
+    #sets scans)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """SELECT l_returnflag, l_linenumber,
+                  GROUPING(l_returnflag) AS g_flag,
+                  GROUPING(l_linenumber) AS g_line,
+                  COUNT(*) AS cnt,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM {li}
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linenumber), (l_returnflag, l_linenumber), ())
+           ORDER BY g_flag, g_line, l_returnflag NULLS FIRST, l_linenumber NULLS FIRST""",
+        li=lineitem,
+    )
+
+
 # --------------------------------------------------------------------------
 # CTEs (§2.8).
 
