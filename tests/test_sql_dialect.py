@@ -959,3 +959,120 @@ def test_nextval_insert_select_rejected(engine):
     ids = sorted(r.id for r in engine.sql("SELECT id FROM ns_t").collect())
     assert ids == [1, 2]
     engine.sql("DROP TABLE ns_t"); engine.sql("DROP SEQUENCE bulk_seq")
+
+
+def test_ci_collation_is_table_scoped(engine):
+    """ADVICE r4 (high): a _ci declaration on one table must not leak onto
+    other tables' same-named columns — the rewrite only activates when the
+    query references a table declaring that column _ci (the reference
+    resolves collation per column binding, expression/collation.go)."""
+    engine.sql(
+        "CREATE TABLE ci_scope_a (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(20) COLLATE utf8mb4_general_ci)"
+    )
+    engine.sql("CREATE TABLE plain_b (k BIGINT PRIMARY KEY, name VARCHAR(20))")
+    engine.sql("INSERT INTO ci_scope_a VALUES (1, 'Apple'), (2, 'apple')")
+    engine.sql("INSERT INTO plain_b VALUES (1, 'Apple'), (2, 'apple')")
+    # plain_b keeps binary semantics even while ci_scope_a declares name _ci
+    assert {
+        r.k
+        for r in engine.sql(
+            "SELECT k FROM plain_b WHERE name = 'APPLE'"
+        ).collect()
+    } == set()
+    assert {
+        r.k
+        for r in engine.sql(
+            "SELECT k FROM plain_b WHERE name = 'Apple'"
+        ).collect()
+    } == {1}
+    # the declaring table folds, bare and alias-qualified
+    assert {
+        r.k
+        for r in engine.sql(
+            "SELECT k FROM ci_scope_a WHERE name = 'APPLE'"
+        ).collect()
+    } == {1, 2}
+    assert {
+        r.k
+        for r in engine.sql(
+            "SELECT a.k FROM ci_scope_a a WHERE a.name = 'APPLE'"
+        ).collect()
+    } == {1, 2}
+    assert {
+        r.k
+        for r in engine.sql(
+            "SELECT b.k FROM plain_b b WHERE b.name = 'APPLE'"
+        ).collect()
+    } == set()
+    # mixed join key: only one side is _ci → binary compare preserved
+    n = engine.sql(
+        "SELECT COUNT(*) AS n FROM ci_scope_a a JOIN plain_b b "
+        "ON a.name = b.name"
+    ).collect()[0].n
+    assert n == 2
+    engine.sql("DROP TABLE ci_scope_a")
+    engine.sql("DROP TABLE plain_b")
+
+
+def test_drop_table_if_exists(engine):
+    """ADVICE r4 (medium): DROP TABLE IF EXISTS must route through the
+    engine's DDL path (clearing managed/_ci state), not fall through to
+    spark.sql; absent table is a no-op (ddl/ddl_api.go ifExists)."""
+    engine.sql("DROP TABLE IF EXISTS die_t")  # absent: no-op
+    engine.sql(
+        "CREATE TABLE die_t (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(10) COLLATE utf8mb4_general_ci)"
+    )
+    engine.sql("INSERT INTO die_t VALUES (1, 'x')")
+    engine.sql("DROP TABLE IF EXISTS die_t")
+    # re-create succeeds (the r4 bug left stale state → "already exists")
+    engine.sql("CREATE TABLE die_t (k BIGINT PRIMARY KEY)")
+    engine.sql("DROP TABLE die_t")
+    with pytest.raises(ValueError, match="IF EXISTS"):
+        engine.sql("TRUNCATE TABLE IF EXISTS die_t")
+
+
+def test_collation_ci_query_repeatable(spark):
+    """BENCH_REPEAT>1 regression: the registered collation query must run
+    twice in one session against the same cached engine."""
+    from tidb_spark.queries.dialectq import mysqlsql_collation_ci
+
+    a = mysqlsql_collation_ci(spark, TEST_SF_DIR).collect()
+    b = mysqlsql_collation_ci(spark, TEST_SF_DIR).collect()
+    assert a == b and len(a) > 0
+
+
+def test_seq_func_in_string_literal_not_rejected(engine):
+    """ADVICE r4 (low): a string literal mentioning NEXTVAL(...) must not
+    trigger the INSERT…SELECT rejection or substitution."""
+    engine.sql("CREATE SEQUENCE lit_seq")
+    engine.sql("CREATE TABLE lit_t (id BIGINT PRIMARY KEY, note VARCHAR(40))")
+    engine.sql(
+        "INSERT INTO lit_t SELECT n_nationkey, 'uses NEXTVAL(lit_seq)' "
+        "FROM nation WHERE n_nationkey < 2"
+    )
+    rows = engine.sql("SELECT note FROM lit_t").collect()
+    assert len(rows) == 2
+    assert all(r.note == "uses NEXTVAL(lit_seq)" for r in rows)
+    engine.sql("DROP TABLE lit_t")
+    engine.sql("DROP SEQUENCE lit_seq")
+
+
+def test_multi_update_conflicting_matches_rejected(engine):
+    """ADVICE r4 (low): multi-table UPDATE with >1 distinct assignment row
+    per target key is nondeterministic — reject loudly; identical
+    assignment rows collapse and succeed."""
+    engine.sql("CREATE TABLE mu_c (id BIGINT PRIMARY KEY, v BIGINT)")
+    engine.sql("INSERT INTO mu_c VALUES (1, 0)")
+    with pytest.raises(ValueError, match="nondeterministic"):
+        engine.sql(
+            "UPDATE mu_c JOIN region ON mu_c.id <= region.r_regionkey "
+            "SET mu_c.v = region.r_regionkey"
+        )
+    engine.sql(
+        "UPDATE mu_c JOIN region ON mu_c.id <= region.r_regionkey "
+        "SET mu_c.v = 42"
+    )
+    assert engine.sql("SELECT v FROM mu_c").collect()[0].v == 42
+    engine.sql("DROP TABLE mu_c")

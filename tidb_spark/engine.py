@@ -112,7 +112,8 @@ _SEQ_FUNC_RE = re.compile(
 )
 
 _DDL_RE = re.compile(
-    r"(?is)^\s*(?:(?P<dverb>DROP|TRUNCATE)\s+TABLE\s+(?P<dtab>\w+)"
+    r"(?is)^\s*(?:(?P<dverb>DROP|TRUNCATE)\s+TABLE\s+"
+    r"(?P<ifex>IF\s+EXISTS\s+)?`?(?P<dtab>\w+)`?"
     r"|(?P<fverb>FLASHBACK)\s+TABLE\s+(?P<ftab>\w+)(?:\s+TO\s+(?P<fnew>\w+))?)"
     r"\s*;?\s*$"
 )
@@ -184,6 +185,11 @@ class Engine:
         # table so DROP TABLE retires them: the opt-in case-insensitive
         # comparison shim keys off the union of these names.
         self._ci_cols_by_table: dict[str, set[str]] = {}
+        # Storage incarnation per table name: CREATE after DROP must get a
+        # fresh directory — ManagedTable resumes from the latest on-disk
+        # version, so reusing the dropped table's root would silently
+        # resurrect its rows (and FLASHBACK needs those files intact).
+        self._incarnations: dict[str, int] = {}
         self._tmp_view_n = 0
         register_shim_udfs(spark)
 
@@ -225,9 +231,13 @@ class Engine:
         (read-only dataset views cannot be mutated).  ``partition_spec``
         (RANGE/HASH/LIST, parser/model/model.go:820-822) directory-
         partitions every version so partition-selected scans prune."""
+        gen = self._incarnations.get(name, -1) + 1
+        self._incarnations[name] = gen
         mt = ManagedTable(
             self.spark,
-            os.path.join(self.workspace, name),
+            os.path.join(
+                self.workspace, name if gen == 0 else f"{name}.g{gen}"
+            ),
             key_cols,
             df=df,
             partition_spec=partition_spec,
@@ -656,7 +666,22 @@ class Engine:
         verb = (m.group("dverb") or m.group("fverb")).upper()
         if verb in ("DROP", "TRUNCATE"):
             name = m.group("dtab")
+            if m.group("ifex") and verb == "TRUNCATE":
+                raise ValueError("TRUNCATE TABLE does not accept IF EXISTS")
             if name not in self.managed:
+                if m.group("ifex"):
+                    # DROP TABLE IF EXISTS on an absent table: a warning in
+                    # MySQL (ddl/ddl_api.go DropTable ifExists path), a
+                    # no-op here — but clear any stale per-table state a
+                    # partial earlier registration may have left behind.
+                    self.tables.pop(name, None)
+                    self._ci_cols_by_table.pop(name, None)
+                    getattr(self, "_defaults_by_table", {}).pop(name, None)
+                    try:
+                        self.spark.catalog.dropTempView(name)
+                    except Exception:
+                        pass
+                    return
                 raise ValueError(f"table {name!r} is not a managed table")
             mt = self.managed[name]
             if verb == "DROP":
@@ -902,6 +927,28 @@ class Engine:
             f"SELECT {key_sel}{', ' + set_sel if set_sel else ''} "
             f"FROM {head} WHERE {where}"
         )
+        # Determinism guard: when the join matches several source rows per
+        # target key, MERGE's dropDuplicates would pick a partition-order-
+        # dependent row.  Identical assignment rows collapse via DISTINCT;
+        # genuinely conflicting ones are rejected loudly (the reference's
+        # multi-table update is last-writer-wins nondeterministic,
+        # executor/update.go — we keep the engine's deterministic
+        # contract instead, like the key-column-assignment rejection).
+        src = src.distinct()
+        conflict = (
+            src.groupBy(*[F.col(k) for k in mt.key_cols])
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()  # control-plane-sized: at most one row
+        )
+        if conflict:
+            raise ValueError(
+                f"multi-table UPDATE matched multiple distinct assignment "
+                f"rows for the same {name!r} key (e.g. "
+                f"{tuple(conflict[0])[:-1]!r}); the result would be "
+                "nondeterministic — aggregate the source first"
+            )
         from tidb_spark.sources.dml import _NEW_PREFIX
 
         mt.merge(
@@ -1102,10 +1149,16 @@ class Engine:
         dsm = _DROP_SEQ_RE.match(query)
         if dsm:
             return self._run_drop_sequence(dsm)
-        if self.sequences and _SEQ_FUNC_RE.search(query):
+        # Gate sequence-function handling on the CODE portion only: a
+        # string literal that merely contains text like 'NEXTVAL(s)' must
+        # not trigger substitution or the INSERT…SELECT rejection.
+        _seq_masked = (
+            merge_clause._STRING_RE.sub("''", query) if self.sequences else ""
+        )
+        if self.sequences and _SEQ_FUNC_RE.search(_seq_masked):
             if re.match(
-                r"(?is)^\s*(?:INSERT|REPLACE)\b(?:[^\x27\x22]*?)\b(?:SELECT|WITH|TABLE)\b",
-                query,
+                r"(?is)^\s*(?:INSERT|REPLACE)\b.*?\b(?:SELECT|WITH|TABLE)\b",
+                _seq_masked,
             ):
                 # Substitution splices ONE literal per textual occurrence;
                 # a SELECT source would stamp every row with the same
@@ -1494,15 +1547,21 @@ class Engine:
         ``col = col`` when both are _ci (join keys), and ``col`` tokens
         inside ORDER BY.  GROUP BY is NOT rewritten (Spark would then
         reject the bare SELECT column; MySQL's arbitrary-case group
-        representative has no clean Spark analogue) — documented gap."""
-        active = set().union(*self._ci_cols_by_table.values()) if (
-            self._ci_cols_by_table
-        ) else set()
-        if not active:
+        representative has no clean Spark analogue) — documented gap.
+
+        The rewrite is TABLE-SCOPED: a column name only activates the
+        shim when the query's FROM/JOIN list actually references (by name
+        or alias) a table that declares that column ``_ci``.  Without the
+        scoping, ``ci_a(name _ci)`` existing anywhere would silently make
+        every other table's ``name`` case-insensitive — wrong results on
+        unrelated tables (the reference resolves collation per column
+        binding, expression/collation.go)."""
+        if not self._ci_cols_by_table:
             return query
         # Mask string literals first: a literal containing "name = name"
         # must never be rewritten (the other rewrite passes route through
-        # _map_code for the same reason).
+        # _map_code for the same reason), and the table-reference scan
+        # must not see FROM/JOIN inside a literal.
         lits: list[str] = []
 
         def stash(m: re.Match) -> str:
@@ -1510,27 +1569,86 @@ class Engine:
             return f"\x00{len(lits) - 1}\x00"
 
         masked = merge_clause._STRING_RE.sub(stash, query)
+
+        # Which _ci tables does this statement reference, and under which
+        # qualifiers (bare name + any alias)?
+        _KW = (
+            "WHERE|GROUP|ORDER|LIMIT|HAVING|JOIN|ON|USING|LEFT|RIGHT|INNER"
+            "|FULL|CROSS|UNION|INTERSECT|EXCEPT|SET|AS|PARTITION|MATCH"
+        )
+        refs: dict[str, str] = {}  # qualifier -> declaring table
+        for tm in re.finditer(
+            rf"(?is)\b(?:FROM|JOIN|UPDATE|INTO)\s+`?(?P<tab>\w+)`?"
+            rf"(?:\s+(?:AS\s+)?`?(?!(?:{_KW})\b)(?P<alias>\w+)`?)?",
+            masked,
+        ):
+            tab = tm.group("tab")
+            if tab in self._ci_cols_by_table:
+                refs[tab] = tab
+                if tm.group("alias"):
+                    refs[tm.group("alias")] = tab
+        if not refs:
+            return query
+        active = set().union(
+            *(self._ci_cols_by_table[t] for t in set(refs.values()))
+        )
+
+        def _is_ci(qualifier: str | None, col: str) -> bool:
+            """True iff this (qualifier, col) reference binds to a _ci
+            declaration among the referenced tables."""
+            if qualifier:
+                t = refs.get(qualifier)
+                return t is not None and col in self._ci_cols_by_table[t]
+            return col in active
+
         ph = r"\x00\d+\x00"
         cols = "|".join(re.escape(c) for c in sorted(active))
-        qual = rf"(?:\w+\.)?(?:{cols})"
+        qual = rf"(?:(?P<q{{0}}>\w+)\.)?(?P<c{{0}}>{cols})"
         ops = r"(?:=|<>|!=|<=|>=|<|>|(?i:LIKE))"
+
+        def _tok(m: re.Match, n: int) -> str:
+            q = m.group(f"q{n}")
+            return (f"{q}." if q else "") + m.group(f"c{n}")
+
         # col <op> 'lit'  /  'lit' <op> col  (literals are placeholders now)
+        def _cl(m: re.Match) -> str:
+            if not _is_ci(m.group("q0"), m.group("c0")):
+                return m.group(0)
+            return (
+                f"LOWER({_tok(m, 0)}) {m.group('op')} LOWER({m.group('lit')})"
+            )
+
         masked = re.sub(
-            rf"(?<![\w.])(?P<c>{qual})\b\s*(?P<op>{ops})\s*(?P<lit>{ph})",
-            lambda m: f"LOWER({m.group('c')}) {m.group('op')} "
-            f"LOWER({m.group('lit')})",
+            rf"(?<![\w.]){qual.format(0)}\b\s*(?P<op>{ops})\s*(?P<lit>{ph})",
+            _cl,
             masked,
         )
+
+        def _lc(m: re.Match) -> str:
+            if not _is_ci(m.group("q0"), m.group("c0")):
+                return m.group(0)
+            return (
+                f"LOWER({m.group('lit')}) {m.group('op')} LOWER({_tok(m, 0)})"
+            )
+
         masked = re.sub(
-            rf"(?P<lit>{ph})\s*(?P<op>{ops})\s*(?P<c>{qual})\b",
-            lambda m: f"LOWER({m.group('lit')}) {m.group('op')} "
-            f"LOWER({m.group('c')})",
+            rf"(?P<lit>{ph})\s*(?P<op>{ops})\s*{qual.format(0)}\b",
+            _lc,
             masked,
         )
+
         # _ci col = _ci col (both sides normalize, MySQL join semantics)
+        def _cc(m: re.Match) -> str:
+            if not (
+                _is_ci(m.group("q0"), m.group("c0"))
+                and _is_ci(m.group("q1"), m.group("c1"))
+            ):
+                return m.group(0)
+            return f"LOWER({_tok(m, 0)}) = LOWER({_tok(m, 1)})"
+
         masked = re.sub(
-            rf"(?<![\w.])(?P<a>{qual})\b\s*=\s*(?P<b>{qual})\b",
-            lambda m: f"LOWER({m.group('a')}) = LOWER({m.group('b')})",
+            rf"(?<![\w.]){qual.format(0)}\b\s*=\s*{qual.format(1)}\b",
+            _cc,
             masked,
         )
         # Statement-final TOP-LEVEL ORDER BY only: a window's OVER(ORDER
@@ -1540,9 +1658,15 @@ class Engine:
         span = self._last_top_level_order_by(masked)
         if span:
             s_, e_ = span
+
+            def _ob(cm: re.Match) -> str:
+                if not _is_ci(cm.group("q0"), cm.group("c0")):
+                    return cm.group(0)
+                return f"LOWER({_tok(cm, 0)})"
+
             clause = re.sub(
-                rf"(?<![\w.(])(?P<c>{qual})\b(?!\s*\()",
-                lambda cm: f"LOWER({cm.group('c')})",
+                rf"(?<![\w.(]){qual.format(0)}\b(?!\s*\()",
+                _ob,
                 masked[s_:e_],
             )
             masked = masked[:s_] + clause + masked[e_:]

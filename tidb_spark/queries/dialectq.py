@@ -385,8 +385,14 @@ def mysqlsql_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN n_nationkey % 2 = 0 THEN UPPER(n_name) ELSE LOWER(n_name) END "
         "FROM nation"
     )
-    return eng.sql(
+    out = eng.sql(
         "SELECT k, name FROM ci_names "
         "WHERE name = 'Nation_3' OR name < 'NATION_11' "
         "ORDER BY name, k"
     )
+    # Clean up engine state: the rewrite is table-scoped, but leaving the
+    # declaration active would still affect any later query in this shared
+    # session that joins ci_names (and the next run's CREATE).  The plan in
+    # `out` is already analyzed, so dropping the view is safe.
+    eng.sql("DROP TABLE IF EXISTS ci_names")
+    return out
