@@ -120,12 +120,32 @@ def registry_names() -> dict[str, str]:
     return out
 
 
-def shim_udf_names() -> set[str]:
+def shim_tiers() -> tuple[set[str], set[str], set[str]]:
+    """(sql_udf, pandas_udf, row_udf) name sets registered by
+    ``tidb_spark.functions.mysql`` — three distinct performance tiers:
+    SQL scalar UDFs inline JVM-side (codegen), pandas UDFs are Arrow-
+    batched Python, row UDFs are the slow path (BatchEvalPython)."""
     src = (REPO / "tidb_spark/functions/mysql.py").read_text()
-    return {
-        m.group(1).lower()
-        for m in re.finditer(r"(?:reg|spark\.udf\.register)\(\s*\"(\w+)\"", src)
+    sql_udfs: set[str] = set()
+    m = re.search(r"_SQL_UDFS[^=]*=\s*\((.*?)\n\)\n", src, re.S)
+    if m:
+        sql_udfs = {
+            g.lower() for g in re.findall(r'\(\s*\n?\s*"(\w+)",', m.group(1))
+        }
+    pandas = {
+        mm.group(1).lower() for mm in re.finditer(r'\bpreg\(\s*"(\w+)"', src)
     }
+    pandas |= {
+        mm.group(1).lower()
+        for mm in re.finditer(
+            r'spark\.udf\.register\(\s*"(\w+)",\s*pandas_udf', src
+        )
+    }
+    row = {
+        mm.group(1).lower()
+        for mm in re.finditer(r'spark\.udf\.register\(\s*"(\w+)"', src)
+    } - pandas
+    return sql_udfs, pandas, row
 
 
 def translated_names() -> set[str]:
@@ -148,7 +168,7 @@ def main() -> int:
 
     spark = get_spark(app_name="builtin-audit")
     reg = registry_names()
-    shims = shim_udf_names()
+    sql_udfs, pandas_udfs, row_udfs = shim_tiers()
     trans = translated_names()
 
     rows: list[tuple[str, str]] = []  # (sql_name, coverage)
@@ -167,7 +187,11 @@ def main() -> int:
             cov = "spark-native (keyword syntax)"
         elif n in trans:
             cov = "translated"
-        elif n in shims:
+        elif n in sql_udfs:
+            cov = "sql-udf"
+        elif n in pandas_udfs:
+            cov = "pandas-udf"
+        elif n in row_udfs:
             cov = "shim-udf"
         elif spark.catalog.functionExists(n):
             cov = "spark-native"
@@ -196,7 +220,11 @@ def main() -> int:
         "not a callable — Spark expresses it as an expression),",
         "**spark-native** (resolves in Spark's FunctionRegistry untouched),",
         "**translated** (rewritten to native Spark SQL by the dialect",
-        "shim), **shim-udf** (registered Python/Arrow UDF).",
+        "shim), **sql-udf** (Spark 4 SQL scalar UDF — inlined JVM",
+        "expression, whole-stage codegen), **pandas-udf** (Arrow-batched",
+        "Python; the sanctioned escape hatch for arbitrary nested-JSON",
+        "walkers), **shim-udf** (row-at-a-time Python — the slow path;",
+        "random_bytes only, whose per-row entropy IS the semantic).",
         "",
         "| class | count |",
         "|---|---|",

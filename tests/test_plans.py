@@ -409,3 +409,21 @@ def test_corpus_wide_no_row_python(spark):
         if "BatchEvalPython" in plan:
             offenders[name] = True
     assert not offenders, sorted(offenders)
+
+
+def test_json_dialect_queries_no_row_python(spark):
+    """The r4 'weak component': JSON mutators / inet6 / compress were
+    row-at-a-time Python shims.  Since r5 they are SQL scalar UDFs
+    (inlined JVM expressions) or Arrow pandas UDFs — so even the dialect
+    queries that exercise them must show NO BatchEvalPython (ArrowEvalPython
+    is the sanctioned tier).  random_bytes is the single remaining row UDF
+    (per-row entropy is its semantic) and no registered query uses it."""
+    for name in ("mysqlsql_json_mutate", "mysqlsql_json_read", "func_json"):
+        plan = (
+            _QS[name]
+            .spark(spark, TEST_SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan, name

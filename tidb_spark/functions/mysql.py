@@ -470,88 +470,183 @@ def _is_ipv6_py(s) -> bool:
         return False
 
 
+def _pandas_shim(fn):
+    """Wrap a scalar Python shim as an Arrow-batched pandas UDF: still one
+    Python call per row, but Arrow batch transfer instead of row-at-a-time
+    pickling — the plan shows ArrowEvalPython (the documented acceptable
+    tier), never BatchEvalPython.  NaN cells from nullable numeric columns
+    normalize to None so the scalar shims keep their row-UDF semantics."""
+    import pandas as pd
+
+    def _cell(x):
+        if x is None:
+            return None
+        if isinstance(x, float) and x != x:  # NaN ← nullable numeric col
+            return None
+        return x
+
+    def batched(*cols):
+        if not cols or len(cols[0]) == 0:
+            return pd.Series([], dtype=object)
+        rows = zip(*(list(c) for c in cols))
+        return pd.Series(
+            [fn(*(_cell(x) for x in r)) for r in rows], dtype=object
+        )
+
+    return batched
+
+
+# SQL scalar UDFs (Spark 4 ``CREATE FUNCTION … RETURN expr``): the body
+# inlines into the calling plan at analysis time — pure JVM expressions,
+# whole-stage codegen, zero Python.  These cover the hot-path-capable
+# shims (a user applying them over a 100 TB column gets a codegen scan).
+_SQL_UDFS: tuple[tuple[str, str, str, str], ...] = (
+    (
+        "inet_aton",
+        "(ip STRING)",
+        "BIGINT",
+        r"""CASE WHEN ip RLIKE '^\\d+(\\.\\d+){3}$' THEN
+              aggregate(transform(split(ip, '\\.'), s -> CAST(s AS BIGINT)),
+                        CAST(0 AS BIGINT), (acc, x) -> acc * 256 + x)
+        END""",
+    ),
+    (
+        "inet_ntoa",
+        "(n BIGINT)",
+        "STRING",
+        """CASE WHEN n IS NULL THEN NULL ELSE concat_ws('.',
+             CAST(shiftright(n, 24) & 255 AS STRING),
+             CAST(shiftright(n, 16) & 255 AS STRING),
+             CAST(shiftright(n, 8) & 255 AS STRING),
+             CAST(n & 255 AS STRING)) END""",
+    ),
+    (
+        "export_set",
+        "(bits BIGINT, onv STRING, offv STRING)",
+        "STRING",
+        """CASE WHEN bits IS NULL THEN NULL ELSE concat_ws(',',
+             transform(sequence(0, 63),
+                       i -> IF((shiftright(bits, i) & 1) = 1, onv, offv)))
+           END""",
+    ),
+    (
+        "json_unquote",
+        "(x STRING)",
+        "STRING",
+        """CASE WHEN x IS NULL THEN NULL
+                WHEN startswith(x, '"') AND endswith(x, '"')
+                     AND length(x) >= 2
+                THEN from_json(concat('[', x, ']'), 'array<string>')[0]
+                ELSE x END""",
+    ),
+    (
+        "json_valid",
+        "(x STRING)",
+        "BOOLEAN",
+        "CASE WHEN x IS NULL THEN NULL"
+        " ELSE try_parse_json(x) IS NOT NULL END",
+    ),
+    (
+        "json_keys",
+        "(x STRING)",
+        "STRING",
+        """CASE WHEN x IS NULL THEN NULL
+                WHEN json_object_keys(x) IS NOT NULL
+                THEN to_json(array_sort(json_object_keys(x)))
+           END""",
+    ),
+    (
+        "json_length",
+        "(x STRING)",
+        "INT",
+        """CASE WHEN x IS NULL THEN NULL
+                WHEN json_object_keys(x) IS NOT NULL
+                THEN size(json_object_keys(x))
+                WHEN json_array_length(x) IS NOT NULL
+                THEN json_array_length(x)
+                WHEN try_parse_json(x) IS NOT NULL THEN 1
+           END""",
+    ),
+    (
+        "is_ipv4_compat",
+        "(b BINARY)",
+        "BOOLEAN",
+        """b IS NOT NULL AND length(b) = 16
+           AND substring(b, 1, 12) = X'000000000000000000000000'
+           AND NOT (substring(b, 13, 4) = X'00000000'
+                    OR substring(b, 13, 4) = X'00000001')""",
+    ),
+    (
+        "is_ipv4_mapped",
+        "(b BINARY)",
+        "BOOLEAN",
+        """b IS NOT NULL AND length(b) = 16
+           AND substring(b, 1, 12) = X'00000000000000000000FFFF'""",
+    ),
+)
+
+
 def register_shim_udfs(spark) -> None:
     """Register MySQL-named SQL functions absent from Spark SQL, so
-    translated statements can call them verbatim."""
-    reg = spark.udf.register
+    translated statements can call them verbatim.  Three tiers, fastest
+    first:
 
-    # NOTE: no "conv" shim.  Spark's builtin conv() IS the MySQL-modeled
-    # base converter, and registering a same-named Python UDF would shadow
-    # the builtin SESSION-WIDE — pyspark's F.conv resolves through the
-    # function registry, so every later DataFrame query in the session
-    # (text_winnowing's shingle hash!) would silently drop out of codegen
-    # into BatchEvalPython (observed: +4 s on text_winnowing whenever any
-    # Engine had been constructed first).
-    reg("inet_aton", lambda ip: (
-        None if ip is None else _inet_aton_py(ip)
-    ), "long")
-    reg("inet_ntoa", lambda n: (
-        None if n is None else ".".join(
-            str((int(n) >> s) & 0xFF) for s in (24, 16, 8, 0)
+    1. SQL scalar UDFs (``_SQL_UDFS``) — inlined JVM expressions, codegen.
+    2. Arrow-batched pandas UDFs (``_pandas_shim``) — the JSON mutator /
+       inspector family and binary codecs, where arbitrary nested JSON has
+       no Spark expression form (builtin_json.go's walker semantics).
+    3. Row-at-a-time Python: ONLY ``random_bytes`` (per-row entropy is the
+       semantic; vectorizing changes nothing — os.urandom per row either
+       way).
+
+    NOTE: no "conv" shim.  Spark's builtin conv() IS the MySQL-modeled
+    base converter, and registering a same-named Python UDF would shadow
+    the builtin SESSION-WIDE — pyspark's F.conv resolves through the
+    function registry, so every later DataFrame query in the session
+    (text_winnowing's shingle hash!) would silently drop out of codegen
+    into BatchEvalPython (observed: +4 s on text_winnowing whenever any
+    Engine had been constructed first).  The SQL-UDF tier has no such
+    hazard (none of the names collide with Spark builtins)."""
+    from pyspark.sql.functions import pandas_udf
+
+    for name, params, ret, body in _SQL_UDFS:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{params} "
+            f"RETURNS {ret} RETURN {body}"
         )
-    ), "string")
-    reg("export_set", lambda bits, on, off: (
-        None if bits is None else ",".join(
-            (on if (int(bits) >> i) & 1 else off) for i in range(64)
-        )
-    ), "string")
-    reg("json_set", lambda d, p, v: _json_modify(d, p, _sql_value_to_json(v), "set"), "string")
-    reg("json_insert", lambda d, p, v: _json_modify(d, p, _sql_value_to_json(v), "insert"), "string")
-    reg("json_replace", lambda d, p, v: _json_modify(d, p, _sql_value_to_json(v), "replace"), "string")
-    reg("json_remove", lambda d, p: _json_modify(d, p, None, "remove"), "string")
-    reg("json_merge_patch", _json_merge_patch_py, "string")
-    reg("json_unquote", lambda s: (
-        None if s is None else (
-            _json.loads(s) if s.startswith('"') and s.endswith('"') else s
-        )
-    ), "string")
-    reg("json_valid", _json_valid_py, "boolean")
-    reg("json_depth", _json_depth_py, "int")
-    reg("json_keys", lambda d: (
-        None if d is None else (
-            _json.dumps(sorted(_json.loads(d).keys()), separators=(",", ":"))
-            if isinstance(_json.loads(d), dict) else None
-        )
-    ), "string")
-    reg("json_length", lambda d: (
-        None if d is None else (
-            len(v) if isinstance((v := _json.loads(d)), (dict, list)) else 1
-        )
-    ), "int")
+
+    def preg(name: str, fn, ret: str) -> None:
+        spark.udf.register(name, pandas_udf(_pandas_shim(fn), ret))
+
+    preg("json_set", lambda d, p, v: _json_modify(d, p, _sql_value_to_json(v), "set"), "string")
+    preg("json_insert", lambda d, p, v: _json_modify(d, p, _sql_value_to_json(v), "insert"), "string")
+    preg("json_replace", lambda d, p, v: _json_modify(d, p, _sql_value_to_json(v), "replace"), "string")
+    preg("json_remove", lambda d, p: _json_modify(d, p, None, "remove"), "string")
+    preg("json_merge_patch", _json_merge_patch_py, "string")
+    preg("json_depth", _json_depth_py, "int")
     register_compress_udfs(spark)
-    reg("json_contains", lambda d, c: (
+    preg("json_contains", lambda d, c: (
         None if d is None or c is None
         else _json_contains_py(_json.loads(d), _json.loads(c))
     ), "boolean")
-    # JSON long tail (builtin_json.go): mutator/inspector class — per-row
-    # Python is acceptable here (bounded docs, not scan-path columns).
-    reg("json_type", _json_type_py, "string")
-    reg("json_pretty", _json_pretty_py, "string")
-    reg("json_storage_size", _json_storage_size_py, "int")
-    reg("json_search", _json_search_py, "string")
-    reg("json_contains_path", _json_contains_path_py, "boolean")
-    reg("json_array_append", lambda d, p, v: _json_array_mod_py(
+    preg("json_type", _json_type_py, "string")
+    preg("json_pretty", _json_pretty_py, "string")
+    preg("json_storage_size", _json_storage_size_py, "int")
+    preg("json_search", _json_search_py, "string")
+    preg("json_contains_path", _json_contains_path_py, "boolean")
+    preg("json_array_append", lambda d, p, v: _json_array_mod_py(
         d, p, _sql_value_to_json(v), "append"
     ), "string")
-    reg("json_array_insert", lambda d, p, v: _json_array_mod_py(
+    preg("json_array_insert", lambda d, p, v: _json_array_mod_py(
         d, p, _sql_value_to_json(v), "insert"
     ), "string")
-    reg("json_merge_preserve", _json_merge_preserve_py, "string")
-    reg("json_merge", _json_merge_preserve_py, "string")  # deprecated alias
+    preg("json_merge_preserve", _json_merge_preserve_py, "string")
+    preg("json_merge", _json_merge_preserve_py, "string")  # deprecated alias
     # INET6 family (builtin_miscellaneous.go) — binary16 parse/format.
-    reg("inet6_aton", _inet6_aton_py, "binary")
-    reg("inet6_ntoa", _inet6_ntoa_py, "string")
-    reg("is_ipv6", _is_ipv6_py, "boolean")
-    reg("is_ipv4_compat", lambda b: (
-        False if b is None else len(bytes(b)) == 16
-        and bytes(b)[:12] == b"\x00" * 12
-        and bytes(b)[12:16] not in (b"\x00\x00\x00\x00", b"\x00\x00\x00\x01")
-    ), "boolean")
-    reg("is_ipv4_mapped", lambda b: (
-        False if b is None else len(bytes(b)) == 16
-        and bytes(b)[:12] == b"\x00" * 10 + b"\xff\xff"
-    ), "boolean")
-    reg("random_bytes", lambda n: (
+    preg("inet6_aton", _inet6_aton_py, "binary")
+    preg("inet6_ntoa", _inet6_ntoa_py, "string")
+    preg("is_ipv6", _is_ipv6_py, "boolean")
+    spark.udf.register("random_bytes", lambda n: (
         None if n is None else __import__("os").urandom(int(n))
     ), "binary")
 
@@ -654,5 +749,7 @@ def _uncompress_py(blob) -> str | None:
 
 
 def register_compress_udfs(spark) -> None:
-    spark.udf.register("compress", _compress_py, "binary")
-    spark.udf.register("uncompress", _uncompress_py, "string")
+    from pyspark.sql.functions import pandas_udf
+
+    spark.udf.register("compress", pandas_udf(_pandas_shim(_compress_py), "binary"))
+    spark.udf.register("uncompress", pandas_udf(_pandas_shim(_uncompress_py), "string"))

@@ -103,6 +103,34 @@ ORDER BY event_id
 """
 
 
+# The events.props docs are '{"k": <int>}' — the oracle reconstructs every
+# mutator's exact output text (the engine's mutators re-serialize compact,
+# types/json/binary.go formatting), pinning JSON_SET/INSERT/REMOVE/
+# ARRAY_APPEND/MERGE_PATCH/UNQUOTE/VALID/KEYS/LENGTH/TYPE/DEPTH/
+# CONTAINS_PATH plus the INET6 and COMPRESS families' round trips.
+JSON_MUTATE_ORACLE = """
+SELECT event_id,
+       '{"k":' || event_id || '}' AS set_doc,
+       '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR)
+           || ',"tag":"' || event_type || '"}' AS ins_doc,
+       '{}' AS rm_doc,
+       '[1,2,' || event_id || ']' AS app_doc,
+       '{"v":1}' AS patch_doc,
+       'x' AS uq,
+       TRUE AS jv,
+       '["a","k"]' AS ks,
+       CAST(1 AS INTEGER) AS ln,
+       'OBJECT' AS jt,
+       CAST(2 AS INTEGER) AS jd,
+       TRUE AS has_k,
+       '::1' AS ip6,
+       event_type AS rt
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
 @register("mysqlsql_json_read", oracle=JSON_READ_ORACLE, tags=("dialect", "json"))
 def mysqlsql_json_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON_EXTRACT → get_json_object over the events props column
@@ -111,6 +139,36 @@ def mysqlsql_json_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine(spark, sf_dir).sql(
         "SELECT event_id, JSON_EXTRACT(props, '$.k') AS k "
         "FROM events WHERE event_id < 100 ORDER BY event_id"
+    )
+
+
+@register(
+    "mysqlsql_json_mutate", oracle=JSON_MUTATE_ORACLE, tags=("dialect", "json")
+)
+def mysqlsql_json_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON mutator family through the SQL surface (builtin_json.go
+    jsonSet/jsonInsert/jsonRemove/jsonArrayAppend/jsonMergePatch + the
+    inspector tail): Arrow-batched pandas UDFs for the nested walkers,
+    inlined SQL scalar UDFs (codegen) for UNQUOTE/VALID/KEYS/LENGTH —
+    never row-at-a-time Python (plan-pinned in test_plans).  INET6 and
+    COMPRESS round-trips ride along to pin the binary pandas tier."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT event_id, "
+        "JSON_SET(props, '$.k', event_id) AS set_doc, "
+        "JSON_INSERT(props, '$.tag', event_type) AS ins_doc, "
+        "JSON_REMOVE(props, '$.k') AS rm_doc, "
+        "JSON_ARRAY_APPEND('[1,2]', '$', event_id) AS app_doc, "
+        "JSON_MERGE_PATCH(props, '{\"k\":null,\"v\":1}') AS patch_doc, "
+        "JSON_UNQUOTE('\"x\"') AS uq, "
+        "JSON_VALID(props) AS jv, "
+        "JSON_KEYS(JSON_INSERT(props, '$.a', 1)) AS ks, "
+        "JSON_LENGTH(props) AS ln, "
+        "JSON_TYPE(props) AS jt, "
+        "JSON_DEPTH(props) AS jd, "
+        "JSON_CONTAINS_PATH(props, 'one', '$.k') AS has_k, "
+        "INET6_NTOA(INET6_ATON('::1')) AS ip6, "
+        "UNCOMPRESS(COMPRESS(event_type)) AS rt "
+        "FROM events WHERE event_id < 200 ORDER BY event_id"
     )
 
 
