@@ -1076,3 +1076,32 @@ def test_multi_update_conflicting_matches_rejected(engine):
     )
     assert engine.sql("SELECT v FROM mu_c").collect()[0].v == 42
     engine.sql("DROP TABLE mu_c")
+
+
+def test_match_multipath_sql_equals_builder(engine, spark):
+    """SQL comma multi-path MATCH must produce exactly the union_paths
+    builder's rows (buildGraph, logical_plan_builder.go:6484-6506)."""
+    from tidb_spark.queries.dialectq import mysqlsql_match_multipath
+    from tidb_spark.queries.graphq import graph_match_multipath
+
+    sql_rows = mysqlsql_match_multipath(spark, TEST_SF_DIR).collect()
+    df_rows = graph_match_multipath(spark, TEST_SF_DIR).collect()
+    assert len(sql_rows) > 0
+    assert sql_rows == df_rows
+
+
+def test_match_multipath_sql_rejections(engine):
+    """Parity errors: GROUP BY over a multi-path union and shortest+comma
+    are rejected with clear messages."""
+    with pytest.raises(NotImplementedError, match="GROUP BY"):
+        engine.sql(
+            "SELECT a.c_custkey AS k FROM MATCH (v_customer AS a)"
+            ".OUT(e_knows AS e), (v_customer AS a).OUT(e_knows AS e) "
+            "GROUP BY a.c_custkey"
+        )
+    with pytest.raises(ValueError, match="comma"):
+        engine.sql(
+            "SELECT 1 AS x FROM MATCH ANY SHORTEST (v_customer AS a)"
+            ".OUT(e_knows AS e).(v_customer AS b), "
+            "(v_customer AS c).OUT(e_knows AS e2)"
+        )

@@ -1249,12 +1249,20 @@ class Engine:
         query = self._inject_hints(query, hints)
         parsed = mc.find_and_parse(query)
         if parsed is not None:
-            start, end, path = parsed
-            if path.shortest:
-                replacement, preds = self._lower_any_shortest(path)
+            start, end, paths = parsed
+            if len(paths) > 1:
+                # Comma multi-path: UNION ALL of the per-path join chains
+                # (buildGraph, logical_plan_builder.go:6484-6506).
+                query = mc.lower_multi_statement(
+                    self.graph, query, start, end, paths
+                )
             else:
-                replacement, preds = mc.lower_simple_path(self.graph, path)
-            query = mc.splice(query, start, end, replacement, preds)
+                path = paths[0]
+                if path.shortest:
+                    replacement, preds = self._lower_any_shortest(path)
+                else:
+                    replacement, preds = mc.lower_simple_path(self.graph, path)
+                query = mc.splice(query, start, end, replacement, preds)
         if args is not None:
             return self.spark.sql(query, args)
         return self.spark.sql(query)

@@ -200,6 +200,34 @@ def mysqlsql_match_1hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from tidb_spark.queries.graphq import MATCH_MULTIPATH_ORACLE
+
+
+@register(
+    "mysqlsql_match_multipath",
+    # Same oracle as the DataFrame-builder twin graph_match_multipath —
+    # the SQL lowering and union_paths must agree exactly.
+    oracle=MATCH_MULTIPATH_ORACLE,
+    tags=("dialect", "graph"),
+)
+def mysqlsql_match_multipath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comma-separated multi-path MATCH through the SQL surface: each path
+    lowers to its join chain and the branches UNION ALL (buildGraph,
+    logical_plan_builder.go:6484-6506).  Same result as the DataFrame
+    builder query ``graph_match_multipath`` (union_paths), pinned by the
+    identical oracle."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT a.c_custkey AS src_id, e.dst AS dst_id "
+        "FROM MATCH (v_customer AS a "
+        "      WHERE a.c_mktsegment = 'BUILDING' AND a.c_custkey < 300)"
+        ".OUT(e_knows AS e), "
+        "(v_customer AS a "
+        "      WHERE a.c_mktsegment = 'MACHINERY' AND a.c_custkey < 300)"
+        ".OUT(e_knows AS e) "
+        "ORDER BY src_id, dst_id"
+    )
+
+
 DATETIME_LONGTAIL_ORACLE = """
 WITH base AS (
   SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, epoch(o_orderdate) AS ep

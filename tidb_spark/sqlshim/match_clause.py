@@ -111,8 +111,47 @@ def _parse_vertex(body: str) -> VertexElem:
     return VertexElem(table, alias or table, where)
 
 
-def find_and_parse(sql: str) -> tuple[int, int, MatchPath] | None:
-    """Locate the first MATCH table-ref in code; return (start, end, path)."""
+def _parse_path_body(
+    sql: str, i: int, kind: str | None, top_k: int | None
+) -> tuple[MatchPath, int]:
+    """Parse ``(vertex)[.DIR(edge)[.(vertex)]]...`` starting at the opening
+    paren; return (path, index past the last consumed char)."""
+    close = _find_closing(sql, i)
+    path = MatchPath(kind, _parse_vertex(sql[i + 1 : close]), top_k=top_k)
+    i = close + 1
+    while True:
+        m = _DIR_RE.match(sql, i)
+        if not m:
+            break
+        open_idx = sql.index("(", m.end() - 1)
+        close = _find_closing(sql, open_idx)
+        em = _EDGE_RE.match(sql[open_idx + 1 : close])
+        if not em:
+            raise ValueError(
+                f"cannot parse MATCH edge element: "
+                f"{sql[open_idx + 1:close]!r}"
+            )
+        hop = Hop(
+            m.group(1).upper(), em.group(1), em.group(2) or em.group(1), None
+        )
+        path.hops.append(hop)
+        i = close + 1
+        # Optional explicit destination: ".(" follows.
+        dm = re.compile(r"\s*\.\s*\(").match(sql, i)
+        if dm:
+            vopen = sql.index("(", dm.start())
+            vclose = _find_closing(sql, vopen)
+            hop.dest = _parse_vertex(sql[vopen + 1 : vclose])
+            i = vclose + 1
+    return path, i
+
+
+def find_and_parse(sql: str) -> tuple[int, int, list[MatchPath]] | None:
+    """Locate the first MATCH table-ref in code; return
+    (start, end, paths).  ``paths`` has one entry per comma-separated path
+    (the reference unions them, buildGraph
+    logical_plan_builder.go:6484-6506); shortest-path kinds are only valid
+    as a single path, like the reference's planner."""
     for cand in _MATCH_RE.finditer(sql):
         segs = _split_segments(sql[: cand.start()])
         if segs and not segs[-1][0]:
@@ -133,44 +172,18 @@ def find_and_parse(sql: str) -> tuple[int, int, MatchPath] | None:
             i += 1
         if i >= len(sql) or sql[i] != "(":
             continue  # MATCH used as an identifier elsewhere
-        close = _find_closing(sql, i)
-        path = MatchPath(kind, _parse_vertex(sql[i + 1 : close]), top_k=top_k)
-        i = close + 1
-        while True:
-            m = _DIR_RE.match(sql, i)
-            if not m:
-                break
-            open_idx = sql.index("(", m.end() - 1)
-            close = _find_closing(sql, open_idx)
-            em = _EDGE_RE.match(sql[open_idx + 1 : close])
-            if not em:
-                raise ValueError(
-                    f"cannot parse MATCH edge element: "
-                    f"{sql[open_idx + 1:close]!r}"
-                )
-            hop = Hop(
-                m.group(1).upper(), em.group(1), em.group(2) or em.group(1), None
+        path, i = _parse_path_body(sql, i, kind, top_k)
+        paths = [path]
+        while cm := re.compile(r"\s*,\s*(?=\()").match(sql, i):
+            p2, i = _parse_path_body(sql, cm.end(), None, None)
+            paths.append(p2)
+        if len(paths) > 1 and path.shortest:
+            # The reference's planner binds one path per shortest pattern
+            # (buildGraphPathAnyShortest :6709).
+            raise ValueError(
+                "shortest-path MATCH cannot be combined with comma paths"
             )
-            path.hops.append(hop)
-            i = close + 1
-            # Optional explicit destination: ".(" follows.
-            dm = re.compile(r"\s*\.\s*\(").match(sql, i)
-            if dm:
-                vopen = sql.index("(", dm.start())
-                vclose = _find_closing(sql, vopen)
-                hop.dest = _parse_vertex(sql[vopen + 1 : vclose])
-                i = vclose + 1
-        if re.compile(r"\s*,\s*\(").match(sql, i):
-            # Comma-separated multi-path (the reference unions the paths,
-            # buildGraph :6484-6506): supported in the DataFrame API
-            # (tidb_spark.graph.match.union_paths), not the SQL surface —
-            # UNION ALL of join chains needs schema-aligned projections the
-            # text layer cannot infer.
-            raise NotImplementedError(
-                "multi-path MATCH is not supported in SQL; use "
-                "tidb_spark.graph.match.union_paths"
-            )
-        return start, i, path
+        return start, i, paths
     return None
 
 
@@ -234,6 +247,107 @@ def lower_simple_path(schema, path: MatchPath) -> tuple[str, list[str]]:
             preds.append(f"({dest.where})")
         prev_alias, prev_pk = dest.alias, dest_pk
     return " ".join(frags), preds
+
+
+_CLAUSE_KEYWORDS = ("WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT")
+
+
+def _top_level_clauses(text: str) -> dict[str, int]:
+    """Start offsets of depth-0, outside-string clause keywords in
+    ``text`` (the statement tail following a MATCH clause)."""
+    out: dict[str, int] = {}
+    i, depth = 0, 0
+    str_re = re.compile(r"('(?:[^'\\]|\\.)*')|(\"(?:[^\"\\]|\\.)*\")")
+    while i < len(text):
+        ch = text[i]
+        if ch in "'\"":
+            m = str_re.match(text, i)
+            if m:
+                i = m.end()
+                continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch.isalpha():
+            for kw in _CLAUSE_KEYWORDS:
+                kw_pat = "(?i)" + kw.replace(" ", r"\s+") + r"\b"
+                if kw not in out and re.match(kw_pat, text[i:]) and (
+                    i == 0
+                    or not (text[i - 1].isalnum() or text[i - 1] in "_.")
+                ):
+                    out[kw] = i
+                    break
+            m2 = re.match(r"\w+", text[i:])
+            i += m2.end() if m2 else 1
+            continue
+        i += 1
+    return out
+
+
+def lower_multi_statement(
+    schema, sql: str, start: int, end: int, paths: list[MatchPath]
+) -> str:
+    """Comma-separated multi-path MATCH → UNION ALL of per-path join-chain
+    SELECTs (buildGraph, logical_plan_builder.go:6484-6506; the DataFrame
+    twin is :func:`tidb_spark.graph.match.union_paths`).
+
+    Supported statement shape:
+    ``SELECT <proj> FROM MATCH p1, p2[, ...] [WHERE w] [ORDER BY ...]
+    [LIMIT ...]`` — the projection and WHERE evaluate per path (so each
+    branch's hoisted vertex predicates AND in), ORDER BY / LIMIT apply to
+    the union.  GROUP BY / HAVING over a multi-path MATCH are rejected
+    (aggregate over ``union_paths`` in the DataFrame API instead) — the
+    text layer cannot re-scope inner aliases past the union."""
+    head = sql[:start]
+    hm = re.match(r"(?is)^\s*(?P<sel>SELECT\s+.+?)\s+FROM\s+$", head)
+    if hm is None:
+        raise NotImplementedError(
+            "multi-path MATCH must be the statement's entire FROM clause"
+        )
+    sel = hm.group("sel").strip()
+    tail = sql[end:]
+    clauses = _top_level_clauses(tail)
+    if "GROUP BY" in clauses or "HAVING" in clauses:
+        raise NotImplementedError(
+            "GROUP BY / HAVING over a multi-path MATCH is not supported in "
+            "SQL; aggregate over tidb_spark.graph.match.union_paths"
+        )
+    where_sql = None
+    outer_tail = ""
+    if "WHERE" in clauses:
+        if tail[: clauses["WHERE"]].strip():
+            raise NotImplementedError(
+                "multi-path MATCH cannot be joined with further table refs"
+            )
+        w_start = clauses["WHERE"] + len("WHERE")
+        w_end = min(
+            (v for k, v in clauses.items() if k != "WHERE"),
+            default=len(tail),
+        )
+        where_sql = tail[w_start:w_end].strip()
+        outer_start = w_end
+    else:
+        outer_start = min(clauses.values(), default=len(tail))
+        if tail[:outer_start].strip():
+            raise NotImplementedError(
+                "multi-path MATCH cannot be joined with further table refs"
+            )
+    outer_tail = tail[outer_start:].strip()
+    branches = []
+    for p in paths:
+        chain, preds = lower_simple_path(schema, p)
+        conds = list(preds)
+        if where_sql:
+            conds.append(f"({where_sql})")
+        branch = f"{sel} FROM {chain}"
+        if conds:
+            branch += f" WHERE {' AND '.join(conds)}"
+        branches.append(branch)
+    union = " UNION ALL ".join(f"({b})" for b in branches)
+    if outer_tail:
+        return f"SELECT * FROM ({union}) __match_multi {outer_tail}"
+    return union
 
 
 def splice(sql: str, start: int, end: int, replacement: str, preds: list[str]) -> str:
