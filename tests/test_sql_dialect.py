@@ -1105,3 +1105,28 @@ def test_match_multipath_sql_rejections(engine):
             ".OUT(e_knows AS e).(v_customer AS b), "
             "(v_customer AS c).OUT(e_knows AS e2)"
         )
+
+
+def test_general_ci_weight_semantics(engine):
+    """utf8mb4_general_ci weight pins (util/collate/general_ci.go; the
+    derivation in functions/collation.py reproduces the plane tables
+    exactly): accent folding, ß=s (single S), Æ its own letter, й=Й
+    composed, PAD SPACE, supplementary→U+FFFD."""
+    from tidb_spark.functions.collation import general_ci_weight
+
+    assert general_ci_weight(ord("é")) == ord("E")
+    assert general_ci_weight(ord("ß")) == ord("S")
+    assert general_ci_weight(ord("Æ")) == ord("Æ")
+    assert general_ci_weight(ord("æ")) == ord("Æ")
+    assert general_ci_weight(ord("й")) == ord("Й")
+    assert general_ci_weight(ord("Й")) == ord("Й")
+    assert general_ci_weight(ord("ñ")) == ord("N")
+    assert general_ci_weight(0x1F600) == 0xFFFD  # supplementary plane
+    assert general_ci_weight(ord("ɐ")) == ord("ɐ")  # post-4.0 case pair
+    row = engine.sql(
+        "SELECT mysql_general_ci_key('straße') AS a, "
+        "mysql_general_ci_key('strase') AS b, "
+        "mysql_general_ci_key('STRASSE') AS c, "
+        "mysql_general_ci_key('x  ') AS d, mysql_general_ci_key('x') AS e"
+    ).collect()[0]
+    assert row.a == row.b and row.a != row.c and row.d == row.e

@@ -192,6 +192,9 @@ class Engine:
         self._incarnations: dict[str, int] = {}
         self._tmp_view_n = 0
         register_shim_udfs(spark)
+        from tidb_spark.functions.collation import register_general_ci
+
+        register_general_ci(spark)
 
     # -- DDL surface (graph): SOURCE KEY / DESTINATION KEY registration ----
 
@@ -1545,11 +1548,12 @@ class Engine:
     _SQL_STR = r"'(?:[^'\\]|\\.|'')*'"
 
     def _apply_ci_collation(self, query: str) -> str:
-        """Opt-in *_ci collation shim (util/collate/; the reference carries
-        full MySQL collations, used throughout expression/).  Columns
-        declared ``COLLATE …_ci`` compare and sort case-insensitively via
-        LOWER() normalization — an approximation of utf8mb4_general_ci
-        (ASCII-correct; no ICU weights/accent folding, README-documented).
+        """Opt-in *_ci collation shim (util/collate/general_ci.go; the
+        reference carries full MySQL collations, used throughout
+        expression/).  Columns declared ``COLLATE …_ci`` compare and sort
+        through ``mysql_general_ci_key`` — the exact utf8mb4_general_ci
+        weight mapping (functions/collation.py), not a LOWER()
+        approximation.
 
         Rewritten contexts: ``col <op> 'literal'`` (and reversed),
         ``col = col`` when both are _ci (join keys), and ``col`` tokens
@@ -1566,6 +1570,14 @@ class Engine:
         binding, expression/collation.go)."""
         if not self._ci_cols_by_table:
             return query
+        # Inline the general_ci key expression (functions/collation.py) at
+        # each rewrite site: exact utf8mb4_general_ci weights (NFD-base
+        # uppercase folding: É=e, ß=s, Æ≠AE), PAD SPACE, pure JVM
+        # translate() — codegen; inlined because Spark disallows SQL UDFs
+        # inside Sort (UNSUPPORTED_SQL_UDF_USAGE), and ORDER BY is a
+        # rewrite target.
+        from tidb_spark.functions.collation import general_ci_key_sql as _K
+
         # Mask string literals first: a literal containing "name = name"
         # must never be rewritten (the other rewrite passes route through
         # _map_code for the same reason), and the table-reference scan
@@ -1623,7 +1635,7 @@ class Engine:
             if not _is_ci(m.group("q0"), m.group("c0")):
                 return m.group(0)
             return (
-                f"LOWER({_tok(m, 0)}) {m.group('op')} LOWER({m.group('lit')})"
+                f"{_K(_tok(m, 0))} {m.group('op')} {_K(m.group('lit'))}"
             )
 
         masked = re.sub(
@@ -1636,7 +1648,7 @@ class Engine:
             if not _is_ci(m.group("q0"), m.group("c0")):
                 return m.group(0)
             return (
-                f"LOWER({m.group('lit')}) {m.group('op')} LOWER({_tok(m, 0)})"
+                f"{_K(m.group('lit'))} {m.group('op')} {_K(_tok(m, 0))}"
             )
 
         masked = re.sub(
@@ -1652,7 +1664,7 @@ class Engine:
                 and _is_ci(m.group("q1"), m.group("c1"))
             ):
                 return m.group(0)
-            return f"LOWER({_tok(m, 0)}) = LOWER({_tok(m, 1)})"
+            return f"{_K(_tok(m, 0))} = {_K(_tok(m, 1))}"
 
         masked = re.sub(
             rf"(?<![\w.]){qual.format(0)}\b\s*=\s*{qual.format(1)}\b",
@@ -1670,7 +1682,7 @@ class Engine:
             def _ob(cm: re.Match) -> str:
                 if not _is_ci(cm.group("q0"), cm.group("c0")):
                     return cm.group(0)
-                return f"LOWER({_tok(cm, 0)})"
+                return f"{_K(_tok(cm, 0))}"
 
             clause = re.sub(
                 rf"(?<![\w.(]){qual.format(0)}\b(?!\s*\()",

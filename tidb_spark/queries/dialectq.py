@@ -482,3 +482,62 @@ def mysqlsql_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `out` is already analyzed, so dropping the view is safe.
     eng.sql("DROP TABLE IF EXISTS ci_names")
     return out
+
+
+# 12-name cycle over nation keys; the oracle spells the general_ci weight
+# key explicitly (translate special chars to their weight letter, then
+# upper) — É=e, ß=s (single S!), straße≠STRASSE, Æ a letter of its own,
+# й=Й — exactly util/collate/general_ci.go's table semantics.
+_UNI_NAMES = (
+    "Élan", "elan", "éclair", "strase", "straße", "Æsir",
+    "aesir", "café", "CAFE", "Ñoño", "nono", "йод",
+)
+_UNI_CASE_SQL = "CASE n_nationkey % 12 " + " ".join(
+    f"WHEN {i} THEN '{n}'" for i, n in enumerate(_UNI_NAMES)
+) + " END"
+
+COLLATION_UNICODE_ORACLE = f"""
+WITH ci_uni AS (
+  SELECT n_nationkey AS k, {_UNI_CASE_SQL} AS name FROM nation
+), keyed AS (
+  SELECT k, name,
+         upper(translate(name, 'ÉéßÑñй', 'EeSNnЙ')) AS ck
+  FROM ci_uni
+)
+SELECT k, name FROM keyed
+WHERE ck IN ('ELAN', 'ECLAIR', 'STRASE', 'CAFE', 'NONO', 'ЙОД')
+ORDER BY ck, k
+"""
+
+
+@register(
+    "mysqlsql_collation_unicode",
+    oracle=COLLATION_UNICODE_ORACLE,
+    tags=("dialect", "collation"),
+)
+def mysqlsql_collation_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True utf8mb4_general_ci semantics beyond ASCII
+    (util/collate/general_ci.go; functions/collation.py derives the same
+    weight table): accented letters fold to their base uppercase (É=e,
+    ñ=N), ß weighs as a single 'S' (straße = strase but ≠ STRASSE), Æ
+    stays its own letter (≠ AE), Cyrillic й folds to Й composed.  The
+    engine rewrites comparisons and ORDER BY through the JVM
+    ``mysql_general_ci_key`` translate expression; the oracle spells the
+    identical weights with DuckDB translate+upper."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS ci_uni")
+    eng.sql(
+        "CREATE TABLE ci_uni (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(30) COLLATE utf8mb4_general_ci)"
+    )
+    eng.sql(
+        f"INSERT INTO ci_uni SELECT n_nationkey, {_UNI_CASE_SQL} FROM nation"
+    )
+    out = eng.sql(
+        "SELECT k, name FROM ci_uni "
+        "WHERE name = 'ELAN' OR name = 'ÉCLAIR' OR name = 'STRASE' "
+        "OR name = 'CAFÉ' OR name = 'ÑoÑo' OR name = 'ЙОД' "
+        "ORDER BY name, k"
+    )
+    eng.sql("DROP TABLE IF EXISTS ci_uni")
+    return out
