@@ -427,3 +427,36 @@ def test_json_dialect_queries_no_row_python(spark):
             .toString()
         )
         assert "BatchEvalPython" not in plan, name
+
+
+def test_minhash_band_bucket_skew_cap(spark):
+    """Planted degenerate bucket: 60 identical boilerplate docs share every
+    band signature, so uncapped banding would emit ~60²/2 candidate pairs
+    from them.  With max_bucket=20 the boilerplate bucket drops (that band
+    carries no discrimination) while a genuinely similar distinct pair —
+    whose buckets stay small — still collides and verifies."""
+    from pyspark.sql import functions as F
+
+    from tidb_spark.data.dedup import minhash_lsh_pairs
+
+    boiler = spark.range(60).select(
+        F.col("id").alias("doc_id"), F.lit("lorem ipsum dolor sit amet").alias("text")
+    )
+    near = spark.createDataFrame(
+        [
+            (1000, "the quick brown fox jumps over the lazy dog tonight"),
+            (1001, "the quick brown fox jumps over the lazy dog tonite"),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = boiler.unionByName(near)
+    capped = minhash_lsh_pairs(
+        corpus, "text", "doc_id", verify_threshold=0.4, max_bucket=20
+    ).collect()
+    pairs = {(r.d1, r.d2) for r in capped}
+    assert (1000, 1001) in pairs  # real near-dup survives the cap
+    assert not any(d1 < 60 and d2 < 60 for d1, d2 in pairs)  # bucket dropped
+    uncapped = minhash_lsh_pairs(
+        corpus, "text", "doc_id", verify_threshold=0.4, max_bucket=None
+    ).collect()
+    assert sum(1 for r in uncapped if r.d1 < 60 and r.d2 < 60) == 60 * 59 // 2

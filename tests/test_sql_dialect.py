@@ -1130,3 +1130,56 @@ def test_general_ci_weight_semantics(engine):
         "mysql_general_ci_key('x  ') AS d, mysql_general_ci_key('x') AS e"
     ).collect()[0]
     assert row.a == row.b and row.a != row.c and row.d == row.e
+
+
+def test_enumeration_guard_triggers_on_dense_graph(spark):
+    """The exhaustive TOP-k walk's combinatorial-explosion guard: a dense
+    clique blows past a tiny max_paths_per_round cap with a clear error
+    naming the beam escape hatch; the same search succeeds under beam
+    pruning, and a generous cap leaves sparse results unchanged."""
+    from pyspark.sql import functions as F
+
+    from tidb_spark.graph.model import default_graph
+    from tidb_spark.graph.shortest import top_k_shortest
+    from tests.conftest import TEST_SF_DIR
+
+    # K12 clique: every vertex connects to every other.
+    verts = spark.range(12).select(F.col("id").cast("long"))
+    clique = (
+        verts.alias("a")
+        .crossJoin(verts.alias("b"))
+        .where(F.col("a.id") != F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+
+    class _Edge:
+        name, src_col, dst_col = "clique", "src", "dst"
+        df = clique
+
+    sources = spark.range(1).select(F.lit(0).cast("long").alias("root"))
+    dsts = spark.range(1).select(F.lit(5).cast("long").alias("dst_id"))
+    with pytest.raises(ValueError, match="beam"):
+        top_k_shortest(
+            sources, dsts, _Edge, k=2, max_hops=6, max_paths_per_round=5_000
+        ).collect()
+    beamed = top_k_shortest(
+        sources, dsts, _Edge, k=2, max_hops=6, beam=2
+    ).collect()
+    assert len(beamed) == 2  # k paths found, guard-free under the beam
+
+    # Sparse path unchanged under the default cap (same rows as the
+    # explicit-cap run).
+    g = default_graph(spark, TEST_SF_DIR)
+    customer = g.vertex("v_customer").df
+    s2 = customer.where(F.col("c_custkey") < 2).select(
+        F.col("c_custkey").alias("root")
+    )
+    d2 = customer.where(F.col("c_custkey").between(5, 8)).select(
+        F.col("c_custkey").alias("dst_id")
+    )
+    a = top_k_shortest(s2, d2, g.edge("e_knows"), k=2, max_hops=3).collect()
+    b = top_k_shortest(
+        s2, d2, g.edge("e_knows"), k=2, max_hops=3,
+        max_paths_per_round=10_000_000,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) > 0

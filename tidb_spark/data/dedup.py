@@ -257,13 +257,22 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     verify_threshold: float | None = 0.4,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding; optionally
     verified with exact Jaccard.
 
     rows = num_hashes // bands per band; two docs collide in a band iff all
     row minhashes agree → P(candidate) ≈ 1-(1-j^r)^b.  The band join
-    shuffles on (band_id, band_hash) — no all-pairs comparison anywhere."""
+    shuffles on (band_id, band_hash) — no all-pairs comparison anywhere.
+
+    ``max_bucket`` is the band-bucket twin of ``ngram_jaccard_pairs``'s
+    ``max_posting`` skew guard: a degenerate bucket of B docs sharing one
+    band signature (empty/boilerplate texts at corpus scale) contributes
+    B² rows to the candidate join.  Buckets larger than the cap are
+    dropped from THAT band only — such buckets carry near-zero
+    discrimination (everything matches everything), and genuinely similar
+    pairs still collide in their other b-1 bands."""
     rows = num_hashes // bands
     # The corpus-wide posting is never materialized: min() is duplicate-
     # insensitive, so the signature agg consumes the non-distinct posting
@@ -295,6 +304,18 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc", "band.band_id", "band.band_hash")
+    if max_bucket is not None:
+        # Map-side-combined count on the same key the join shuffles on;
+        # oversized buckets fall out before they can go quadratic.
+        oversized = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .where(F.col("__bsz") > max_bucket)
+            .select("band_id", "band_hash")
+        )
+        banded = banded.join(
+            oversized, on=["band_id", "band_hash"], how="left_anti"
+        )
     a = banded.select(F.col("doc").alias("d1"), "band_id", "band_hash")
     b = banded.select(F.col("doc").alias("d2"), "band_id", "band_hash")
     cand = (

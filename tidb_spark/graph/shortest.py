@@ -373,6 +373,7 @@ def enumerate_simple_paths(
     *,
     max_hops: int,
     prepared_edges: DataFrame | None = None,
+    max_paths_per_round: int = 50_000_000,
 ) -> DataFrame:
     """Exhaustive bounded-hop simple-path enumeration from every root.
 
@@ -381,6 +382,13 @@ def enumerate_simple_paths(
     seed path ``[root]``.  This is the exact (beam-free) search space of
     TOP k, and via :func:`min_dist_paths` also yields ALL SHORTEST — callers
     can cache one enumeration and serve both.
+
+    ``max_paths_per_round`` is the combinatorial-explosion guard: simple-
+    path counts grow with branching-factor^hops on dense graphs, and an
+    unbounded enumeration would silently run until the cluster falls over.
+    The per-round frontier count (already materialized for the loop) is
+    checked against the cap and raises with the beam-search escape hatch
+    rather than melting down — zero added cost on healthy inputs.
     """
     edges = prepared_edges if prepared_edges is not None else prepare_edges(edge)
     seed = sources.select(
@@ -414,6 +422,14 @@ def enumerate_simple_paths(
             .localCheckpoint(eager=False)
         )
         frontier_rows = expanded.count()
+        if frontier_rows > max_paths_per_round:
+            raise ValueError(
+                f"enumerate_simple_paths: round {_hop} holds "
+                f"{frontier_rows} live paths (> max_paths_per_round="
+                f"{max_paths_per_round}) — the graph is too dense for "
+                "exhaustive enumeration at this hop bound; use "
+                "top_k_shortest(beam=...) or lower max_hops"
+            )
         if frontier_rows:
             rounds.append(expanded)
         frontier = expanded
@@ -433,6 +449,7 @@ def top_k_shortest(
     max_hops: int = 30,
     beam: int | None = None,
     walk: DataFrame | None = None,
+    max_paths_per_round: int = 50_000_000,
 ) -> DataFrame:
     """TOP k shortest simple paths per (source, destination) pair.
 
@@ -472,7 +489,12 @@ def top_k_shortest(
     if walk is not None:
         state = walk
     elif beam is None:
-        state = enumerate_simple_paths(sources, edge, max_hops=max_hops)
+        state = enumerate_simple_paths(
+            sources,
+            edge,
+            max_hops=max_hops,
+            max_paths_per_round=max_paths_per_round,
+        )
     else:
         edges = prepare_edges(edge)
         seed = sources.select(
