@@ -142,12 +142,17 @@ def bfs_min_paths(
                 F.col("__dst").alias("id"),
                 F.concat(F.col("path"), F.array(F.col("__dst"))).alias("path"),
             )
+            # Anti-join BEFORE the min-agg shuffle: the (root, id) key is
+            # already present pre-agg and the anti filters whole groups, so
+            # correctness is unchanged — but in a saturating BFS most
+            # expanded rows target visited vertices, and the broadcast hash
+            # anti (no shuffle) keeps them out of the round's one shuffle.
+            .join(v, on=["root", "id"], how="left_anti")
             # Lexicographic-min concatenated path == concatenation of the min
             # prefix, so the per-round min is globally correct.
             .groupBy("root", "id")
             .agg(F.min("path").alias("path"))
             .withColumn("dist", F.lit(hop))
-            .join(v, on=["root", "id"], how="left_anti")
             .localCheckpoint(eager=False)
         )
         frontier_rows = expanded.count()
@@ -176,7 +181,12 @@ def bfs_min_dists(
     only the distance — frontier rows are two longs, the per-round
     aggregation is a dropDuplicates instead of a lexicographic array min,
     and no concat/array state flows through the shuffle.
-    """
+
+    Round order: the visited anti-join runs BEFORE the dedup shuffle.  In
+    a saturating BFS most expanded rows point at already-visited vertices;
+    the anti side is a broadcast hash lookup (no shuffle), so filtering
+    first means the round's one shuffle (dropDuplicates) carries only the
+    genuinely-new frontier instead of frontier×degree rows."""
     edges = prepared_edges if prepared_edges is not None else prepare_edges(edge)
     seed = sources.select(
         F.col("root").cast("long").alias("root"),
@@ -204,9 +214,9 @@ def bfs_min_dists(
         expanded = (
             f.join(edges, f["id"] == edges["__src"])
             .select("root", F.col("__dst").alias("id"))
+            .join(v, on=["root", "id"], how="left_anti")
             .dropDuplicates(["root", "id"])
             .withColumn("dist", F.lit(hop))
-            .join(v, on=["root", "id"], how="left_anti")
             .localCheckpoint(eager=False)
         )
         frontier_rows = expanded.count()
