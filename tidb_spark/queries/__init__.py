@@ -62,66 +62,65 @@ _LOADED = False
 # representative per SURVEY §2 family so every family gets driver rows;
 # everything not listed keeps its natural (import) order after slot 50.
 _PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 4: ALL 34 queries whose latest driver check is round 1 ---
-    # (rotation policy: staleness table in COVERAGE.md; agg_approx_sketches
-    # is the priority case — its accuracy-contract oracle has never been
-    # seen by the driver, only r1's no_oracle row.)
-    "agg_approx_sketches",
-    "agg_bit_ops",
-    "agg_count_distinct",
-    "agg_group_concat",
-    "agg_minmax_first",
-    "agg_var_stddev",
-    "distinct_op",
-    "join_cross",
-    "join_inner_nonequi",
-    "join_left_outer",
-    "join_right_outer",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_all",
-    "setop_union_distinct",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q22",
-    "window_lead_lag",
-    "window_partition_agg",
-    "window_rank_family",
-    "window_rows_frame",
-    # --- round-4 plan changes (spread_small / winnowing rewrite / numpy
-    #     PNG defilter) must re-verify ---
-    "text_winnowing",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "multimodal_features",
-    "multimodal_frames",
-    # --- round-4 new surface (never driver-checked) ---
-    "mysqlsql_prepare",
+    # --- round 5: ALL 27 queries whose latest driver row is r1/r2 ---
+    # (rotation policy: staleness table in COVERAGE.md; after this window
+    # no query's latest driver check predates r3.)  tpch_q14-q17 lead —
+    # their latest driver row is r1, the oldest in the corpus.
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "subq_scalar",
+    "subq_correlated",
+    "subq_exists_bool",
+    "subq_in_notin",
+    "dedup_exact",
+    "dedup_cluster",
+    "embedding_neardup",
+    "sim_topk_quantized",
+    "func_string",
+    "func_cast",
+    "func_datetime",
+    "func_json",
+    "agg_json",
+    "multimodal_meta",
+    "point_get",
+    "batch_point_get",
+    "tpch_q2",
+    "tpch_q21",
+    "mysqlsql_group_concat",
+    "text_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    # --- round-5 new surface (never driver-checked) ---
+    "mysqlsql_json_mutate",
+    "mysqlsql_match_multipath",
+    "mysqlsql_collation_unicode",
+    # --- round-5 plan changes must re-verify: collation shim now table-
+    #     scoped + general_ci weight keys; LSH band-bucket cap; BFS
+    #     anti-before-shuffle reorder; shim UDFs re-tiered to SQL/pandas.
     "mysqlsql_collation_ci",
-    "text_pii_scrub",
-    "dedup_decontaminate",
-    "sample_stratified",
-    "text_seq_packing",
-    "graph_any_cheapest",
-    "dedup_semantic_ivf",
-    "text_pipeline_e2e",
-    "graph_pagerank",
-    "graph_wcc",
-    "graph_triangles",
-    "text_top_tokens",
-    "agg_grouping_sets",
-    # (round-2-stale rows dedup_exact / dedup_cluster / embedding_neardup /
-    # subq_*, plus unchanged r1-rows tpch_q14/q16, were displaced by new
-    # surface; they lead the r5 rotation.)
+    "dedup_minhash_lsh",
+    "graph_any_shortest_len",
+    "graph_any_shortest",
+    "graph_all_shortest",
+    "graph_top_k_shortest",
+    "func_hash_inet",
+    "func_mysql_shims",
+    "mysqlsql_json_read",
+    # --- fill: oldest r3-latest rows rotate forward ---
+    "cte_recursive",
+    "tpch_q1",
+    "tpch_q6",
+    "tpch_q9",
+    "tpch_q12",
+    "tpch_q18",
+    "agg_percentile",
+    "agg_rollup",
+    "join_full_outer",
+    "join_null_safe",
+    "sample_deterministic",
 )
 
 
