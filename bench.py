@@ -23,6 +23,19 @@ from tidb_spark.session import get_spark
 
 
 def main() -> None:
+    # Self-capture stderr into bench_stderr.log NEXT TO the run's numbers:
+    # the artifact is then always from the same invocation as
+    # BENCH_DETAIL.json (the r4 verdict flagged a stale mid-round copy
+    # telling a different story than the final bench tail).  dup2 before
+    # the JVM launches so its warnings land here too.
+    stderr_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_stderr.log"
+    )
+    if os.environ.get("BENCH_STDERR", "1") != "0":
+        fd = os.open(stderr_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC)
+        os.dup2(fd, 2)
+        os.close(fd)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1).rstrip(".")) if match else None

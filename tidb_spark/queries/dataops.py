@@ -204,14 +204,20 @@ ORDER BY d1, d2
 """
 
 
-@register("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup",))
+@register("dedup_simhash", oracle=_simhash_oracle(bits=48), tags=("dedup",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit) near-dup pairs at Hamming ≤ 6 via banded chunks.
+    """SimHash(48-bit) near-dup pairs at Hamming ≤ 6 via banded chunks.
     Token hashes are md5-derived integers (bit-identical in any engine),
-    so signatures, banding, AND Hamming distances are oracle-checked."""
+    so signatures, banding, AND Hamming distances are oracle-checked.
+
+    48/4 = 12-bit chunks → 4096 buckets per band: the sizing rule in
+    ``simhash_pairs`` (2^chunk_bits ≳ n_docs) holds through sf1's 50 k
+    docs.  The r4 setting (32/4 = 256 buckets) went quadratic at the sf1
+    scale probe — 29.7× runtime at 10× data — because every bucket held
+    ~n/256 docs and the band join cross-products buckets."""
     docs = _t(spark, sf_dir, "documents")
     return dd.simhash_pairs(
-        docs, "text", "doc_id", bits=32, chunks=4, max_hamming=6, hash="md5"
+        docs, "text", "doc_id", bits=48, chunks=4, max_hamming=6, hash="md5"
     ).orderBy("d1", "d2")
 
 
@@ -999,7 +1005,8 @@ n AS (
 cent AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id,
          qv AS cqv, n2 AS cn2
-  FROM (SELECT * FROM n ORDER BY vec_id LIMIT 16)
+  FROM (SELECT * FROM n ORDER BY vec_id
+        LIMIT (SELECT GREATEST(16, COUNT(*) // 256) FROM embeddings))
 ),
 assigned AS (
   SELECT vec_id, centroid_id FROM (
@@ -1050,10 +1057,16 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket is the partition key, so it co-locates for free).  The
     oracle re-derives the identical assignment analytically (micro-cosine
     argmax over the id-sample centroids) and the identical pair test
-    (dot²·25 ≥ 4·‖a‖²·‖b‖², 1e3 quantization — all integer, no FP)."""
+    (dot²·25 ≥ 4·‖a‖²·‖b‖², 1e3 quantization — all integer, no FP).
+
+    nlist scales with the corpus (target_bucket=256, mirrored by the
+    oracle's GREATEST(16, n//256) LIMIT): a fixed nlist keeps the bucket
+    pair stage quadratic — the r5 sf1 probe measured 25.7× runtime at 10×
+    vectors with nlist=16; with nlist ∝ n it is linear."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.ivf_bucketed_neardup(
-        emb, nlist=16, scale=1000, threshold_num=2, threshold_den=5
+        emb, nlist=16, scale=1000, threshold_num=2, threshold_den=5,
+        target_bucket=256,
     ).orderBy("v1", "v2")
 
 
