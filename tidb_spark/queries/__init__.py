@@ -97,6 +97,7 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "mysqlsql_json_mutate",
     "mysqlsql_match_multipath",
     "mysqlsql_collation_unicode",
+    "text_repetition",
     # --- round-5 plan changes must re-verify: collation shim now table-
     #     scoped + general_ci weight keys; LSH band-bucket cap; BFS
     #     anti-before-shuffle reorder; shim UDFs re-tiered to SQL/pandas.
@@ -120,7 +121,6 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_rollup",
     "join_full_outer",
     "join_null_safe",
-    "sample_deterministic",
 )
 
 

@@ -1181,6 +1181,97 @@ LIMIT 50
 """
 
 
+TEXT_REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w
+  FROM documents WHERE doc_id < 2000
+),
+base AS (
+  SELECT doc_id, len(w) AS n_words,
+         len(list_distinct(w)) AS distinct_words, w
+  FROM t
+),
+bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS b
+  FROM base, UNNEST(range(1, len(w))) AS r(i)
+),
+cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+top AS (
+  SELECT doc_id, b AS top_bigram, c AS top_bigram_n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, b) AS rn
+  FROM cnt
+)
+SELECT base.doc_id, n_words, distinct_words,
+       1 - CAST(distinct_words AS DOUBLE) / n_words AS dup_word_frac,
+       top_bigram, top_bigram_n,
+       CAST(top_bigram_n AS DOUBLE) / (n_words - 1) AS top_bigram_frac
+FROM base JOIN top USING (doc_id)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("text_repetition", oracle=TEXT_REPETITION_ORACLE, tags=("text",))
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals — the Gopher/RefinedWeb-style
+    quality filters a training-data pipeline thresholds on: duplicate-word
+    fraction (1 - distinct/total) and top-bigram fraction (most frequent
+    word bigram's share of all bigrams, deterministic count-DESC/bigram
+    tiebreak).  Bigrams are a pure codegen array transform (0-based `w[i]`
+    indexing, no Python); the per-doc top is one map-side-combined count
+    shuffle + a row_number window partitioned by doc — no skew hazard, no
+    driver rows.  The oracle recomputes both signals with DuckDB list ops;
+    FP ratios divide identical exact integers on both sides."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    toks = dd.spread_small(docs, "doc_id").select(
+        "doc_id", F.split(dd.normalize_text(F.col("text")), " ").alias("w")
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("distinct_words"),
+        F.expr(
+            "transform(slice(w, 1, size(w) - 1),"
+            " (t, i) -> concat(t, ' ', w[i + 1]))"
+        ).alias("bg"),
+    )
+    cnt = (
+        base.select("doc_id", F.explode("bg").alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_top = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "b")
+    top = (
+        cnt.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("b").alias("top_bigram"),
+            F.col("c").alias("top_bigram_n"),
+        )
+    )
+    return (
+        base.drop("bg")
+        .join(top, on="doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "distinct_words",
+            (
+                F.lit(1)
+                - F.col("distinct_words").cast("double") / F.col("n_words")
+            ).alias("dup_word_frac"),
+            "top_bigram",
+            "top_bigram_n",
+            (
+                F.col("top_bigram_n").cast("double")
+                / (F.col("n_words") - 1)
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register("text_top_tokens", oracle=TOP_TOKENS_ORACLE, tags=("text",))
 def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters: explode whitespace tokens (length
