@@ -17,6 +17,12 @@ everything stays inside whole-stage codegen:
 Already native in Spark (no shim needed): SUBSTRING_INDEX, CONV, CRC32,
 BIT_COUNT, GREATEST/LEAST, COALESCE, NULLIF, <=> (eqNullSafe), LIKE/REGEXP,
 MD5/SHA1/SHA2, and the JSON read family (get_json_object/json_tuple).
+
+The session-registered SQL names (``register_shim_udfs``) come in three
+performance tiers: SQL scalar UDFs (``_SQL_UDFS`` — inlined JVM
+expressions, codegen), Arrow-batched pandas UDFs (the arbitrary-nested-
+JSON walkers and binary codecs), and exactly ONE row-at-a-time Python UDF
+(``random_bytes``, whose per-row entropy is the semantic).
 """
 
 from __future__ import annotations
