@@ -254,10 +254,12 @@ def test_unsupported_path_types(engine):
             "SELECT 1 FROM MATCH ALL (v_customer AS a)"
             ".OUT(e_knows).(v_customer AS b)"
         )
-    with pytest.raises(NotImplementedError, match="multi-path"):
-        engine.sql(
-            "SELECT 1 FROM MATCH (v_customer AS a), (v_customer AS b)"
-        )
+    # Comma multi-path is SUPPORTED since r5 (buildGraph union lowering) —
+    # two zero-hop paths union to 2×|customer| rows.
+    n = engine.sql(
+        "SELECT 1 AS one FROM MATCH (v_customer AS a), (v_customer AS b)"
+    ).count()
+    assert n > 0 and n % 2 == 0
 
 
 def test_encryption_functions(engine):

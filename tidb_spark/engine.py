@@ -2207,15 +2207,21 @@ class Engine:
             # grow exponentially with depth, so exhaustive search is safe
             # only on a short horizon); the beam-pruned variant kicks in
             # only when the user raised the horizon or explicitly SET
-            # @@graph_topk_beam — previously beam pruning was silently
-            # always-on, making ranks > 1 approximate even at the default
+            # @@graph_topk_beam — beam pruning must not be silently
+            # always-on, or ranks > 1 go approximate even at the default
             # hop budget where the DataFrame API is exact.  Rank 1 is exact
-            # either way (= the ANY SHORTEST canonical path).
-            max_hops = int(self.sys_vars.get("graph_topk_max_hops", 8))
+            # either way (= the ANY SHORTEST canonical path).  Default
+            # horizon 4 (the DataFrame corpus query's bound): the old
+            # default of 8 let an ~10-out-degree graph enumerate 10^8
+            # simple paths before the per-round explosion guard existed —
+            # a silent 100-second walk on the sf0.001 FIXTURE.  Deeper
+            # horizons are one SET away and run beam-pruned; past the
+            # guard's cap the enumeration fails fast with the beam hint.
+            max_hops = int(self.sys_vars.get("graph_topk_max_hops", 4))
             beam_var = self.sys_vars.get("graph_topk_beam")
             if beam_var is not None:
                 beam = max(int(beam_var), path.top_k)
-            elif max_hops <= 8:
+            elif max_hops <= 4:
                 beam = None  # exact enumeration, same as the DataFrame API
             else:
                 beam = max(32, path.top_k)
