@@ -460,3 +460,19 @@ def test_minhash_band_bucket_skew_cap(spark):
         corpus, "text", "doc_id", verify_threshold=0.4, max_bucket=None
     ).collect()
     assert sum(1 for r in uncapped if r.d1 < 60 and r.d2 < 60) == 60 * 59 // 2
+
+
+def test_text_repetition_zero_shuffle(spark):
+    """The repetition signals are per-document — the plan must carry NO
+    exchange beyond the final ORDER BY's range partitioning (the explode →
+    groupBy → window formulation cost two extra shuffles and 5× the
+    wall-clock; the array_sort+aggregate fold runs inside the row)."""
+    plan = (
+        _QS["text_repetition"]
+        .spark(spark, TEST_SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
