@@ -549,12 +549,36 @@ ORDER BY doc_id
 
 @register("text_lang_id", oracle=_langid_oracle(), tags=("text",))
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-hit language ID heuristic vs the labeled lang column."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    """Stopword-hit language ID heuristic vs the labeled lang column.
+
+    Two-stage projection: per-language hit counts materialize ONCE in a
+    named intermediate select, and the argmax reads the columns — the
+    single-expression `tx.lang_id` form repeats each stopword
+    regexp_replace subtree inside greatest() and every WHEN arm (~6×20
+    regex evaluations per row when subexpression elimination misses), and
+    the sf1 probe measured it 16× at 10× data.  spread_small lifts the
+    single-row-group parquet input to real parallelism, as the rest of
+    the text family does."""
+    docs = dd.spread_small(_t(spark, sf_dir, "documents"), "doc_id")
+    langs = sorted(tx.LANG_STOPWORDS)
+    scored = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        tx.lang_id(F.col("text")).alias("predicted_lang"),
+        *[
+            tx.stopword_hits(F.col("text"), tx.LANG_STOPWORDS[lang]).alias(
+                f"s_{lang}"
+            )
+            for lang in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in sorted(langs, reverse=True):
+        pred = F.when(
+            (best > 0) & (F.col(f"s_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id", "labeled_lang", pred.alias("predicted_lang")
     ).orderBy("doc_id")
 
 
