@@ -266,3 +266,45 @@ def test_prepare_binding_matches_inline(_fuzz_engine, sp):
 
     want = eng.sql(_map_code(stmt, bind)).collect()[0]
     assert list(got) == list(want), (stmt, vals)
+
+
+# ---------------------------------------------------------------------------
+# general_ci weight function invariants (functions/collation.py vs the
+# published utf8mb4_general_ci behavior, util/collate/general_ci.go).
+
+from tidb_spark.functions.collation import (  # noqa: E402
+    general_ci_weight,
+    translate_args,
+)
+
+
+@given(st.integers(min_value=0, max_value=0x10FFFF))
+@settings(max_examples=300, deadline=None)
+def test_general_ci_weight_invariants(r):
+    w = general_ci_weight(r)
+    assert 0 <= w <= 0xFFFF
+    if r > 0xFFFF:
+        assert w == 0xFFFD  # supplementary planes collapse
+    if 0x61 <= r <= 0x7A:  # a-z fold to A-Z
+        assert w == r - 0x20
+    if (0x41 <= r <= 0x5A) or (0x30 <= r <= 0x39):  # A-Z, digits: identity
+        assert w == r
+    # Weighting is a projection: weights are fixed points (so comparing
+    # keys == comparing double-keyed keys).
+    assert general_ci_weight(w) == w or w == 0xFFFD
+
+
+def test_general_ci_translate_args_consistent():
+    frm, to = translate_args()
+    assert len(frm) == len(to) == 1108
+    assert len(set(frm)) == len(frm)  # no duplicate source chars
+    for s, d in zip(frm, to):
+        assert general_ci_weight(ord(s)) == ord(d)
+        assert ord(s) != ord(d)
+    # Every non-identity BMP weight is in the mapping (planes covered).
+    import itertools
+    for plane in (0, 1, 2, 3, 4, 5, 0x1E, 0x1F, 0x21, 0x24, 0xFF):
+        for lo in range(256):
+            r = (plane << 8) | lo
+            if general_ci_weight(r) != r:
+                assert chr(r) in frm
