@@ -1185,3 +1185,13 @@ def test_enumeration_guard_triggers_on_dense_graph(spark):
         max_paths_per_round=10_000_000,
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) > 0
+
+
+def test_drop_if_exists_protects_dataset_views(engine):
+    """IF EXISTS forgives ABSENCE only: a read-only dataset view (nation)
+    must still refuse to drop — otherwise the session's shared fixture
+    view would silently vanish."""
+    with pytest.raises(ValueError, match="read-only"):
+        engine.sql("DROP TABLE IF EXISTS nation")
+    # view intact afterwards
+    assert engine.sql("SELECT COUNT(*) AS n FROM nation").collect()[0].n > 0

@@ -673,11 +673,19 @@ class Engine:
                 raise ValueError("TRUNCATE TABLE does not accept IF EXISTS")
             if name not in self.managed:
                 if m.group("ifex"):
-                    # DROP TABLE IF EXISTS on an absent table: a warning in
-                    # MySQL (ddl/ddl_api.go DropTable ifExists path), a
-                    # no-op here — but clear any stale per-table state a
-                    # partial earlier registration may have left behind.
-                    self.tables.pop(name, None)
+                    if name in self.tables:
+                        # IF EXISTS does not make a read-only dataset view
+                        # droppable — the existence check passed, so the
+                        # drop itself must still fail (ddl/ddl_api.go
+                        # DropTable: ifExists only forgives ABSENCE).
+                        raise ValueError(
+                            f"table {name!r} is a read-only dataset view; "
+                            "only managed tables can be dropped"
+                        )
+                    # Absent table: a warning in MySQL (ddl_api.go DropTable
+                    # ifExists path), a no-op here — but clear any stale
+                    # per-table state a partial earlier registration may
+                    # have left behind.
                     self._ci_cols_by_table.pop(name, None)
                     getattr(self, "_defaults_by_table", {}).pop(name, None)
                     try:
@@ -1567,7 +1575,11 @@ class Engine:
         scoping, ``ci_a(name _ci)`` existing anywhere would silently make
         every other table's ``name`` case-insensitive — wrong results on
         unrelated tables (the reference resolves collation per column
-        binding, expression/collation.go)."""
+        binding, expression/collation.go).  Scoping granularity is the
+        STATEMENT, not the subquery block: a subquery referencing a _ci
+        table activates its columns for the whole statement (full
+        per-block resolution needs a real name resolver); qualified
+        references are always resolved exactly."""
         if not self._ci_cols_by_table:
             return query
         # Inline the general_ci key expression (functions/collation.py) at
