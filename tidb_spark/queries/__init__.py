@@ -121,6 +121,12 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_rollup",
     "join_full_outer",
     "join_null_safe",
+    # (r6 rotation plan: after a green r5 gate the stalest rows are the 35
+    # r3-latest queries NOT in this window — graph_match_* ×6, stream_* ×5,
+    # mysqlsql longtails, func_control/math/like_regexp, setop_intersect_all,
+    # window_range_frame, sim_* ×3, limit_offset, sample_deterministic,
+    # multimodal_features, text_winnowing, dedup_simhash — they lead r6,
+    # plus whatever r6 adds or re-plans.)
 )
 
 
