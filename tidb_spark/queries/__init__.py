@@ -98,6 +98,7 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "mysqlsql_match_multipath",
     "mysqlsql_collation_unicode",
     "text_repetition",
+    "sample_diversity",
     # --- round-5 plan changes must re-verify: collation shim now table-
     #     scoped + general_ci weight keys; LSH band-bucket cap; BFS
     #     anti-before-shuffle reorder; shim UDFs re-tiered to SQL/pandas.
@@ -120,7 +121,6 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_percentile",
     "agg_rollup",
     "join_full_outer",
-    "join_null_safe",
     # (r6 rotation plan: after a green r5 gate the stalest rows are the 35
     # r3-latest queries NOT in this window — graph_match_* ×6, stream_* ×5,
     # mysqlsql longtails, func_control/math/like_regexp, setop_intersect_all,

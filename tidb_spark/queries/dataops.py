@@ -1016,6 +1016,75 @@ def text_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+SAMPLE_DIVERSITY_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM q
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         qv AS cqv, n2 AS cn2
+  FROM (SELECT * FROM n ORDER BY vec_id LIMIT 16)
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_MICRO_COS.format(aqv="v.qv", an2="v.n2", bqv="c.cqv", bn2="c.cn2")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM n v CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(centroid_id AS INTEGER) AS centroid_id,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT vec_id, centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY centroid_id
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS rk
+  FROM assigned
+)
+WHERE rk <= 20
+ORDER BY centroid_id, rk
+"""
+
+
+@register(
+    "sample_diversity", oracle=SAMPLE_DIVERSITY_ORACLE,
+    tags=("sample", "similarity"),
+)
+def sample_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced subsampling — the standard pretraining-data move
+    for topic balance: assign every embedding to its nearest coarse
+    centroid (zero-shuffle Arrow argmax, same machinery as
+    dedup_semantic_ivf), then take a fixed per-cluster quota ranked by a
+    deterministic content-independent hash (md5 of the id — the unbiased
+    'random' that any engine reproduces bit-for-bit).  One window shuffle
+    keyed on centroid_id; quota rank caps per-cluster output, so result
+    size is nlist×quota regardless of corpus size.  The oracle re-derives
+    the identical assignment analytically and ranks with the same md5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.deterministic_centroids(emb, nlist=16)
+    assigned = sim.assign_to_centroids(emb, cents)
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .orderBy("centroid_id", "rk")
+    )
+
+
 DEDUP_SEMANTIC_IVF_ORACLE = f"""
 WITH q AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
