@@ -1070,7 +1070,13 @@ def sample_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     'random' that any engine reproduces bit-for-bit).  One window shuffle
     keyed on centroid_id; quota rank caps per-cluster output, so result
     size is nlist×quota regardless of corpus size.  The oracle re-derives
-    the identical assignment analytically and ranks with the same md5."""
+    the identical assignment analytically and ranks with the same md5.
+
+    100 TB note: the window funnels each cluster through one reducer; at
+    true scale pre-filter by a hash-prefix threshold (keep rows with
+    md5 < bound chosen from approximate cluster counts — a cheap
+    map-side cut that leaves ~5× quota per cluster) before ranking, and
+    scale nlist with the corpus as dedup_semantic_ivf does."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.deterministic_centroids(emb, nlist=16)
     assigned = sim.assign_to_centroids(emb, cents)
