@@ -1195,3 +1195,47 @@ def test_drop_if_exists_protects_dataset_views(engine):
         engine.sql("DROP TABLE IF EXISTS nation")
     # view intact afterwards
     assert engine.sql("SELECT COUNT(*) AS n FROM nation").collect()[0].n > 0
+
+
+def test_groups_frame_semantics(spark):
+    """SQL:2011 GROUPS frame semantics, independently derived: for each
+    row, the frame = all rows of the current PEER GROUP (order-key ties)
+    plus n groups back / m groups forward.  Hand-computed per-group
+    prefix sums over a fixture with real ties pin the dense_rank+RANGE
+    emulation (`operators/window_ext.groups_frame`)."""
+    from tidb_spark.operators.window_ext import groups_frame
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (part, key, val) — key ties create multi-row peer groups
+        ("a", 1, 10), ("a", 1, 20), ("a", 2, 30), ("a", 3, 40),
+        ("a", 3, 50), ("a", 5, 60),
+        ("b", 7, 70), ("b", 9, 80),
+    ]
+    df = spark.createDataFrame(rows, "part string, key int, val long")
+    out = {
+        (r.part, r.key, r.val): r.s
+        for r in groups_frame(
+            df, ["part"], ["key"], F.sum("val"),
+            preceding=1, following=1, out_col="s",
+        ).collect()
+    }
+    # part a groups: {1: 30, 2: 30, 3: 90, 5: 60}
+    assert out[("a", 1, 10)] == out[("a", 1, 20)] == 30 + 30       # g1+g2
+    assert out[("a", 2, 30)] == 30 + 30 + 90                        # g1+g2+g3
+    assert out[("a", 3, 40)] == out[("a", 3, 50)] == 30 + 90 + 60   # g2+g3+g5
+    assert out[("a", 5, 60)] == 90 + 60                             # g3+g5
+    # part b: two singleton groups, adjacent
+    assert out[("b", 7, 70)] == 150 and out[("b", 9, 80)] == 150
+    # preceding=0, following=0 degenerates to the peer group itself
+    cur = {
+        (r.part, r.key, r.val): r.s
+        for r in groups_frame(
+            df, ["part"], ["key"], F.sum("val"),
+            preceding=0, following=0, out_col="s",
+        ).collect()
+    }
+    assert cur[("a", 1, 10)] == 30 and cur[("a", 3, 50)] == 90
+    with pytest.raises(ValueError, match="groups"):
+        groups_frame(df, ["part"], ["key"], F.sum("val"),
+                     preceding=-1, following=0)

@@ -440,6 +440,68 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "o_orderkey")
 
 
+WINDOW_GROUPS_FRAME_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderkey, o_orderpriority, o_orderdate,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         DENSE_RANK() OVER (
+           PARTITION BY o_orderpriority ORDER BY o_orderdate) AS grp
+  FROM orders WHERE o_orderkey < 3000
+)
+SELECT o_orderkey, o_orderpriority, o_orderdate,
+       CAST(SUM(p) OVER (PARTITION BY o_orderpriority ORDER BY grp
+            RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS grp_sum
+FROM ranked
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "window_groups_frame", oracle=WINDOW_GROUPS_FRAME_ORACLE, tags=("window",)
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS window frame — EXTENSION (the reference parses GROUPS but
+    its planner rejects it, like ALL SHORTEST / TOP k which this engine
+    also executes; Spark has no native GROUPS frame either).  Emulated as
+    dense_rank + RANGE over the rank (`operators/window_ext.groups_frame`
+    — peer-group index IS the dense rank, so ±n groups = RANGE ±n on it;
+    one shuffle, both windows share the sort).  The oracle re-derives the
+    peer-group frame in DuckDB with the same dense_rank+RANGE identity
+    (this build's DuckDB lacks native GROUPS), ties included
+    (o_orderdate ties within a priority make real multi-row peer
+    groups); true SQL:2011 GROUPS semantics are independently pinned by
+    a hand-computed pandas derivation in
+    ``tests/test_sql_dialect.py::test_groups_frame_semantics``.  DECIMAL
+    sum, DOUBLE only at the end."""
+    from tidb_spark.operators.window_ext import groups_frame
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 3000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("__p"),
+        )
+    )
+    out = groups_frame(
+        orders,
+        ["o_orderpriority"],
+        ["o_orderdate"],
+        F.sum("__p"),
+        preceding=1,
+        following=1,
+        out_col="__grp_sum",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.col("__grp_sum").cast("double").alias("grp_sum"),
+    ).orderBy("o_orderkey")
+
+
 WINDOW_PARTITION_AGG_ORACLE = """
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
