@@ -100,6 +100,7 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "text_repetition",
     "sample_diversity",
     "window_groups_frame",
+    "setop_except_all",
     # --- round-5 plan changes must re-verify: collation shim now table-
     #     scoped + general_ci weight keys; LSH band-bucket cap; BFS
     #     anti-before-shuffle reorder; shim UDFs re-tiered to SQL/pandas.
@@ -120,13 +121,12 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "tpch_q12",
     "tpch_q18",
     "agg_percentile",
-    "agg_rollup",
     # (r6 rotation plan: after a green r5 gate the stalest rows are the
     # r3-latest queries NOT in this window — graph_match_* ×6, stream_* ×5,
     # mysqlsql longtails, func_control/math/like_regexp, setop_intersect_all,
     # window_range_frame, sim_* ×3, limit_offset, sample_deterministic,
     # multimodal_features, text_winnowing, dedup_simhash, join_full_outer,
-    # join_null_safe — they lead r6, plus whatever r6 adds or re-plans.)
+    # join_null_safe, agg_rollup — they lead r6, plus whatever r6 adds or re-plans.)
 )
 
 

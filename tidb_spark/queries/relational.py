@@ -305,6 +305,32 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SETOP_EXCEPT_ALL_ORACLE = """
+SELECT k, COUNT(*) AS cnt FROM (
+  SELECT o_custkey AS k FROM orders WHERE o_orderkey < 3000
+  EXCEPT ALL
+  SELECT o_custkey AS k FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+) e GROUP BY k ORDER BY k
+"""
+
+
+@register("setop_except_all", oracle=SETOP_EXCEPT_ALL_ORACLE, tags=("setop",))
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag subtraction: each left multiplicity minus the right
+    multiplicity, floored at zero) — Spark-native exceptAll; completes the
+    set-op family alongside setop_intersect_all."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderkey") < 3000).select(
+        F.col("o_custkey").alias("k")
+    )
+    b = orders.where(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+    ).select(F.col("o_custkey").alias("k"))
+    return (
+        a.exceptAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).orderBy("k")
+    )
+
+
 # --------------------------------------------------------------------------
 # Window functions (§2.5) — all three reference processors:
 # aggWindowProcessor (whole partition), rowFrame, rangeFrame
