@@ -1239,3 +1239,28 @@ def test_groups_frame_semantics(spark):
     with pytest.raises(ValueError, match="groups"):
         groups_frame(df, ["part"], ["key"], F.sum("val"),
                      preceding=-1, following=0)
+
+
+def test_explain_statement_form(engine):
+    """Statement-form EXPLAIN (what a MySQL client sends): plain, FORMAT=,
+    and ANALYZE route through the engine's plan machinery and return the
+    plan as rows; dialect rewrites apply to the body (a MATCH clause
+    explains without error)."""
+    rows = engine.sql("EXPLAIN SELECT c_custkey FROM customer WHERE c_custkey < 5").collect()
+    text = "\n".join(r.plan for r in rows)
+    assert "Physical Plan" in text or "Scan" in text
+    brief = engine.sql(
+        "EXPLAIN FORMAT=BRIEF SELECT COUNT(*) FROM orders"
+    ).collect()
+    assert any("Aggregate" in r.plan or "Scan" in r.plan for r in brief)
+    ana = engine.sql(
+        "EXPLAIN ANALYZE SELECT COUNT(*) AS n FROM nation"
+    ).collect()
+    assert any("rows" in r.plan.lower() or "Scan" in r.plan for r in ana)
+    m = engine.sql(
+        "EXPLAIN SELECT a.c_custkey FROM MATCH (v_customer AS a)"
+        ".OUT(e_knows).(v_customer AS b)"
+    ).collect()
+    assert len(m) > 0
+    with pytest.raises(ValueError, match="FORMAT"):
+        engine.sql("EXPLAIN FORMAT=BOGUS SELECT 1")

@@ -111,6 +111,12 @@ _SEQ_FUNC_RE = re.compile(
     r"\s*(?:,\s*(?P<val>-?\d+)\s*)?\)"
 )
 
+_EXPLAIN_STMT_RE = re.compile(
+    r"(?is)^\s*EXPLAIN\s+(?:(?P<an>ANALYZE)\s+)?"
+    r"(?:FORMAT\s*=\s*(?P<fmt>\w+)\s+)?"
+    r"(?P<body>(?:SELECT|WITH|TABLE|VALUES)\b.*)$"
+)
+
 _DDL_RE = re.compile(
     r"(?is)^\s*(?:(?P<dverb>DROP|TRUNCATE)\s+TABLE\s+"
     r"(?P<ifex>IF\s+EXISTS\s+)?`?(?P<dtab>\w+)`?"
@@ -1121,6 +1127,30 @@ class Engine:
         ``args`` binds named (``:name``) or positional (``?``) parameters —
         the prepared-statement surface (executor/prepared.go; Catalyst
         re-plans per execution, replacing the reference's plan cache)."""
+        xm = _EXPLAIN_STMT_RE.match(query)
+        if xm:
+            # Statement-form EXPLAIN [ANALYZE] [FORMAT=…] <stmt>
+            # (executor/explain.go; MySQL returns the plan as ROWS, so the
+            # text renders one line per row).  The body goes back through
+            # sql() — dialect rewrites, MATCH lowering, hints all apply.
+            body = xm.group("body")
+            if xm.group("an"):
+                text = self.explain_analyze(body)
+            else:
+                fmt = (xm.group("fmt") or "TREE").upper()
+                mode = {
+                    "TREE": "formatted",
+                    "TRADITIONAL": "simple",
+                    "BRIEF": "simple",
+                    "JSON": "formatted",
+                    "VERBOSE": "extended",
+                }.get(fmt)
+                if mode is None:
+                    raise ValueError(f"unknown EXPLAIN FORMAT {fmt!r}")
+                text = self.explain(body, mode)
+            return self.spark.createDataFrame(
+                [(line,) for line in text.splitlines()], "plan string"
+            )
         tm = _TOOL_STMT_RE.match(query)
         if tm:
             if tm.group("rollback"):
