@@ -1264,3 +1264,11 @@ def test_explain_statement_form(engine):
     assert len(m) > 0
     with pytest.raises(ValueError, match="FORMAT"):
         engine.sql("EXPLAIN FORMAT=BOGUS SELECT 1")
+
+
+def test_explain_table_is_describe(engine):
+    """MySQL: EXPLAIN <table> == DESCRIBE <table> (the parser treats them
+    identically)."""
+    a = engine.sql("EXPLAIN nation").collect()
+    b = engine.sql("DESC nation").collect()
+    assert a == b and len(a) > 0

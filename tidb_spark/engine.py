@@ -1127,6 +1127,13 @@ class Engine:
         ``args`` binds named (``:name``) or positional (``?``) parameters —
         the prepared-statement surface (executor/prepared.go; Catalyst
         re-plans per execution, replacing the reference's plan cache)."""
+        # MySQL: EXPLAIN <table> is an alias for DESCRIBE <table>
+        # (parser treats them identically; executor/explain.go).
+        tbl_m = re.match(r"(?is)^\s*EXPLAIN\s+`?(\w+)`?\s*;?\s*$", query)
+        if tbl_m and tbl_m.group(1).upper() not in (
+            "SELECT", "WITH", "TABLE", "VALUES", "ANALYZE", "FORMAT",
+        ):
+            return self.sql(f"DESC {tbl_m.group(1)}")
         xm = _EXPLAIN_STMT_RE.match(query)
         if xm:
             # Statement-form EXPLAIN [ANALYZE] [FORMAT=…] <stmt>
