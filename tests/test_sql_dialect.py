@@ -1272,3 +1272,188 @@ def test_explain_table_is_describe(engine):
     a = engine.sql("EXPLAIN nation").collect()
     b = engine.sql("DESC nation").collect()
     assert a == b and len(a) > 0
+
+
+def test_collation_dispatch_rejects_unsupported(engine):
+    """VERDICT r5 #2a: a declared collation outside the reference's
+    newCollatorMap (util/collate/collate.go:355) must raise loudly at
+    CREATE time — never silently alias to another collation's
+    semantics (gbk_chinese_ci, pinyin, utf8mb4_0900_ai_ci...)."""
+    for bad in ("gbk_chinese_ci", "utf8mb4_zh_pinyin_tidb_as_cs",
+                "utf8mb4_0900_ai_ci", "latin1_swedish_ci"):
+        with pytest.raises(NotImplementedError, match="not supported"):
+            engine.sql(
+                f"CREATE TABLE rej_t (k BIGINT PRIMARY KEY, "
+                f"name VARCHAR(10) COLLATE {bad})"
+            )
+        engine.sql("DROP TABLE IF EXISTS rej_t")
+
+
+def test_unicode_ci_vs_general_ci_divergence(engine):
+    """The two _ci collations must dispatch to different key functions:
+    general_ci weighs ß as a single 'S' (straße ≠ STRASSE), unicode_ci
+    expands ß to 'ss' (straße = STRASSE) — util/collate/general_ci.go
+    vs unicode_ci.go on the same input."""
+    engine.sql(
+        "CREATE TABLE d_gen (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(20) COLLATE utf8mb4_general_ci)"
+    )
+    engine.sql(
+        "CREATE TABLE d_uni (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(20) COLLATE utf8mb4_unicode_ci)"
+    )
+    for t in ("d_gen", "d_uni"):
+        engine.sql(f"INSERT INTO {t} VALUES (1, 'straße'), (2, 'STRASSE')")
+    gen = {r.k for r in engine.sql(
+        "SELECT k FROM d_gen WHERE name = 'STRASSE'").collect()}
+    uni = {r.k for r in engine.sql(
+        "SELECT k FROM d_uni WHERE name = 'STRASSE'").collect()}
+    assert gen == {2}, "general_ci: ß='s', straße != STRASSE"
+    assert uni == {1, 2}, "unicode_ci: ß='ss', straße == STRASSE"
+    # and Æ stays its own letter under BOTH (the reference's unicode_ci
+    # table gives it weight 0xE38 — not the DUCET A+E expansion)
+    for t in ("d_gen", "d_uni"):
+        engine.sql(f"INSERT INTO {t} VALUES (3, 'Æsir'), (4, 'AEsir')")
+        hit = {r.k for r in engine.sql(
+            f"SELECT k FROM {t} WHERE name = 'æsir'").collect()}
+        assert hit == {3}, t
+    engine.sql("DROP TABLE d_gen")
+    engine.sql("DROP TABLE d_uni")
+
+
+def test_ci_mixed_collation_join_raises(engine):
+    """general_ci = unicode_ci join keys: MySQL raises 'illegal mix of
+    collations' (expression/collation.go CheckAndDeriveCollation);
+    silently picking one side would give that side's equalities."""
+    engine.sql(
+        "CREATE TABLE mix_g (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(20) COLLATE utf8mb4_general_ci)"
+    )
+    engine.sql(
+        "CREATE TABLE mix_u (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(20) COLLATE utf8mb4_unicode_ci)"
+    )
+    with pytest.raises(ValueError, match="illegal mix"):
+        engine.sql(
+            "SELECT COUNT(*) AS n FROM mix_g a JOIN mix_u b "
+            "ON a.name = b.name"
+        )
+    engine.sql("DROP TABLE mix_g")
+    engine.sql("DROP TABLE mix_u")
+
+
+def test_ci_like_is_no_pad(engine):
+    """ADVICE r5 (low): MySQL LIKE is NO PAD even on PAD SPACE
+    collations — col LIKE 'abc ' must NOT match 'abc', while = does
+    (stringutil.CompilePatternInner matches rune-by-rune without
+    trailing-space truncation)."""
+    engine.sql(
+        "CREATE TABLE np_t (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(20) COLLATE utf8mb4_general_ci)"
+    )
+    engine.sql("INSERT INTO np_t VALUES (1, 'abc'), (2, 'abc ')")
+    eq = {r.k for r in engine.sql(
+        "SELECT k FROM np_t WHERE name = 'ABC '").collect()}
+    like_trail = {r.k for r in engine.sql(
+        "SELECT k FROM np_t WHERE name LIKE 'ABC '").collect()}
+    like_bare = {r.k for r in engine.sql(
+        "SELECT k FROM np_t WHERE name LIKE 'ABC'").collect()}
+    assert eq == {1, 2}, "= is PAD SPACE: both match"
+    assert like_trail == {2}, "LIKE 'abc ' matches only the padded row"
+    assert like_bare == {1}, "LIKE 'abc' matches only the exact row"
+    engine.sql("DROP TABLE np_t")
+
+
+def test_ci_comma_from_list_detected(engine):
+    """ADVICE r5 (medium): a _ci table referenced via a comma-separated
+    FROM list (FROM other, ci_t / self-join FROM ci_t t1, ci_t t2) must
+    activate the shim just like FROM ... JOIN."""
+    engine.sql(
+        "CREATE TABLE cf_ci (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(20) COLLATE utf8mb4_general_ci)"
+    )
+    engine.sql("CREATE TABLE cf_plain (k BIGINT PRIMARY KEY, v VARCHAR(10))")
+    engine.sql("INSERT INTO cf_ci VALUES (1, 'Apple'), (2, 'apple')")
+    engine.sql("INSERT INTO cf_plain VALUES (1, 'x')")
+    n = engine.sql(
+        "SELECT COUNT(*) AS n FROM cf_plain p, cf_ci c "
+        "WHERE c.name = 'APPLE' AND p.k = 1"
+    ).collect()[0].n
+    assert n == 2, "comma-FROM _ci table folds"
+    n2 = engine.sql(
+        "SELECT COUNT(*) AS n FROM cf_ci t1, cf_ci t2 "
+        "WHERE t1.name = t2.name AND t1.k <= t2.k"
+    ).collect()[0].n
+    assert n2 == 3, "self comma-join folds both sides (2 pairs + 1 cross)"
+    engine.sql("DROP TABLE cf_ci")
+    engine.sql("DROP TABLE cf_plain")
+
+
+def test_ci_block_scoped_resolution(engine):
+    """VERDICT r5 #9: resolution is per subquery block — an outer table's
+    `name` stays binary while the inner block's _ci `name` folds, in ONE
+    statement (previously statement-scoped: the subquery's _ci table
+    leaked onto the outer column)."""
+    engine.sql(
+        "CREATE TABLE bs_ci (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(20) COLLATE utf8mb4_general_ci)"
+    )
+    engine.sql("CREATE TABLE bs_plain (k BIGINT PRIMARY KEY, name VARCHAR(20))")
+    engine.sql("INSERT INTO bs_ci VALUES (1, 'Alpha'), (2, 'alpha')")
+    engine.sql("INSERT INTO bs_plain VALUES (1, 'Alpha'), (2, 'ALPHA')")
+    # outer references ONLY bs_plain; the subquery references bs_ci.
+    # outer name = 'ALPHA' must stay binary (match only k=2) even though
+    # the inner block's _ci table declares a column of the same name;
+    # the inner block folds (matches both bs_ci rows -> k IN (1, 2)).
+    rows = engine.sql(
+        "SELECT k FROM bs_plain WHERE name = 'ALPHA' "
+        "AND k IN (SELECT k FROM bs_ci WHERE name = 'ALPHA')"
+    ).collect()
+    assert {r.k for r in rows} == {2}
+    # and the inner block standalone DID fold both rows
+    inner = engine.sql(
+        "SELECT k FROM bs_ci WHERE name = 'ALPHA'"
+    ).collect()
+    assert {r.k for r in inner} == {1, 2}
+    engine.sql("DROP TABLE bs_ci")
+    engine.sql("DROP TABLE bs_plain")
+
+
+def test_bin_collation_is_pad_space(engine):
+    """Declared *_bin collations are PAD SPACE in MySQL
+    (binPaddingCollator, util/collate/collate.go): 'abc ' = 'abc' but
+    case still matters; undeclared columns keep Spark's NO PAD binary."""
+    engine.sql(
+        "CREATE TABLE pb_t (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(20) COLLATE utf8mb4_bin, raw VARCHAR(20))"
+    )
+    engine.sql("INSERT INTO pb_t VALUES (1, 'abc ', 'abc ')")
+    assert [r.k for r in engine.sql(
+        "SELECT k FROM pb_t WHERE name = 'abc'").collect()] == [1]
+    assert [r.k for r in engine.sql(
+        "SELECT k FROM pb_t WHERE name = 'ABC'").collect()] == []
+    assert [r.k for r in engine.sql(
+        "SELECT k FROM pb_t WHERE raw = 'abc'").collect()] == []
+    engine.sql("DROP TABLE pb_t")
+
+
+def test_ci_in_and_between_fold(engine):
+    """IN lists and BETWEEN ranges over a _ci column fold every operand
+    through the collation key (builtin_compare.go dispatches all
+    comparison builtins through the column collator)."""
+    engine.sql(
+        "CREATE TABLE ib_t (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(20) COLLATE utf8mb4_general_ci)"
+    )
+    engine.sql(
+        "INSERT INTO ib_t VALUES (1, 'Apple'), (2, 'banana'), (3, 'Cherry')"
+    )
+    got = {r.k for r in engine.sql(
+        "SELECT k FROM ib_t WHERE name IN ('APPLE', 'CHERRY')"
+    ).collect()}
+    assert got == {1, 3}
+    got = {r.k for r in engine.sql(
+        "SELECT k FROM ib_t WHERE name BETWEEN 'AAA' AND 'BBB'"
+    ).collect()}
+    assert got == {1, 2}, "banana < BBB case-insensitively"
+    engine.sql("DROP TABLE ib_t")

@@ -308,3 +308,61 @@ def test_general_ci_translate_args_consistent():
             r = (plane << 8) | lo
             if general_ci_weight(r) != r:
                 assert chr(r) in frm
+
+
+# ---------------------------------------------------------------------------
+# unicode_ci weight function invariants (functions/collation_unicode.py vs
+# the published utf8mb4_unicode_ci behavior, util/collate/unicode_ci.go;
+# the delta blob is exhaustively verified against the reference table by
+# scripts/unicode_ci_derive.py — these pin the derivation's contract
+# without needing the reference present).
+
+from tidb_spark.functions.collation_unicode import (  # noqa: E402
+    unicode_ci_rep,
+    _sql_pieces,
+)
+
+
+@given(st.integers(min_value=0, max_value=0xFFFF))
+def test_unicode_ci_rep_idempotent(r):
+    """Representative strings are fixpoints: every char of rep(r) is its
+    own representative (otherwise two passes of the key function would
+    disagree and equality would not be transitive)."""
+    if 0xD800 <= r <= 0xDFFF:
+        return
+    rep = unicode_ci_rep(r)
+    for c in rep:
+        assert unicode_ci_rep(ord(c)) == c, (hex(r), rep, c)
+
+
+def test_unicode_ci_pinned_semantics():
+    """Reference-table ground truth (unicode_ci_data.go): expansions,
+    accent/case folds, kana unification — and the two folklore
+    divergences (Æ, Ø keep their own primaries)."""
+    def key(s):
+        return "".join(unicode_ci_rep(ord(c)) for c in s)
+
+    assert key("straße") == key("STRASSE")       # ß = 'ss'
+    assert key("Œuvre") == key("OEUVRE")         # Œ = OE
+    assert key("ﬁne") == key("fine")             # ligature
+    assert key("café") == key("CAFE")            # accent primary-ignorable
+    assert key("Ⅷ") == key("VIII")               # roman numeral expansion
+    assert key("ひらがな") == key("ヒラガナ")      # kana + dakuten fold
+    assert key("Ёлка") == key("Елка")            # Cyrillic accent fold
+    assert key("Æsir") != key("AEsir")           # Æ its own letter (0xE38)
+    assert key("Øre") != key("Ore")              # Ø its own letter (0xF8D)
+    assert key("й") == key("Й") != key("И")      # й composed, != И
+    assert key("Á") == key("A")      # combining mark ignorable
+    assert key("ab") == key("AB")    # controls ignorable
+
+
+def test_unicode_ci_sql_pieces_wellformed():
+    """The SQL building blocks embed safely: translate args are
+    1:1-aligned, expansion pairs avoid the str_to_map delimiters, and no
+    surrogates appear anywhere."""
+    cls, frm, to, expansions = _sql_pieces()
+    assert len(frm) == len(to) and len(frm) > 2000
+    assert "\ud800" not in frm + to
+    for src, dst in expansions:
+        assert len(src) == 1 and len(dst) >= 2
+        assert not set(",>'\\") & set(src + dst)

@@ -152,6 +152,41 @@ def _strip_quotes(val: str) -> str:
     return val
 
 
+# Collations the reference registers (util/collate/collate.go:355
+# newCollatorMap) mapped to this engine's key kinds.  Any other declared
+# collation raises loudly at CREATE time — never a silent alias to a
+# different collation's semantics.
+_COLLATION_KINDS = {
+    "utf8_general_ci": "general",
+    "utf8mb4_general_ci": "general",
+    "utf8_unicode_ci": "unicode",
+    "utf8mb4_unicode_ci": "unicode",
+    "ascii_bin": "bin",
+    "latin1_bin": "bin",
+    "utf8_bin": "bin",
+    "utf8mb4_bin": "bin",
+}
+
+
+def _collation_kind(name: str) -> str | None:
+    """Key kind for a declared COLLATE name; None for plain binary (no
+    shim); NotImplementedError for names the reference supports via
+    machinery this engine doesn't carry (pinyin) or doesn't support at
+    all — matching the reference's explicit registry rather than
+    guessing by suffix."""
+    low = name.lower()
+    if low == "binary":
+        return None  # NO PAD binary == Spark's native comparison
+    kind = _COLLATION_KINDS.get(low)
+    if kind is None:
+        raise NotImplementedError(
+            f"collation {name!r} is not supported (supported: binary, "
+            + ", ".join(sorted(_COLLATION_KINDS))
+            + ") — refusing to alias it to different semantics"
+        )
+    return kind
+
+
 class Engine:
     """One engine per (SparkSession, dataset dir): binds the catalog, the
     graph schema, and the MySQL shim functions, then answers SQL."""
@@ -187,10 +222,13 @@ class Engine:
         self.prepared: dict[str, str] = {}
         # Sequence objects: name -> options + counter (ddl/sequence.go).
         self.sequences: dict[str, dict] = {}
-        # Columns declared with a *_ci collation (util/collate/), per
-        # table so DROP TABLE retires them: the opt-in case-insensitive
-        # comparison shim keys off the union of these names.
-        self._ci_cols_by_table: dict[str, set[str]] = {}
+        # Columns declared with a non-binary collation (util/collate/),
+        # per table so DROP TABLE retires them: column name -> collation
+        # kind ('general' = utf8mb4_general_ci weights, 'unicode' =
+        # utf8mb4_unicode_ci UCA weights, 'bin' = *_bin PAD SPACE only).
+        # The opt-in comparison shim dispatches the key function on the
+        # kind (reference newCollatorMap, util/collate/collate.go:355).
+        self._ci_cols_by_table: dict[str, dict[str, str]] = {}
         # Storage incarnation per table name: CREATE after DROP must get a
         # fresh directory — ManagedTable resumes from the latest on-disk
         # version, so reusing the dropped table's root would silently
@@ -199,8 +237,12 @@ class Engine:
         self._tmp_view_n = 0
         register_shim_udfs(spark)
         from tidb_spark.functions.collation import register_general_ci
+        from tidb_spark.functions.collation_unicode import (
+            register_unicode_ci,
+        )
 
         register_general_ci(spark)
+        register_unicode_ci(spark)
 
     # -- DDL surface (graph): SOURCE KEY / DESTINATION KEY registration ----
 
@@ -303,7 +345,7 @@ class Engine:
             if src in self._ci_cols_by_table:
                 # MySQL LIKE clones column collations; keep the clone's
                 # *_ci semantics independent of the source's lifetime.
-                self._ci_cols_by_table[name] = set(
+                self._ci_cols_by_table[name] = dict(
                     self._ci_cols_by_table[src]
                 )
         elif src in self.tables:
@@ -416,11 +458,12 @@ class Engine:
         self._defaults_by_table[stmt.name] = {
             c.name: c.default_expr for c in stmt.columns if c.default_expr
         }
-        ci = {
-            c.name
-            for c in stmt.columns
-            if c.collation and c.collation.lower().endswith("_ci")
-        }
+        ci = {}
+        for c in stmt.columns:
+            if c.collation:
+                kind = _collation_kind(c.collation)
+                if kind:
+                    ci[c.name] = kind
         if ci:
             self._ci_cols_by_table[stmt.name] = ci
         if stmt.is_edge:
@@ -1593,44 +1636,43 @@ class Engine:
     _SQL_STR = r"'(?:[^'\\]|\\.|'')*'"
 
     def _apply_ci_collation(self, query: str) -> str:
-        """Opt-in *_ci collation shim (util/collate/general_ci.go; the
-        reference carries full MySQL collations, used throughout
-        expression/).  Columns declared ``COLLATE …_ci`` compare and sort
-        through ``mysql_general_ci_key`` — the exact utf8mb4_general_ci
-        weight mapping (functions/collation.py), not a LOWER()
-        approximation.
+        """Opt-in declared-collation shim (util/collate/; the reference
+        carries full MySQL collations, used throughout expression/).
+        Columns declared ``COLLATE <name>`` compare, sort, and group
+        through the collation's key function, dispatched per kind
+        (engine `_COLLATION_KINDS`, mirroring the reference's
+        newCollatorMap, util/collate/collate.go:355):
 
-        Rewritten contexts: ``col <op> 'literal'`` (and reversed),
-        ``col = col`` when both are _ci (join keys), and ``col`` tokens
-        inside ORDER BY.  GROUP BY is NOT rewritten (Spark would then
-        reject the bare SELECT column; MySQL's arbitrary-case group
-        representative has no clean Spark analogue) — documented gap.
+        - ``general``: exact utf8mb4_general_ci weights
+          (functions/collation.py — NFD-base-uppercase translate);
+        - ``unicode``: exact utf8mb4_unicode_ci UCA 4.0.0 primary
+          weights (functions/collation_unicode.py — expansions ß='ss',
+          ignorable marks, kana fold);
+        - ``bin``: PAD SPACE only (binPaddingCollator — rtrim).
 
-        The rewrite is TABLE-SCOPED: a column name only activates the
-        shim when the query's FROM/JOIN list actually references (by name
-        or alias) a table that declares that column ``_ci``.  Without the
-        scoping, ``ci_a(name _ci)`` existing anywhere would silently make
-        every other table's ``name`` case-insensitive — wrong results on
-        unrelated tables (the reference resolves collation per column
-        binding, expression/collation.go).  Scoping granularity is the
-        STATEMENT, not the subquery block: a subquery referencing a _ci
-        table activates its columns for the whole statement (full
-        per-block resolution needs a real name resolver); qualified
-        references are always resolved exactly."""
+        Rewritten contexts: ``col <op> 'literal'`` (and reversed), ``col
+        IN (...)``/``BETWEEN``, ``col = col`` when both share a
+        collation kind (mixed kinds raise, MySQL's "illegal mix of
+        collations"), ``col`` tokens inside the top-level ORDER BY, and
+        GROUP BY folding: ``GROUP BY col`` becomes ``GROUP BY
+        key(col)`` with ``min(col)`` projected as the deterministic
+        group representative (MySQL returns an arbitrary member's case).
+        LIKE uses the NO PAD key variant — ``col LIKE 'abc '`` must not
+        match ``'abc'`` even though ``=`` does (MySQL LIKE is NO PAD).
+
+        Resolution is BLOCK-SCOPED: each parenthesized SELECT/WITH
+        subquery resolves against its own FROM/JOIN/UPDATE/INTO list
+        (including comma-separated FROM items), falling back to the
+        enclosing block's references (correlation); an outer table's
+        ``name`` stays binary while a subquery's _ci ``name`` folds in
+        the same statement.  Qualified references always resolve
+        exactly; a derived table's projection does not propagate its
+        source collation (resolver-level feature, documented gap)."""
         if not self._ci_cols_by_table:
             return query
-        # Inline the general_ci key expression (functions/collation.py) at
-        # each rewrite site: exact utf8mb4_general_ci weights (NFD-base
-        # uppercase folding: É=e, ß=s, Æ≠AE), PAD SPACE, pure JVM
-        # translate() — codegen; inlined because Spark disallows SQL UDFs
-        # inside Sort (UNSUPPORTED_SQL_UDF_USAGE), and ORDER BY is a
-        # rewrite target.
-        from tidb_spark.functions.collation import general_ci_key_sql as _K
-
         # Mask string literals first: a literal containing "name = name"
-        # must never be rewritten (the other rewrite passes route through
-        # _map_code for the same reason), and the table-reference scan
-        # must not see FROM/JOIN inside a literal.
+        # must never be rewritten, and the table-reference scan must not
+        # see FROM/JOIN inside a literal.
         lits: list[str] = []
 
         def stash(m: re.Match) -> str:
@@ -1638,37 +1680,142 @@ class Engine:
             return f"\x00{len(lits) - 1}\x00"
 
         masked = merge_clause._STRING_RE.sub(stash, query)
-
-        # Which _ci tables does this statement reference, and under which
-        # qualifiers (bare name + any alias)?
-        _KW = (
-            "WHERE|GROUP|ORDER|LIMIT|HAVING|JOIN|ON|USING|LEFT|RIGHT|INNER"
-            "|FULL|CROSS|UNION|INTERSECT|EXCEPT|SET|AS|PARTITION|MATCH"
+        masked = self._ci_rewrite_block(masked, {})
+        return re.sub(
+            r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], masked
         )
-        refs: dict[str, str] = {}  # qualifier -> declaring table
-        for tm in re.finditer(
-            rf"(?is)\b(?:FROM|JOIN|UPDATE|INTO)\s+`?(?P<tab>\w+)`?"
-            rf"(?:\s+(?:AS\s+)?`?(?!(?:{_KW})\b)(?P<alias>\w+)`?)?",
-            masked,
+
+    _CI_KW = (
+        "WHERE|GROUP|ORDER|LIMIT|HAVING|JOIN|ON|USING|LEFT|RIGHT|INNER"
+        "|FULL|CROSS|UNION|INTERSECT|EXCEPT|SET|PARTITION|MATCH|SELECT"
+        "|VALUES|WINDOW"
+    )
+
+    def _ci_rewrite_block(
+        self, text: str, parent_refs: dict[str, str]
+    ) -> str:
+        """Rewrite one query block (string literals already masked).
+        Nested parenthesized SELECT/WITH blocks are recursed into with
+        this block's references as their enclosing scope, and hidden
+        from this block's own reference scan and clause rewrites."""
+        # --- extract nested subquery blocks -> \x02N\x02 markers ---
+        subs: list[str] = []
+        out: list[str] = []
+        i = 0
+        opener = re.compile(r"(?is)\(\s*(?:SELECT|WITH)\b")
+        while i < len(text):
+            m = opener.search(text, i)
+            if not m:
+                out.append(text[i:])
+                break
+            out.append(text[i : m.start()])
+            depth, j = 0, m.start()
+            while j < len(text):
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            inner = text[m.start() + 1 : j]
+            subs.append(inner)
+            out.append(f"(\x02{len(subs) - 1}\x02)")
+            i = j + 1
+        residue = "".join(out)
+
+        # --- this block's table references (qualifier -> table) ---
+        refs: dict[str, str] = dict(parent_refs)
+        item_re = re.compile(r"`?(\w+)`?")
+        alias_re = re.compile(
+            rf"\s+(?:AS\s+)?`?(?!(?:{self._CI_KW}|AS|FROM|INTO|UPDATE)\b)"
+            rf"(\w+)`?",
+            re.I,
+        )
+        marker_re = re.compile(r"\x02\d+\x02")
+        for kw in re.finditer(
+            r"(?is)\b(FROM|JOIN|UPDATE|INTO)\s+", residue
         ):
-            tab = tm.group("tab")
-            if tab in self._ci_cols_by_table:
-                refs[tab] = tab
-                if tm.group("alias"):
-                    refs[tm.group("alias")] = tab
-        if not refs:
-            return query
-        active = set().union(
-            *(self._ci_cols_by_table[t] for t in set(refs.values()))
-        )
+            pos = kw.end()
+            allow_comma = kw.group(1).upper() in ("FROM", "UPDATE")
+            while True:
+                mm = re.compile(r"\(?\s*").match(residue, pos)
+                pos = mm.end()
+                mk = marker_re.match(residue, pos)
+                tab = None
+                if mk:
+                    pos = mk.end()
+                    mm = re.compile(r"\s*\)").match(residue, pos)
+                    if mm:
+                        pos = mm.end()
+                else:
+                    it = item_re.match(residue, pos)
+                    if not it:
+                        break
+                    tab = it.group(1)
+                    pos = it.end()
+                am = alias_re.match(residue, pos)
+                alias = None
+                if am:
+                    alias = am.group(1)
+                    pos = am.end()
+                if tab is not None and tab in self._ci_cols_by_table:
+                    refs[tab] = tab
+                    if alias:
+                        refs[alias] = tab
+                cm = re.compile(r"\s*,").match(residue, pos)
+                if allow_comma and cm:
+                    pos = cm.end()
+                    continue
+                break
 
-        def _is_ci(qualifier: str | None, col: str) -> bool:
-            """True iff this (qualifier, col) reference binds to a _ci
-            declaration among the referenced tables."""
+        # recurse into subqueries with this block's refs as outer scope
+        subs = [self._ci_rewrite_block(s, refs) for s in subs]
+
+        own = {
+            t for t in set(refs.values()) if t in self._ci_cols_by_table
+        }
+        if not own:
+            return re.sub(
+                r"\x02(\d+)\x02",
+                lambda m: subs[int(m.group(1))],
+                residue,
+            )
+        active: dict[str, set[str]] = {}
+        for t in own:
+            for c, kind in self._ci_cols_by_table[t].items():
+                active.setdefault(c, set()).add(kind)
+
+        def _kind(qualifier: str | None, col: str) -> str | None:
+            """Collation kind this (qualifier, col) reference binds to,
+            or None for a binary reference."""
             if qualifier:
                 t = refs.get(qualifier)
-                return t is not None and col in self._ci_cols_by_table[t]
-            return col in active
+                if t is None or t not in self._ci_cols_by_table:
+                    return None
+                return self._ci_cols_by_table[t].get(col)
+            kinds = active.get(col)
+            if not kinds:
+                return None
+            if len(kinds) > 1:
+                raise ValueError(
+                    f"ambiguous collation for column {col!r}: referenced "
+                    f"tables declare it with different collations — "
+                    f"qualify the reference"
+                )
+            return next(iter(kinds))
+
+        def _key(kind: str, operand: str, pad: bool = True) -> str:
+            from tidb_spark.functions.collation import general_ci_key_sql
+            from tidb_spark.functions.collation_unicode import (
+                unicode_ci_key_sql,
+            )
+
+            if kind == "general":
+                return general_ci_key_sql(operand, pad=pad)
+            if kind == "unicode":
+                return unicode_ci_key_sql(operand, pad=pad)
+            return f"rtrim({operand})" if pad else operand  # bin
 
         ph = r"\x00\d+\x00"
         cols = "|".join(re.escape(c) for c in sorted(active))
@@ -1679,84 +1826,221 @@ class Engine:
             q = m.group(f"q{n}")
             return (f"{q}." if q else "") + m.group(f"c{n}")
 
-        # col <op> 'lit'  /  'lit' <op> col  (literals are placeholders now)
+        # col <op> 'lit'  /  'lit' <op> col  (literals are placeholders)
         def _cl(m: re.Match) -> str:
-            if not _is_ci(m.group("q0"), m.group("c0")):
+            kind = _kind(m.group("q0"), m.group("c0"))
+            if kind is None:
                 return m.group(0)
+            pad = m.group("op").upper() != "LIKE"
             return (
-                f"{_K(_tok(m, 0))} {m.group('op')} {_K(m.group('lit'))}"
+                f"{_key(kind, _tok(m, 0), pad)} {m.group('op')} "
+                f"{_key(kind, m.group('lit'), pad)}"
             )
 
-        masked = re.sub(
-            rf"(?<![\w.]){qual.format(0)}\b\s*(?P<op>{ops})\s*(?P<lit>{ph})",
+        residue = re.sub(
+            rf"(?<![\w.]){qual.format(0)}\b\s*(?P<op>{ops})\s*"
+            rf"(?P<lit>{ph})",
             _cl,
-            masked,
+            residue,
         )
 
         def _lc(m: re.Match) -> str:
-            if not _is_ci(m.group("q0"), m.group("c0")):
+            kind = _kind(m.group("q0"), m.group("c0"))
+            if kind is None:
                 return m.group(0)
+            pad = m.group("op").upper() != "LIKE"
             return (
-                f"{_K(m.group('lit'))} {m.group('op')} {_K(_tok(m, 0))}"
+                f"{_key(kind, m.group('lit'), pad)} {m.group('op')} "
+                f"{_key(kind, _tok(m, 0), pad)}"
             )
 
-        masked = re.sub(
+        residue = re.sub(
             rf"(?P<lit>{ph})\s*(?P<op>{ops})\s*{qual.format(0)}\b",
             _lc,
-            masked,
+            residue,
         )
 
-        # _ci col = _ci col (both sides normalize, MySQL join semantics)
-        def _cc(m: re.Match) -> str:
-            if not (
-                _is_ci(m.group("q0"), m.group("c0"))
-                and _is_ci(m.group("q1"), m.group("c1"))
-            ):
+        # col IN ('a', 'b')  /  col BETWEEN 'a' AND 'b'
+        def _in(m: re.Match) -> str:
+            kind = _kind(m.group("q0"), m.group("c0"))
+            if kind is None:
                 return m.group(0)
-            return f"{_K(_tok(m, 0))} = {_K(_tok(m, 1))}"
+            items = ", ".join(
+                _key(kind, p)
+                for p in re.findall(ph, m.group("items"))
+            )
+            neg = m.group("not") or ""
+            return f"{_key(kind, _tok(m, 0))} {neg}IN ({items})"
 
-        masked = re.sub(
+        residue = re.sub(
+            rf"(?is)(?<![\w.]){qual.format(0)}\b\s+(?P<not>NOT\s+)?IN\s*"
+            rf"\(\s*(?P<items>{ph}(?:\s*,\s*{ph})*)\s*\)",
+            _in,
+            residue,
+        )
+
+        def _btw(m: re.Match) -> str:
+            kind = _kind(m.group("q0"), m.group("c0"))
+            if kind is None:
+                return m.group(0)
+            neg = m.group("not") or ""
+            return (
+                f"{_key(kind, _tok(m, 0))} {neg}BETWEEN "
+                f"{_key(kind, m.group('lo'))} AND "
+                f"{_key(kind, m.group('hi'))}"
+            )
+
+        residue = re.sub(
+            rf"(?is)(?<![\w.]){qual.format(0)}\b\s+(?P<not>NOT\s+)?"
+            rf"BETWEEN\s+(?P<lo>{ph})\s+AND\s+(?P<hi>{ph})",
+            _btw,
+            residue,
+        )
+
+        # _ci col = _ci col (both sides normalize, MySQL join semantics;
+        # mixed collations raise like MySQL's illegal-mix error)
+        def _cc(m: re.Match) -> str:
+            k0 = _kind(m.group("q0"), m.group("c0"))
+            k1 = _kind(m.group("q1"), m.group("c1"))
+            if k0 is None or k1 is None:
+                # one side binary: binary compare preserved (pinned by
+                # the r4 table-scoping ADVICE test)
+                return m.group(0)
+            if k0 != k1:
+                raise ValueError(
+                    f"illegal mix of collations: {_tok(m, 0)} ({k0}) vs "
+                    f"{_tok(m, 1)} ({k1})"
+                )
+            return f"{_key(k0, _tok(m, 0))} = {_key(k0, _tok(m, 1))}"
+
+        residue = re.sub(
             rf"(?<![\w.]){qual.format(0)}\b\s*=\s*{qual.format(1)}\b",
             _cc,
-            masked,
+            residue,
         )
+
+        # GROUP BY folding: GROUP BY col -> GROUP BY key(col), with
+        # min(col) projected as the deterministic group representative
+        # (engine contract; MySQL returns an arbitrary member's case).
+        gspan = self._last_top_level_clause(
+            residue, r"GROUP\s+BY\s+", r"HAVING|ORDER|LIMIT|WINDOW"
+        )
+        folded: list[tuple[str | None, str]] = []
+        if gspan:
+            s_, e_ = gspan
+
+            def _gb(cm: re.Match) -> str:
+                kind = _kind(cm.group("q0"), cm.group("c0"))
+                if kind is None:
+                    return cm.group(0)
+                folded.append((cm.group("q0"), cm.group("c0")))
+                return _key(kind, _tok(cm, 0))
+
+            clause = re.sub(
+                rf"(?<![\w.(]){qual.format(0)}\b(?!\s*\()",
+                _gb,
+                residue[s_:e_],
+            )
+            residue = residue[:s_] + clause + residue[e_:]
+        if folded:
+            residue = self._ci_fold_select_list(residue, folded)
+
         # Statement-final TOP-LEVEL ORDER BY only: a window's OVER(ORDER
-        # BY …) or a subquery's ORDER BY lives inside parens and must not
-        # attract the rewrite (nor may the rewrite run past the clause
-        # into projections — the old tail regex did both).
-        span = self._last_top_level_order_by(masked)
+        # BY ...) lives inside parens and must not attract the rewrite.
+        span = self._last_top_level_clause(
+            residue, r"ORDER\s+BY\s+", r"LIMIT"
+        )
         if span:
             s_, e_ = span
 
             def _ob(cm: re.Match) -> str:
-                if not _is_ci(cm.group("q0"), cm.group("c0")):
+                kind = _kind(cm.group("q0"), cm.group("c0"))
+                if kind is None:
                     return cm.group(0)
-                return f"{_K(_tok(cm, 0))}"
+                return f"{_key(kind, _tok(cm, 0))}"
 
             clause = re.sub(
                 rf"(?<![\w.(]){qual.format(0)}\b(?!\s*\()",
                 _ob,
-                masked[s_:e_],
+                residue[s_:e_],
             )
-            masked = masked[:s_] + clause + masked[e_:]
+            residue = residue[:s_] + clause + residue[e_:]
         return re.sub(
-            r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], masked
+            r"\x02(\d+)\x02", lambda m: subs[int(m.group(1))], residue
         )
 
+    def _ci_fold_select_list(
+        self, residue: str, folded: list[tuple[str | None, str]]
+    ) -> str:
+        """After GROUP BY folding, rewrite each folded column's bare
+        top-level projection ``[q.]col`` to ``min([q.]col) AS col`` —
+        the deterministic group representative."""
+        sm = re.search(r"(?is)\bSELECT\s+(DISTINCT\s+)?", residue)
+        if not sm:
+            return residue
+        # span: SELECT list ends at the first top-level FROM
+        depth, j = 0, sm.end()
+        while j < len(residue):
+            c = residue[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and residue[j : j + 4].upper() == "FROM"
+                and not (residue[j - 1].isalnum() or residue[j - 1] == "_")
+            ):
+                break
+            j += 1
+        sel = residue[sm.end() : j]
+        for q, col in set(folded):
+            tok = (f"{q}." if q else "") + col
+            # only depth-0 bare occurrences (not inside an aggregate)
+            parts: list[str] = []
+            depth = 0
+            k = 0
+            pat = re.compile(
+                rf"(?<![\w.]){re.escape(tok)}\b(?!\s*\()(?!\.)"
+            )
+            while k < len(sel):
+                c = sel[k]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                if depth == 0:
+                    m = pat.match(sel, k)
+                    if m and (k == 0 or not (
+                        sel[k - 1].isalnum() or sel[k - 1] in "_."
+                    )):
+                        parts.append(f"min({tok}) AS {col}")
+                        k = m.end()
+                        continue
+                parts.append(c)
+                k += 1
+            sel = "".join(parts)
+        return residue[: sm.end()] + sel + residue[j:]
+
     @staticmethod
-    def _last_top_level_order_by(text: str) -> tuple[int, int] | None:
-        """(start, end) of the body of the LAST depth-0 ORDER BY clause,
-        ending at a depth-0 LIMIT or end-of-text; None if absent.  ``text``
-        must already have string literals masked."""
-        ob = re.compile(r"(?is)ORDER\s+BY\s+")
+    def _last_top_level_clause(
+        text: str, clause: str, stop: str
+    ) -> tuple[int, int] | None:
+        """(start, end) of the body of the LAST depth-0 ``clause``
+        (regex, e.g. ``ORDER\\s+BY\\s+``), ending at a depth-0 ``stop``
+        keyword or end-of-text; None if absent.  ``text`` must already
+        have string literals masked."""
+        ob = re.compile(f"(?is){clause}")
+        stop_re = re.compile(rf"(?is)\b(?:{stop})\b")
         depth, i, best = 0, 0, None
+        first = {clause[0].upper(), clause[0].lower()}
         while i < len(text):
             c = text[i]
             if c == "(":
                 depth += 1
             elif c == ")":
                 depth -= 1
-            elif depth == 0 and c in "Oo":
+            elif depth == 0 and c in first:
                 boundary = i == 0 or not (
                     text[i - 1].isalnum() or text[i - 1] in "_."
                 )
@@ -1777,12 +2061,12 @@ class Engine:
                 if depth == 0:
                     break
                 depth -= 1
-            elif (
-                depth == 0
-                and text[j : j + 5].upper() == "LIMIT"
-                and not (text[j - 1].isalnum() or text[j - 1] == "_")
-            ):
-                break
+            elif depth == 0:
+                m = stop_re.match(text, j)
+                if m and not (
+                    text[j - 1].isalnum() or text[j - 1] == "_"
+                ):
+                    break
             j += 1
         return (best, j)
 

@@ -111,17 +111,19 @@ def translate_args() -> tuple[str, str]:
     return "".join(src), "".join(dst)
 
 
-def general_ci_key_sql(operand: str) -> str:
+def general_ci_key_sql(operand: str, pad: bool = True) -> str:
     """SQL expression computing the general_ci sort/compare key of
     ``operand``: rtrim (PAD SPACE, truncateTailingSpace), supplementary
     planes → U+FFFD, then the weight translate.  Pure built-ins —
-    whole-stage codegen."""
+    whole-stage codegen.  ``pad=False`` skips the rtrim — MySQL LIKE is
+    NO PAD: ``col LIKE 'abc '`` must not match ``'abc'``."""
     frm, to = translate_args()
     # The mapped chars are all letters/symbols — no quote or backslash —
     # so they embed raw in a single-quoted literal.
     assert "'" not in frm and "\\" not in frm
+    base = f"rtrim({operand})" if pad else operand
     return (
-        f"translate(regexp_replace(rtrim({operand}), "
+        f"translate(regexp_replace({base}, "
         f"'[\\\\x{{10000}}-\\\\x{{10FFFF}}]', '�'), '{frm}', '{to}')"
     )
 

@@ -456,10 +456,12 @@ ORDER BY LOWER(name), k
 )
 def mysqlsql_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """*_ci collation shim (util/collate/ — utf8mb4_general_ci is MySQL's
-    default): a COLLATE-declared column compares and sorts
-    case-insensitively through the engine's LOWER() normalization; the
-    oracle spells the LOWER() calls out explicitly, pinning the shim's
-    semantics (stored case preserved, comparisons folded)."""
+    default): a COLLATE-declared column compares and sorts through the
+    engine's general_ci weight-key normalization (functions/collation.py
+    derives the NFD-base-uppercase weight table; ASCII-only data folds
+    identically to LOWER()); the oracle spells LOWER() out explicitly,
+    pinning the shim's semantics (stored case preserved, comparisons
+    folded)."""
     eng = _engine(spark, sf_dir)
     eng.sql("DROP TABLE IF EXISTS ci_names")
     eng.sql(
@@ -540,4 +542,115 @@ def mysqlsql_collation_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY name, k"
     )
     eng.sql("DROP TABLE IF EXISTS ci_uni")
+    return out
+
+
+# 12-name cycle exercising utf8mb4_unicode_ci (UCA 4.0.0 primary
+# weights, util/collate/unicode_ci.go + unicode_ci_data.go): ß expands
+# to 'ss' (straße = STRASSE — unlike general_ci!), Œ/ﬁ ligatures expand,
+# accents and dakuten are primary-ignorable, katakana = hiragana, and Æ
+# keeps its OWN primary (≠ AE — the reference table diverges from
+# DUCET here; weight 0xE38 vs A=0xE33,E=0xE8B).
+_UCA_NAMES = (
+    "straße", "STRASSE", "œuvre", "OEUVRE", "café", "CAFE",
+    "Æsir", "AEsir", "ﬁne", "fine", "ヒラガナ", "ひらがな",
+)
+_UCA_CASE_SQL = "CASE n_nationkey % 12 " + " ".join(
+    f"WHEN {i} THEN '{n}'" for i, n in enumerate(_UCA_NAMES)
+) + " END"
+
+COLLATION_UCA_ORACLE = f"""
+WITH ci_uca AS (
+  SELECT n_nationkey AS k, {_UCA_CASE_SQL} AS name FROM nation
+), keyed AS (
+  SELECT k, name,
+         upper(translate(
+             replace(replace(replace(name, 'ß', 'ss'), 'œ', 'oe'),
+                     'ﬁ', 'fi'),
+             'éヒラガナが', 'eひらかなか')) AS ck
+  FROM ci_uca
+)
+SELECT k, name FROM keyed
+WHERE ck IN ('STRASSE', 'OEUVRE', 'CAFE', 'ÆSIR', 'FINE', 'ひらかな')
+ORDER BY ck, k
+"""
+
+
+@register(
+    "mysqlsql_collation_unicode_uca",
+    oracle=COLLATION_UCA_ORACLE,
+    tags=("dialect", "collation"),
+)
+def mysqlsql_collation_unicode_uca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """utf8mb4_unicode_ci — real UCA 4.0.0 primary weights
+    (util/collate/unicode_ci.go; functions/collation_unicode.py derives
+    the same table): ß='ss' so straße = STRASSE (general_ci says ß='s'),
+    ligatures Œ/ﬁ expand, accents fold (é=E), katakana equals hiragana
+    with voicing marks ignorable, while Æ stays its own letter (the
+    reference's table gives it weight 0xE38, distinct from A+E).  The
+    engine dispatches the declared collation to the unicode key; the
+    oracle spells the identical expansions with DuckDB
+    replace+translate+upper."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS ci_uca")
+    eng.sql(
+        "CREATE TABLE ci_uca (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(30) COLLATE utf8mb4_unicode_ci)"
+    )
+    eng.sql(
+        f"INSERT INTO ci_uca SELECT n_nationkey, {_UCA_CASE_SQL} FROM nation"
+    )
+    out = eng.sql(
+        "SELECT k, name FROM ci_uca "
+        "WHERE name = 'strasse' OR name = 'Œuvre' OR name = 'CAFÉ' "
+        "OR name = 'Æsir' OR name = 'FINE' OR name = 'ひらがな' "
+        "ORDER BY name, k"
+    )
+    eng.sql("DROP TABLE IF EXISTS ci_uca")
+    return out
+
+
+COLLATION_GROUPBY_ORACLE = """
+WITH ci_gb AS (
+  SELECT n_nationkey AS k,
+         CASE WHEN n_nationkey % 2 = 0 THEN UPPER(n_name) ELSE LOWER(n_name) END AS name
+  FROM nation
+)
+SELECT min(name) AS name, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(k) AS BIGINT) AS ksum
+FROM ci_gb
+GROUP BY upper(name)
+ORDER BY upper(min(name))
+"""
+
+
+@register(
+    "mysqlsql_collation_groupby",
+    oracle=COLLATION_GROUPBY_ORACLE,
+    tags=("dialect", "collation"),
+)
+def mysqlsql_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY over a _ci column folds case like MySQL
+    (expression/collation.go — the group key is the collation sort key):
+    the engine rewrites ``GROUP BY name`` to group on the general_ci
+    weight key and projects ``min(name)`` as the deterministic group
+    representative (MySQL surfaces an arbitrary member's case; min is
+    the reproducible choice).  Mixed-case nation names collapse to one
+    group per name; the oracle groups by upper() explicitly."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS ci_gb")
+    eng.sql(
+        "CREATE TABLE ci_gb (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(30) COLLATE utf8mb4_general_ci)"
+    )
+    eng.sql(
+        "INSERT INTO ci_gb SELECT n_nationkey, "
+        "CASE WHEN n_nationkey % 2 = 0 THEN UPPER(n_name) ELSE LOWER(n_name) END "
+        "FROM nation"
+    )
+    out = eng.sql(
+        "SELECT name, COUNT(*) AS cnt, SUM(k) AS ksum FROM ci_gb "
+        "GROUP BY name ORDER BY name"
+    )
+    eng.sql("DROP TABLE IF EXISTS ci_gb")
     return out

@@ -6,7 +6,8 @@ shapes re-expressed as PySpark DataFrame plans over the TESTDATA fixtures.
 Adaptations (FIXTURES.md): no ``partsupp`` table (Q2/Q11/Q16/Q20 run against
 a lineitem-derived partsupp — see PARTSUPP_SQL below — and Q9 profit drops
 supplycost), lineitem has no commit/receipt dates or shipmode
-(Q4's EXISTS uses shipdate-vs-orderdate, Q12 omitted), no ``o_shippriority``
+(Q4's EXISTS uses shipdate-vs-orderdate; Q12 defines "late" as shipped >90
+days after the order date and groups by l_returnflag), no ``o_shippriority``
 (Q3 drops the column), no ``c_phone`` (Q22 uses ``c_nationkey`` as country
 code).
 
