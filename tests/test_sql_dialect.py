@@ -1457,3 +1457,73 @@ def test_ci_in_and_between_fold(engine):
     ).collect()}
     assert got == {1, 2}, "banana < BBB case-insensitively"
     engine.sql("DROP TABLE ib_t")
+
+
+def test_explain_analyze_no_driver_collect(engine, monkeypatch):
+    """VERDICT r5 #5: EXPLAIN ANALYZE must execute via a noop-format
+    write + observe() metrics, never collect() — on a large result the
+    old collect made EXPLAIN ANALYZE itself the driver bottleneck.  The
+    post-AQE plan must still be the FINAL adaptive plan."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("collect() on the EXPLAIN ANALYZE path")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    text = engine.explain_analyze(
+        "SELECT n_regionkey, COUNT(*) AS c FROM nation GROUP BY n_regionkey"
+    )
+    assert text.startswith("-- rows: 5\n")
+    assert "isFinalPlan=true" in text
+
+
+def test_explain_format_json_is_json(engine):
+    """ADVICE r5 (low): EXPLAIN FORMAT=JSON returns ONE row holding a
+    parseable JSON document (callers parse it — tree text broke them)."""
+    import json
+
+    rows = engine.sql(
+        "EXPLAIN FORMAT=JSON SELECT n_name FROM nation WHERE n_nationkey = 3"
+    ).collect()
+    assert len(rows) == 1
+    doc = json.loads(rows[0].plan)
+    assert isinstance(doc, list) and doc, "TreeNode JSON: array of nodes"
+
+
+def test_json_unquote_invalid_inputs(engine):
+    """ADVICE r5 (low): a quoted-looking but invalid JSON text must fall
+    through unmodified — never a fabricated partial value ('"a","b"'
+    previously returned 'a' via the concat-array trick)."""
+    r = engine.sql(
+        "SELECT JSON_UNQUOTE('\"a\",\"b\"') AS bad, "
+        "JSON_UNQUOTE('\"ok\"') AS good, "
+        "JSON_UNQUOTE('plain') AS plain"
+    ).collect()[0]
+    assert r.bad == '"a","b"'
+    assert r.good == "ok"
+    assert r.plain == "plain"
+
+
+def test_match_comma_derived_table_not_swallowed(engine):
+    """ADVICE r5 (low): `FROM MATCH (...).OUT(...).(...), (SELECT ...) x`
+    — the parenthesized derived table after the MATCH path belongs to
+    the FROM list, not to multi-path MATCH parsing."""
+    out = engine.sql(
+        "SELECT src.c_custkey AS k, x.one AS one "
+        "FROM MATCH (v_customer AS src WHERE src.c_custkey < 5)"
+        ".OUT(e_knows).(v_customer AS dst), (SELECT 1 AS one) x "
+        "ORDER BY k"
+    ).collect()
+    assert len(out) > 0 and all(r.one == 1 for r in out)
+
+
+def test_match_comma_path_kind_rejected(engine):
+    """ADVICE r5 (low): a comma path with its own ANY SHORTEST prefix
+    must raise a clear parity error instead of leaving raw MATCH text
+    for Spark to choke on."""
+    with pytest.raises(ValueError, match="after a comma"):
+        engine.sql(
+            "SELECT 1 AS x FROM MATCH (v_customer AS a).OUT(e_knows)"
+            ".(v_customer AS b), ANY SHORTEST (v_customer AS c)"
+            ".OUT(e_knows)*.(v_customer AS d)"
+        )

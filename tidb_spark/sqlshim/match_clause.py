@@ -175,8 +175,26 @@ def find_and_parse(sql: str) -> tuple[int, int, list[MatchPath]] | None:
         path, i = _parse_path_body(sql, i, kind, top_k)
         paths = [path]
         while cm := re.compile(r"\s*,\s*(?=\()").match(sql, i):
+            # Peek past the '(': only a vertex element continues the
+            # multi-path list — a derived table `, (SELECT ...) x` in
+            # the FROM list must not be pulled into MATCH parsing
+            # (ADVICE r5: it previously failed deep in vertex parsing).
+            pk = re.compile(r"\(\s*(\w+)").match(sql, cm.end())
+            if pk and pk.group(1).upper() in ("SELECT", "WITH", "VALUES"):
+                break
             p2, i = _parse_path_body(sql, cm.end(), None, None)
             paths.append(p2)
+        if re.compile(
+            r"\s*,\s*(?:ANY|ALL|TOP|SHORTEST|CHEAPEST)\b", re.I
+        ).match(sql, i):
+            # A comma path with its own path-kind prefix previously fell
+            # out of the multi-path scan silently, leaving raw MATCH text
+            # for Spark to choke on (ADVICE r5) — reject it clearly, like
+            # the reference's one-kind-per-MATCH planner restriction.
+            raise ValueError(
+                "path pattern prefix (ANY/ALL/TOP/SHORTEST/CHEAPEST) "
+                "after a comma is not supported in multi-path MATCH"
+            )
         if len(paths) > 1 and path.shortest:
             # The reference's planner binds one path per shortest pattern
             # (buildGraphPathAnyShortest :6709).
@@ -354,10 +372,39 @@ def splice(sql: str, start: int, end: int, replacement: str, preds: list[str]) -
     """Replace sql[start:end] with the lowered FROM fragment and AND the
     hoisted predicates into the statement's WHERE clause."""
     out = sql[:start] + replacement + sql[end:]
+    tail_at = start + len(replacement)
+    # The FROM list may continue after the MATCH segment with comma
+    # items (`, (SELECT ...) x`, `, other_table t`): the hoisted WHERE
+    # must land after the whole list, not between MATCH and the comma.
+    comma = re.compile(r"\s*,\s*")
+    alias = re.compile(
+        r"\s+(?:AS\s+)?`?(?!(?:WHERE|GROUP|ORDER|LIMIT|HAVING|JOIN|ON"
+        r"|UNION|LEFT|RIGHT|INNER|CROSS|FULL)\b)(\w+)`?",
+        re.IGNORECASE,
+    )
+    while m := comma.match(out, tail_at):
+        j = m.end()
+        if j < len(out) and out[j] == "(":
+            depth = 0
+            while j < len(out):
+                if out[j] == "(":
+                    depth += 1
+                elif out[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+        else:
+            w = re.compile(r"`?\w+`?").match(out, j)
+            if not w:
+                break
+            j = w.end()
+        am = alias.match(out, j)
+        tail_at = am.end() if am else j
     if not preds:
         return out
     conj = " AND ".join(preds)
-    tail_at = start + len(replacement)
     m = re.compile(r"\s*WHERE\b", re.IGNORECASE).match(out, tail_at)
     if m:
         return out[: m.end()] + f" {conj} AND" + out[m.end() :]
