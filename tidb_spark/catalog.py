@@ -36,7 +36,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ORDER_VERTEX_OFFSET = 10_000_000
 
 
+# (applicationId, sf_dir, table) -> DataFrame.  spark.read.parquet does
+# driver-side file listing + footer schema reads (~0.1 s per call); the
+# reference's answer is its in-memory infoschema catalog — ours is this
+# handle cache.  DataFrames are immutable lazy plans, so reuse is safe;
+# the applicationId key drops entries when a SparkContext is restarted.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is None:
+        hit = _TABLE_CACHE[key] = _load_table(spark, sf_dir, name)
+    return hit
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read the raw int64 and truncate to micros — the

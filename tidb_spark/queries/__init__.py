@@ -62,71 +62,73 @@ _LOADED = False
 # representative per SURVEY §2 family so every family gets driver rows;
 # everything not listed keeps its natural (import) order after slot 50.
 _PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 5: ALL 27 queries whose latest driver row is r1/r2 ---
-    # (rotation policy: staleness table in COVERAGE.md; after this window
-    # no query's latest driver check predates r3.)  tpch_q14-q17 lead —
-    # their latest driver row is r1, the oldest in the corpus.
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "subq_scalar",
-    "subq_correlated",
-    "subq_exists_bool",
-    "subq_in_notin",
-    "dedup_exact",
-    "dedup_cluster",
-    "embedding_neardup",
-    "sim_topk_quantized",
-    "func_string",
-    "func_cast",
-    "func_datetime",
-    "func_json",
-    "agg_json",
-    "multimodal_meta",
-    "point_get",
-    "batch_point_get",
-    "tpch_q2",
-    "tpch_q21",
-    "mysqlsql_group_concat",
-    "text_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    # --- round-5 new surface (never driver-checked) ---
-    "mysqlsql_json_mutate",
-    "mysqlsql_match_multipath",
-    "mysqlsql_collation_unicode",
-    "text_repetition",
-    "sample_diversity",
-    "window_groups_frame",
-    "setop_except_all",
-    # --- round-5 plan changes must re-verify: collation shim now table-
-    #     scoped + general_ci weight keys; LSH band-bucket cap; BFS
-    #     anti-before-shuffle reorder; shim UDFs re-tiered to SQL/pandas.
+    # --- round 6: ALL 32 queries whose latest driver row is r3 ---
+    # (rotation policy: staleness recomputed by replaying every
+    # CORRECTNESS_r0*.json, not from hand-kept comments; after this window
+    # no query's latest driver check predates r4.)
+    "graph_match_out",
+    "graph_match_in",
+    "graph_match_both",
+    "graph_match_2hop",
+    "graph_match_edge_props",
+    "graph_match_multipath",
+    "stream_tumbling_hour",
+    "stream_sliding_1h_15m",
+    "stream_session_30m",
+    "stream_dedup_keys",
+    "stream_interval_join",
+    "mysqlsql_date_funcs",
+    "mysqlsql_datetime_longtail",
+    "mysqlsql_string_longtail",
+    "mysqlsql_string_misc",
+    "mysqlsql_hint_join",
+    "mysqlsql_view_join",
+    "mysqlsql_match_1hop",
+    "func_control",
+    "func_math",
+    "func_like_regexp",
+    "sim_topk_cosine",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "cte_nonrecursive",
+    "agg_rollup",
+    "join_full_outer",
+    "join_null_safe",
+    "limit_offset",
+    "sample_deterministic",
+    "setop_intersect_all",
+    "window_range_frame",
+    # --- round-6 new surface (never driver-checked) ---
+    "mysqlsql_collation_unicode_uca",
+    "mysqlsql_collation_groupby",
+    # --- round-6 plan changes must re-verify: collation shim rewritten
+    #     (per-collation dispatch, block scoping, GROUP BY fold, LIKE NO
+    #     PAD); json_unquote strict gate; BFS rounds pipelined (count job
+    #     overlaps next-round planning) + session table/graph caches.
     "mysqlsql_collation_ci",
-    "dedup_minhash_lsh",
+    "mysqlsql_collation_unicode",
+    "mysqlsql_json_read",
     "graph_any_shortest_len",
     "graph_any_shortest",
     "graph_all_shortest",
     "graph_top_k_shortest",
-    "func_hash_inet",
-    "func_mysql_shims",
-    "mysqlsql_json_read",
-    # --- fill: oldest r3-latest rows rotate forward ---
-    "cte_recursive",
-    "tpch_q1",
-    "tpch_q6",
-    "tpch_q9",
-    "tpch_q12",
-    "tpch_q18",
-    "agg_percentile",
-    # (r6 rotation plan: after a green r5 gate the stalest rows are the
-    # r3-latest queries NOT in this window — graph_match_* ×6, stream_* ×5,
-    # mysqlsql longtails, func_control/math/like_regexp, setop_intersect_all,
-    # window_range_frame, sim_* ×3, limit_offset, sample_deterministic,
-    # multimodal_features, text_winnowing, dedup_simhash, join_full_outer,
-    # join_null_safe, agg_rollup — they lead r6, plus whatever r6 adds or re-plans.)
+    "graph_any_cheapest",
+    # --- fill: oldest r4-latest rows rotate forward (graph analytics
+    #     first — graphq.py's schema cache touched their build path) ---
+    "graph_pagerank",
+    "graph_wcc",
+    "graph_triangles",
+    "dedup_simhash",
+    "dedup_semantic_ivf",
+    "multimodal_features",
+    "text_winnowing",
+    "tpch_q3",
+    # (r7 rotation plan: the remaining 40 r4-latest rows — tpch_q4/5/7/8/
+    # 10/11/13/19/20/22, agg_* ×7, join_* ×4, setop_* ×4, window_* ×4,
+    # text_* ×4, dedup_ngram_jaccard/decontaminate, multimodal_frames,
+    # sample_stratified, distinct_op, mysqlsql_prepare — lead r7, plus
+    # whatever r7 adds or re-plans.  Regenerate from the CORRECTNESS
+    # files, not this comment.)
 )
 
 
