@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from tidb_spark.graph.match import match, union_paths
 from tidb_spark.graph.model import default_graph
 from tidb_spark.graph.shortest import (
-    bfs_min_dists,
+    bfs_meet_min_dists,
     canonical_min_paths,
     enumerate_simple_paths,
     min_dist_paths,
@@ -110,19 +110,24 @@ def _knows_edges(spark: SparkSession, sf_dir: str, g):
 
 
 def _dist_bfs(spark: SparkSession, sf_dir: str):
-    """Distance-only BFS from roots c_custkey < 10, 6 hops — serves
-    graph_any_shortest_len, which projects only dist (frontier rows are two
-    longs; no path arrays flow through the per-round shuffles)."""
+    """Bidirectional pair distances for the 10×21 grid, 6 hops — serves
+    graph_any_shortest_len.  Meet-in-the-middle: 3 forward hops from the
+    10 roots and 3 backward hops from the 21 destinations run on two
+    concurrent driver threads (frontier rows are two longs; no path
+    arrays flow through the per-round shuffles)."""
     g = _graph(spark, sf_dir)
 
     def build():
-        sources = (
-            g.vertex("v_customer")
-            .df.where(F.col("c_custkey") < 10)
-            .select(F.col("c_custkey").alias("root"))
+        customer = g.vertex("v_customer").df
+        sources = customer.where(F.col("c_custkey") < 10).select(
+            F.col("c_custkey").alias("root")
         )
-        return bfs_min_dists(
+        dsts = customer.where(F.col("c_custkey").between(100, 120)).select(
+            F.col("c_custkey").alias("dst_id")
+        )
+        return bfs_meet_min_dists(
             sources,
+            dsts,
             g.edge("e_knows"),
             max_hops=6,
             prepared_edges=_knows_edges(spark, sf_dir, g),
@@ -450,11 +455,9 @@ def graph_any_shortest_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = sources.select(
         F.col("root").cast("long").alias("src_id")
     ).crossJoin(dsts.select(F.col("dst_id").cast("long").alias("dst_id")))
-    # Destination filter BEFORE the grid join: the BFS reaches ~every
-    # vertex, the grid needs 21 of them — the filter prunes inside each
-    # checkpointed round scan.
-    hits = reached.where(F.col("id").between(100, 120)).select(
-        F.col("root").alias("src_id"), F.col("id").alias("dst_id"), "dist"
+    # reached is already per-pair (bidirectional meet): (root, dst, dist).
+    hits = reached.select(
+        F.col("root").alias("src_id"), F.col("dst").alias("dst_id"), "dist"
     )
     return (
         pairs.join(hits, on=["src_id", "dst_id"], how="left_outer")
