@@ -27,75 +27,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tidb_spark.graph.model import EdgeTable
+from tidb_spark.operators.rounds import (
+    BROADCAST_MAX_ROWS as _BROADCAST_MAX_ROWS,
+    run_rounds as _run_rounds,
+)
 
 UNREACHABLE = "Unreachable"
 
-# Frontier/visited frames at or below this row count are broadcast into the
-# per-round joins: a BFS frontier starts tiny, so the expansion join and the
-# visited anti-join then need NO shuffle — only the per-round min-path
-# aggregation does.  Beyond the threshold (possible at 100 TB once the
-# frontier saturates a big component) the loop falls back to shuffle joins;
-# the counts driving the decision are free because each round's frame is
-# already materialized by its eager checkpoint.
-_BROADCAST_MAX_ROWS = 2_000_000
-
-# Pipelined round driver (VERDICT r5 #4): a BFS round costs ~0.3 s of
-# driver-side plan construction (the localCheckpoint call plans the
-# physical plan eagerly) plus ~0.15 s of job execution — serial, that is
-# the whole round latency.  The driver overlaps round h's count JOB with
-# round h+1's plan CONSTRUCTION: round h+1 builds with the newest
-# RESOLVED count (one round stale) as its broadcast-decision row
-# estimate, and when the in-flight count lands on the other side of the
-# broadcast threshold the round is re-planned with the exact count
-# before anything executes (planning is re-done — cheap; no job ran).
-# So the overlap is latency-only: the executed plans are exactly the
-# ones exact counts would have chosen, at any scale.
-
-
-def _run_rounds(seed, max_hops: int, build, *, on_round=None, guard=None) -> list:
-    """Materialize BFS rounds [seed, r1, ...] (non-empty only).
-
-    ``seed`` is the lazily-checkpointed round 0.  ``build(frontier, hop,
-    rows)`` PURELY constructs round ``hop`` (a lazily-checkpointed
-    frame) with ``rows`` as the frontier row estimate for its broadcast
-    decision — it may be called twice for one round (re-plan), so state
-    mutation belongs in ``on_round(round_df, frontier_rows)``, called
-    exactly once per surviving round before the next build.  ``guard``
-    may raise on per-round explosion (exact counts)."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    bmax = _BROADCAST_MAX_ROWS
-    rounds = [seed]
-    with ThreadPoolExecutor(1) as pool:
-        fut = pool.submit(seed.count)
-        frontier, pending, resolved = seed, None, 0
-        for hop in range(1, max_hops + 1):
-            exp = build(frontier, hop, resolved)
-            prev = fut.result()  # frontier's exact rows — the count job
-            # ran while the line above planned this round
-            if guard is not None:
-                guard(prev, hop - 1)
-            if prev == 0:
-                return rounds  # exp was built from an empty frontier
-            if (prev <= bmax) != (resolved <= bmax):
-                # stale estimate landed on the wrong side of the
-                # broadcast threshold: re-plan with the exact count
-                # (nothing has executed yet — planning cost only)
-                exp = build(frontier, hop, prev)
-            if on_round is not None:
-                on_round(exp, prev)
-            if pending is not None:
-                rounds.append(pending)
-            resolved = prev
-            fut = pool.submit(exp.count)
-            pending = exp
-            frontier = exp
-        last = fut.result()
-        if guard is not None:
-            guard(last, max_hops)
-        if pending is not None and last > 0:
-            rounds.append(pending)
-    return rounds
+# Round latency policy (broadcast threshold, pipelined count/plan overlap,
+# constant per-round plan shape) lives in tidb_spark/operators/rounds.py —
+# shared with the recursive-CTE fixpoint runner.
 
 
 def _union_all(rounds: list) -> DataFrame:

@@ -11,7 +11,11 @@ Scale notes (100 TB): each round's frontier is repartitioned by the dedup
 keys so the anti-join against the accumulated set co-partitions;
 ``localCheckpoint`` truncates lineage so plan size stays O(1) in rounds
 instead of O(rounds); MAX_ITERATION mirrors the reference's
-``@@cte_max_recursion_depth`` guard.
+``@@cte_max_recursion_depth`` guard.  Round latency is handled by the
+shared pipelined driver (``operators/rounds.py``): the round-boundary
+count job overlaps the next round's plan construction, and the seen-keys
+frame is re-checkpointed flat each round so every round compiles the
+identical plan shape (Janino codegen cache hit).
 """
 
 from __future__ import annotations
@@ -20,11 +24,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-DEFAULT_MAX_ITERATION = 1000
+from tidb_spark.operators.rounds import BROADCAST_MAX_ROWS, run_rounds
 
-# Same adaptive-broadcast policy as graph/shortest.py: visited/accumulated
-# sets at or below this many rows broadcast into the per-round anti-join.
-_BROADCAST_MAX_ROWS = 2_000_000
+DEFAULT_MAX_ITERATION = 1000
 
 
 def recursive_cte(
@@ -33,7 +35,6 @@ def recursive_cte(
     *,
     distinct_keys: list[str] | None = None,
     max_iteration: int = DEFAULT_MAX_ITERATION,
-    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Compute the fixpoint of ``seed UNION [DISTINCT] step(frontier)``.
 
@@ -42,6 +43,10 @@ def recursive_cte(
     ``WITH RECURSIVE ... UNION`` behavior — also the reference's dedup mode,
     ``executor/cte.go`` hashtable dedup).  ``None`` = UNION ALL semantics.
 
+    ``step`` must purely construct the round's plan (it may be invoked
+    twice for one round when the pipelined driver re-plans on a broadcast
+    threshold crossing — see ``operators/rounds.py``).
+
     Returns the accumulated result with the seed's schema.
     """
     from pyspark.sql import functions as F
@@ -49,43 +54,54 @@ def recursive_cte(
     columns = seed.columns
     if distinct_keys is not None:
         seed = seed.dropDuplicates(distinct_keys)
-    # Accumulated state = the list of per-round checkpointed frames; their
-    # lazy union serves reads.  (Re-checkpointing one growing frame would
-    # rewrite O(result) rows every round; the union of already-materialized
-    # pieces costs nothing extra.)
-    # Lazy checkpoint + count = one job that computes, persists, and
-    # truncates lineage (eager + count was two jobs per round).
-    rounds = [seed.localCheckpoint(eager=False)]
-    accumulated_rows = rounds[0].count()
-    frontier = rounds[0]
+    seed_ck = seed.localCheckpoint(eager=False)
+    state = {
+        "seen": (
+            seed_ck.select(*distinct_keys).localCheckpoint(eager=False)
+            if distinct_keys is not None
+            else None
+        ),
+        "rows": 0,
+    }
 
-    def _accumulated() -> DataFrame:
-        out = rounds[0]
-        for r in rounds[1:]:
-            out = out.unionByName(r)
-        return out
-
-    for iteration in range(max_iteration):
+    def build(frontier, n, rows):
         produced = step(frontier).select(*columns)
         if distinct_keys is not None:
-            seen = _accumulated().select(*distinct_keys)
+            seen = state["seen"]
             # Small accumulated sets broadcast into the anti-join (no
-            # shuffle); past the threshold fall back to a shuffled anti-join
-            # — the row counts are free, every piece is checkpointed.
-            if accumulated_rows <= _BROADCAST_MAX_ROWS:
+            # shuffle); past the threshold fall back to a shuffled
+            # anti-join.
+            if state["rows"] + rows <= BROADCAST_MAX_ROWS:
                 seen = F.broadcast(seen)
             produced = produced.dropDuplicates(distinct_keys).join(
                 seen, on=distinct_keys, how="left_anti"
             )
-        if checkpoint_every and iteration % checkpoint_every == 0:
-            produced = produced.localCheckpoint(eager=False)
-        produced_rows = produced.count()
-        if produced_rows == 0:
-            return _accumulated()
-        rounds.append(produced)
-        accumulated_rows += produced_rows
-        frontier = produced
-    raise RuntimeError(
-        f"recursive_cte: no fixpoint after {max_iteration} iterations "
-        "(reference errors likewise at @@cte_max_recursion_depth)"
+        return produced.localCheckpoint(eager=False)
+
+    def on_round(produced, frontier_rows):
+        state["rows"] += frontier_rows
+        if distinct_keys is not None:
+            # Flat re-checkpoint (lazy, materialized inside the next
+            # round's job): keeps the anti-join input a single scan, so
+            # every round's plan is the same shape.
+            state["seen"] = (
+                state["seen"]
+                .unionByName(produced.select(*distinct_keys))
+                .localCheckpoint(eager=False)
+            )
+
+    def guard(rows, rounds_done):
+        if rounds_done >= max_iteration and rows > 0:
+            raise RuntimeError(
+                f"recursive_cte: no fixpoint after {max_iteration} "
+                "iterations (reference errors likewise at "
+                "@@cte_max_recursion_depth)"
+            )
+
+    rounds = run_rounds(
+        seed_ck, max_iteration, build, on_round=on_round, guard=guard
     )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
