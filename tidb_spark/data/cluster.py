@@ -51,7 +51,10 @@ def _large_star(e: DataFrame) -> DataFrame:
             F.least(F.col("u"), F.col("minv")).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
-        .distinct()
+        # No distinct here: _small_star (always applied next) ends in one,
+        # and each sym row yields at most one output edge, so duplicates
+        # are bounded by the input edge count — dropping the intermediate
+        # distinct removes a whole shuffle+dedup stage per round.
     )
 
 
@@ -98,14 +101,29 @@ def connected_components(
     Alternating large-star/small-star rounds; converges in O(log n)
     rounds (each: one shuffle-agg + one shuffle-join, both on the node
     key — AQE handles skewed super-nodes)."""
-    e = _canon(edges, src, dst).localCheckpoint(eager=True)
-    prev = _checksum(e)
-    for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cur = _checksum(e)
-        if cur == prev:
-            break
-        prev = cur
+    # Lazy checkpoints + pipelined checksums: the checksum action is what
+    # materializes each round's checkpoint (ONE fused job per round), and
+    # it runs on a helper thread so round n's checksum JOB overlaps round
+    # n+1's plan CONSTRUCTION — the same overlap discipline as
+    # operators/rounds.py, adapted to a fixpoint stop (checksum stable)
+    # instead of an empty-frontier stop.  The round built past the
+    # fixpoint is plan-only; it never executes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    e = _canon(edges, src, dst).localCheckpoint(eager=False)
+    prev: tuple[int, int] | None = None
+    with ThreadPoolExecutor(1) as pool:
+        fut = pool.submit(_checksum, e)
+        for _ in range(max_rounds):
+            nxt = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            cur = fut.result()
+            if cur == prev:
+                break  # e already converged; nxt was never executed
+            prev = cur
+            fut = pool.submit(_checksum, nxt)
+            e = nxt
+        else:
+            fut.result()
     # Converged edges are min-rooted stars: non-roots point at their root.
     nodes = (
         e.select(F.col("u").alias("node"))

@@ -61,9 +61,26 @@ def spread_small(df: DataFrame, *keys: str) -> DataFrame:
     spreads across cores AND the resulting hash partitioning satisfies the
     later window/groupBy on that key, so the (much larger) post-explode
     rowset never shuffles.  Skipped when the scan already yields enough
-    partitions — at scale this branch never triggers."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    partitions — at scale this branch never triggers.
+
+    The smallness probe reads the OPTIMIZER's size estimate instead of
+    ``df.rdd.getNumPartitions()``: ``.rdd`` compiles the physical plan
+    (Catalyst physical planning + Janino codegen, ~0.9 s cold on a wide
+    shingle/minhash projection) just to count scan splits, while
+    ``optimizedPlan().stats()`` stops after logical optimization (~40 ms)
+    — the decision only needs order-of-magnitude.  Inputs with unknown
+    stats (e.g. checkpointed RDD scans report the defaultSizeInBytes
+    sentinel) fall back to the exact partition count."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size >= (1 << 60):  # stats unknown — sentinel default; count exactly
+        parts = df.rdd.getNumPartitions()
+    else:
+        mpb_conf = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        mpb = int(str(mpb_conf).lower().rstrip("b"))
+        parts = max(1, (size + mpb - 1) // mpb)
+    if parts < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism, *keys)
     return df
 
