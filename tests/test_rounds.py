@@ -1,0 +1,66 @@
+"""Unit tests for the pipelined round driver (operators/rounds.py) and
+small dedup helpers — pure Python, no SparkSession."""
+
+from tidb_spark.data.dedup import _parse_byte_size
+from tidb_spark.operators.rounds import run_rounds
+
+
+class _Fake:
+    """Stands in for a lazily-checkpointed round frame."""
+
+    def __init__(self, rows: int):
+        self.rows = rows
+
+    def count(self) -> int:
+        return self.rows
+
+
+def test_parse_byte_size_forms():
+    """ADVICE r6 (low): spark.sql.files.maxPartitionBytes accepts
+    human-readable sizes ('128m', '512MB') — parse them instead of
+    crashing on int()."""
+    assert _parse_byte_size("134217728") == 134217728
+    assert _parse_byte_size(134217728) == 134217728
+    assert _parse_byte_size("128m") == 128 << 20
+    assert _parse_byte_size("512MB") == 512 << 20
+    assert _parse_byte_size("1g") == 1 << 30
+    assert _parse_byte_size(" 64k ") == 64 << 10
+    assert _parse_byte_size("134217728b") == 134217728
+    assert _parse_byte_size("nonsense") is None
+    assert _parse_byte_size("12.5m") is None
+
+
+def test_run_rounds_replan_hook_consulted():
+    """ADVICE r6 (low): callers whose builds size an accumulated set
+    from the stale estimate report that decision via ``replan`` — the
+    driver re-plans (build called twice, exact count) when it fires."""
+    builds: list[tuple[int, int]] = []
+    produced = {1: 5, 2: 3}
+
+    def build(frontier, n, rows):
+        builds.append((n, rows))
+        return _Fake(produced.get(n, 0))
+
+    rounds = run_rounds(
+        _Fake(2), 10, build, replan=lambda est, exact: est != exact
+    )
+    # rounds: seed(2), r1(5), r2(3); r3 produced 0 rows -> excluded
+    assert [r.rows for r in rounds] == [2, 5, 3]
+    # every round whose estimate was stale rebuilt once with the exact
+    # count: (1, 0)->(1, 2), (2, 2)->(2, 5), (3, 5)->(3, 3)
+    assert builds == [(1, 0), (1, 2), (2, 2), (2, 5), (3, 5), (3, 3), (4, 3)]
+
+
+def test_run_rounds_no_replan_without_hook():
+    """Within-threshold estimate drift alone must NOT re-plan (the
+    overlap is latency-only when no size decision flips)."""
+    builds: list[tuple[int, int]] = []
+    produced = {1: 5, 2: 3}
+
+    def build(frontier, n, rows):
+        builds.append((n, rows))
+        return _Fake(produced.get(n, 0))
+
+    rounds = run_rounds(_Fake(2), 10, build)
+    assert [r.rows for r in rounds] == [2, 5, 3]
+    assert builds == [(1, 0), (2, 2), (3, 5), (4, 3)]

@@ -1527,3 +1527,82 @@ def test_match_comma_path_kind_rejected(engine):
             ".(v_customer AS b), ANY SHORTEST (v_customer AS c)"
             ".OUT(e_knows)*.(v_customer AS d)"
         )
+
+
+def test_ci_groupby_fold_aliased_and_expression_projection(engine):
+    """ADVICE r6 (medium): the _ci GROUP BY fold must not double-alias
+    an aliased projection (`name AS label` became `min(name) AS name AS
+    label`, a ParseException) and must keep expression context for a
+    depth-0 expression occurrence (`name || '!'`)."""
+    engine.sql(
+        "CREATE TABLE gbf_ci (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(20) COLLATE utf8mb4_general_ci)"
+    )
+    engine.sql(
+        "INSERT INTO gbf_ci VALUES (1, 'Alpha'), (2, 'alpha'), (3, 'BETA')"
+    )
+    rows = engine.sql(
+        "SELECT name AS label, COUNT(*) AS n FROM gbf_ci "
+        "GROUP BY name ORDER BY label"
+    ).collect()
+    assert [(r.label, r.n) for r in rows] == [("Alpha", 2), ("BETA", 1)]
+    rows = engine.sql(
+        "SELECT name || '!' AS deco, COUNT(*) AS n FROM gbf_ci "
+        "GROUP BY name ORDER BY deco"
+    ).collect()
+    assert [(r.deco, r.n) for r in rows] == [("Alpha!", 2), ("BETA!", 1)]
+    # bare projection still pins the representative's output name
+    rows = engine.sql(
+        "SELECT name, COUNT(*) AS n FROM gbf_ci GROUP BY name ORDER BY name"
+    ).collect()
+    assert [(r.name, r.n) for r in rows] == [("Alpha", 2), ("BETA", 1)]
+    engine.sql("DROP TABLE gbf_ci")
+
+
+def test_ci_groupby_fold_union_branches(engine):
+    """ADVICE r6 (medium): a depth-0 UNION of grouped selects over _ci
+    columns folds each branch's OWN GROUP BY + SELECT list (previously
+    the last GROUP BY paired with the first SELECT list: branch 1
+    grouped case-sensitively, branch 2 failed analysis)."""
+    engine.sql(
+        "CREATE TABLE gbu_ci (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(20) COLLATE utf8mb4_general_ci)"
+    )
+    engine.sql(
+        "INSERT INTO gbu_ci VALUES (1, 'Alpha'), (2, 'alpha'), (3, 'BETA')"
+    )
+    rows = engine.sql(
+        "SELECT name, COUNT(*) AS n FROM gbu_ci GROUP BY name "
+        "UNION ALL "
+        "SELECT name, COUNT(*) AS n FROM gbu_ci GROUP BY name"
+    ).collect()
+    assert sorted((r.name, r.n) for r in rows) == [
+        ("Alpha", 2), ("Alpha", 2), ("BETA", 1), ("BETA", 1),
+    ]
+    # mixed: only one branch grouped — the other stays untouched
+    rows = engine.sql(
+        "SELECT name, COUNT(*) AS n FROM gbu_ci GROUP BY name "
+        "UNION ALL SELECT name, k AS n FROM gbu_ci WHERE k = 3"
+    ).collect()
+    assert sorted((r.name, r.n) for r in rows) == [
+        ("Alpha", 2), ("BETA", 1), ("BETA", 3),
+    ]
+    engine.sql("DROP TABLE gbu_ci")
+
+
+def test_match_splice_qualified_comma_item():
+    """ADVICE r6 (low): a qualified comma item (db.tbl) after a MATCH
+    segment must be consumed whole — stopping at `db` spliced the
+    hoisted WHERE inside the item."""
+    from tidb_spark.sqlshim.match_clause import splice
+
+    sql = "SELECT * FROM MATCHSEG, db.tbl t WHERE x = 1"
+    start = sql.index("MATCHSEG")
+    out = splice(
+        sql, start, start + len("MATCHSEG"),
+        "edges e JOIN nodes v ON e.dst = v.id", ["v.id > 0"],
+    )
+    assert out == (
+        "SELECT * FROM edges e JOIN nodes v ON e.dst = v.id, db.tbl t "
+        "WHERE v.id > 0 AND x = 1"
+    )

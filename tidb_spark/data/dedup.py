@@ -31,6 +31,19 @@ from pyspark.sql import functions as F
 _MERSENNE_PRIME = (1 << 31) - 1
 
 
+def _parse_byte_size(v) -> int | None:
+    """Bytes for a Spark size conf value — plain ints AND the
+    human-readable forms Spark accepts ('128m', '512MB', '1g');
+    None when unparseable (callers fall back to an exact count)."""
+    import re as _re
+
+    m = _re.match(r"^\s*(\d+)\s*([kmgtp]?)b?\s*$", str(v), _re.IGNORECASE)
+    if not m:
+        return None
+    shift = {"": 0, "k": 10, "m": 20, "g": 30, "t": 40, "p": 50}
+    return int(m.group(1)) << shift[m.group(2).lower()]
+
+
 def _hash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal-hash family
     h_i(x) = (a_i * x + b_i) mod p."""
@@ -78,8 +91,11 @@ def spread_small(df: DataFrame, *keys: str) -> DataFrame:
         parts = df.rdd.getNumPartitions()
     else:
         mpb_conf = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        mpb = int(str(mpb_conf).lower().rstrip("b"))
-        parts = max(1, (size + mpb - 1) // mpb)
+        mpb = _parse_byte_size(mpb_conf)
+        if mpb is None:  # unparseable conf — fall back to the exact count
+            parts = df.rdd.getNumPartitions()
+        else:
+            parts = max(1, (size + mpb - 1) // mpb)
     if parts < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism, *keys)
     return df

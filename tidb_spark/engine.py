@@ -1935,28 +1935,36 @@ class Engine:
         # GROUP BY folding: GROUP BY col -> GROUP BY key(col), with
         # min(col) projected as the deterministic group representative
         # (engine contract; MySQL returns an arbitrary member's case).
-        gspan = self._last_top_level_clause(
-            residue, r"GROUP\s+BY\s+", r"HAVING|ORDER|LIMIT|WINDOW"
-        )
-        folded: list[tuple[str | None, str]] = []
-        if gspan:
-            s_, e_ = gspan
-
-            def _gb(cm: re.Match) -> str:
-                kind = _kind(cm.group("q0"), cm.group("c0"))
-                if kind is None:
-                    return cm.group(0)
-                folded.append((cm.group("q0"), cm.group("c0")))
-                return _key(kind, _tok(cm, 0))
-
-            clause = re.sub(
-                rf"(?<![\w.(]){qual.format(0)}\b(?!\s*\()",
-                _gb,
-                residue[s_:e_],
+        # A depth-0 set operator (UNION/INTERSECT/EXCEPT) separates
+        # independent SELECT blocks, so each branch folds its OWN
+        # GROUP BY and SELECT list — pairing the statement's last
+        # GROUP BY with its first SELECT list would mis-rewrite both.
+        pieces: list[str] = []
+        for seg in self._split_depth0_setops(residue):
+            gspan = self._last_top_level_clause(
+                seg, r"GROUP\s+BY\s+", r"HAVING|ORDER|LIMIT|WINDOW"
             )
-            residue = residue[:s_] + clause + residue[e_:]
-        if folded:
-            residue = self._ci_fold_select_list(residue, folded)
+            folded: list[tuple[str | None, str]] = []
+            if gspan:
+                s_, e_ = gspan
+
+                def _gb(cm: re.Match) -> str:
+                    kind = _kind(cm.group("q0"), cm.group("c0"))
+                    if kind is None:
+                        return cm.group(0)
+                    folded.append((cm.group("q0"), cm.group("c0")))
+                    return _key(kind, _tok(cm, 0))
+
+                clause = re.sub(
+                    rf"(?<![\w.(]){qual.format(0)}\b(?!\s*\()",
+                    _gb,
+                    seg[s_:e_],
+                )
+                seg = seg[:s_] + clause + seg[e_:]
+            if folded:
+                seg = self._ci_fold_select_list(seg, folded)
+            pieces.append(seg)
+        residue = "".join(pieces)
 
         # Statement-final TOP-LEVEL ORDER BY only: a window's OVER(ORDER
         # BY ...) lives inside parens and must not attract the rewrite.
@@ -2027,13 +2035,63 @@ class Engine:
                     if m and (k == 0 or not (
                         sel[k - 1].isalnum() or sel[k - 1] in "_."
                     )):
-                        parts.append(f"min({tok}) AS {col}")
+                        # Pin the output name with AS only when the
+                        # occurrence IS the whole projection item
+                        # (comma/start before, comma/end after).  An
+                        # aliased occurrence (`col AS label`) keeps its
+                        # own alias, and an expression occurrence
+                        # (`col || x`) keeps its context — appending
+                        # AS there produced a double alias / broken
+                        # expression (r6 ADVICE).
+                        b = k - 1
+                        while b >= 0 and sel[b].isspace():
+                            b -= 1
+                        a = m.end()
+                        while a < len(sel) and sel[a].isspace():
+                            a += 1
+                        bare = (b < 0 or sel[b] == ",") and (
+                            a >= len(sel) or sel[a] == ","
+                        )
+                        parts.append(
+                            f"min({tok}) AS {col}"
+                            if bare
+                            else f"min({tok})"
+                        )
                         k = m.end()
                         continue
                 parts.append(c)
                 k += 1
             sel = "".join(parts)
         return residue[: sm.end()] + sel + residue[j:]
+
+    @staticmethod
+    def _split_depth0_setops(text: str) -> list[str]:
+        """Split ``text`` at depth-0 set-operator keywords (UNION /
+        INTERSECT / EXCEPT / MINUS); each keyword starts the following
+        segment, so ``"".join(result) == text``.  String literals must
+        already be masked (a keyword inside a literal would otherwise
+        split)."""
+        kw = re.compile(r"(?is)(?:UNION|INTERSECT|EXCEPT|MINUS)\b")
+        cuts: list[int] = []
+        depth = 0
+        for i, c in enumerate(text):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and c in "UIEMuiem":
+                boundary = i == 0 or not (
+                    text[i - 1].isalnum() or text[i - 1] in "_."
+                )
+                if boundary and kw.match(text, i):
+                    cuts.append(i)
+        segs: list[str] = []
+        prev = 0
+        for i in cuts:
+            segs.append(text[prev:i])
+            prev = i
+        segs.append(text[prev:])
+        return segs
 
     @staticmethod
     def _last_top_level_clause(

@@ -98,8 +98,21 @@ def recursive_cte(
                 "@@cte_max_recursion_depth)"
             )
 
+    def replan(estimate, exact):
+        # build() sizes the seen-set broadcast from state["rows"] +
+        # frontier estimate; re-plan when the exact count flips THAT
+        # decision too, not just the frontier-side one (r6 ADVICE).
+        return (state["rows"] + estimate <= BROADCAST_MAX_ROWS) != (
+            state["rows"] + exact <= BROADCAST_MAX_ROWS
+        )
+
     rounds = run_rounds(
-        seed_ck, max_iteration, build, on_round=on_round, guard=guard
+        seed_ck,
+        max_iteration,
+        build,
+        on_round=on_round,
+        guard=guard,
+        replan=replan if distinct_keys is not None else None,
     )
     out = rounds[0]
     for r in rounds[1:]:

@@ -23,8 +23,12 @@ CONSTRUCTION: round h+1 builds with the newest RESOLVED count (one round
 stale) as its broadcast-decision row estimate, and when the in-flight
 count lands on the other side of the broadcast threshold the round is
 re-planned with the exact count before anything executes (planning is
-re-done — cheap; no job ran).  The overlap is latency-only: the executed
-plans are exactly the ones exact counts would have chosen, at any scale.
+re-done — cheap; no job ran).  The overlap is latency-only for the
+FRONTIER-side decision: those executed plans are exactly the ones exact
+counts would have chosen.  Callers whose builds also size an ACCUMULATED
+set (visited rows, CTE seen-keys) report that decision through the
+``replan`` hook so their threshold crossings re-plan the same way —
+without it, only the frontier crossing is detected (r6 ADVICE).
 """
 
 from __future__ import annotations
@@ -36,7 +40,9 @@ from __future__ import annotations
 BROADCAST_MAX_ROWS = 2_000_000
 
 
-def run_rounds(seed, max_rounds: int, build, *, on_round=None, guard=None) -> list:
+def run_rounds(
+    seed, max_rounds: int, build, *, on_round=None, guard=None, replan=None
+) -> list:
     """Materialize rounds ``[seed, r1, ...]`` (non-empty only).
 
     ``seed`` is the lazily-checkpointed round 0.  ``build(frontier, n,
@@ -46,7 +52,10 @@ def run_rounds(seed, max_rounds: int, build, *, on_round=None, guard=None) -> li
     belongs in ``on_round(round_df, frontier_rows)``, called exactly once
     per surviving round before the next build.  ``guard(rows, rounds_done)``
     may raise on per-round explosion or missing fixpoint (exact counts).
-    """
+    ``replan(estimate, exact)`` lets a caller extend the re-plan
+    predicate: return True when the exact frontier count would flip any
+    OTHER size decision its build made from the estimate (e.g. an
+    accumulated-set broadcast keyed off ``state_rows + rows``)."""
     from concurrent.futures import ThreadPoolExecutor
 
     bmax = BROADCAST_MAX_ROWS
@@ -62,10 +71,13 @@ def run_rounds(seed, max_rounds: int, build, *, on_round=None, guard=None) -> li
                 guard(prev, n - 1)
             if prev == 0:
                 return rounds  # exp was built from an empty frontier
-            if (prev <= bmax) != (resolved <= bmax):
+            if (prev <= bmax) != (resolved <= bmax) or (
+                replan is not None and replan(resolved, prev)
+            ):
                 # stale estimate landed on the wrong side of the
-                # broadcast threshold: re-plan with the exact count
-                # (nothing has executed yet — planning cost only)
+                # broadcast threshold (frontier-side here, caller-side
+                # via replan): re-plan with the exact count (nothing
+                # has executed yet — planning cost only)
                 exp = build(frontier, n, prev)
             if on_round is not None:
                 on_round(exp, prev)

@@ -396,7 +396,10 @@ def splice(sql: str, start: int, end: int, replacement: str, preds: list[str]) -
                         break
                 j += 1
         else:
-            w = re.compile(r"`?\w+`?").match(out, j)
+            # qualified names (db.tbl) must consume the whole dotted
+            # chain — stopping mid-token would splice the hoisted WHERE
+            # inside the item (r6 ADVICE)
+            w = re.compile(r"`?\w+`?(?:\.`?\w+`?)*").match(out, j)
             if not w:
                 break
             j = w.end()
