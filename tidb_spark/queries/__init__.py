@@ -62,73 +62,73 @@ _LOADED = False
 # representative per SURVEY §2 family so every family gets driver rows;
 # everything not listed keeps its natural (import) order after slot 50.
 _PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 6: ALL 32 queries whose latest driver row is r3 ---
-    # (rotation policy: staleness recomputed by replaying every
-    # CORRECTNESS_r0*.json, not from hand-kept comments; after this window
-    # no query's latest driver check predates r4.)
-    "graph_match_out",
-    "graph_match_in",
-    "graph_match_both",
-    "graph_match_2hop",
-    "graph_match_edge_props",
-    "graph_match_multipath",
-    "stream_tumbling_hour",
-    "stream_sliding_1h_15m",
-    "stream_session_30m",
-    "stream_dedup_keys",
-    "stream_interval_join",
-    "mysqlsql_date_funcs",
-    "mysqlsql_datetime_longtail",
-    "mysqlsql_string_longtail",
-    "mysqlsql_string_misc",
-    "mysqlsql_hint_join",
-    "mysqlsql_view_join",
-    "mysqlsql_match_1hop",
-    "func_control",
-    "func_math",
-    "func_like_regexp",
-    "sim_topk_cosine",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "cte_nonrecursive",
-    "agg_rollup",
-    "join_full_outer",
-    "join_null_safe",
-    "limit_offset",
-    "sample_deterministic",
-    "setop_intersect_all",
-    "window_range_frame",
-    # --- round-6 new surface (never driver-checked) ---
-    "mysqlsql_collation_unicode_uca",
+    # --- round 7 window (50 slots the driver verifies) ---
+    # Built by replaying CORRECTNESS_r0{1..6}.json: 3 never-checked
+    # r7 additions, then the 8 queries whose plans r7's fixes changed
+    # (engine _ci GROUP BY fold rewritten per-set-op-branch; cte replan
+    # hook; MATCH splice dotted-item fix), then ALL 39 rows whose latest
+    # green driver check is r4 (the stalest tier).  After this window no
+    # query's latest driver row predates r5.
+    # --- new in r7 (never driver-checked) ---
+    "join_asof",
+    "agg_histogram",
+    "text_tfidf_topterms",
+    # --- r7 plan changes must re-verify ---
     "mysqlsql_collation_groupby",
-    # --- round-6 plan changes must re-verify: collation shim rewritten
-    #     (per-collation dispatch, block scoping, GROUP BY fold, LIKE NO
-    #     PAD); json_unquote strict gate; BFS rounds pipelined (count job
-    #     overlaps next-round planning) + session table/graph caches.
     "mysqlsql_collation_ci",
     "mysqlsql_collation_unicode",
-    "mysqlsql_json_read",
-    "graph_any_shortest_len",
-    "graph_any_shortest",
-    "graph_all_shortest",
-    "graph_top_k_shortest",
-    "graph_any_cheapest",
-    # --- fill: oldest r4-latest rows rotate forward (graph analytics
-    #     first — graphq.py's schema cache touched their build path) ---
-    "graph_pagerank",
-    "graph_wcc",
-    "graph_triangles",
-    "dedup_simhash",
-    "dedup_semantic_ivf",
-    "multimodal_features",
-    "text_winnowing",
-    "tpch_q3",
-    # (r7 rotation plan: the remaining 40 r4-latest rows — tpch_q4/5/7/8/
-    # 10/11/13/19/20/22, agg_* ×7, join_* ×4, setop_* ×4, window_* ×4,
-    # text_* ×4, dedup_ngram_jaccard/decontaminate, multimodal_frames,
-    # sample_stratified, distinct_op, mysqlsql_prepare — lead r7, plus
-    # whatever r7 adds or re-plans.  Regenerate from the CORRECTNESS
-    # files, not this comment.)
+    "mysqlsql_collation_unicode_uca",
+    "cte_recursive",
+    "mysqlsql_match_multipath",
+    "mysqlsql_match_1hop",
+    "dedup_minhash_lsh",
+    # --- the 39 r4-latest rows ---
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    "join_inner_nonequi",
+    "join_left_outer",
+    "join_right_outer",
+    "join_cross",
+    "setop_union_distinct",
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "window_rank_family",
+    "window_lead_lag",
+    "window_rows_frame",
+    "window_partition_agg",
+    "distinct_op",
+    "agg_group_concat",
+    "agg_bit_ops",
+    "agg_var_stddev",
+    "agg_count_distinct",
+    "agg_minmax_first",
+    "agg_approx_sketches",
+    "agg_grouping_sets",
+    "dedup_ngram_jaccard",
+    "dedup_decontaminate",
+    "multimodal_frames",
+    "text_pii_scrub",
+    "sample_stratified",
+    "text_seq_packing",
+    "text_pipeline_e2e",
+    "text_top_tokens",
+    "mysqlsql_prepare",
+    # (r8 rotation plan: the 43 r5-latest rows — tpch_q1/2/6/9/12/14-18/
+    # 21, subq_* ×4, func_* ×6 tail, dedup_exact/cluster, point gets,
+    # text_* r5 tier, sample_diversity, window_groups_frame,
+    # setop_except_all, agg_percentile/json, embedding_neardup,
+    # sim_topk_quantized, multimodal_meta, mysqlsql_group_concat/
+    # json_mutate — lead r8.  Regenerate from the CORRECTNESS files,
+    # not this comment.)
 )
 
 

@@ -1393,3 +1393,63 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Per-document distinctive terms (TF-IDF-ranked, integer-exact).
+
+TFIDF_TOPTERMS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, u.t AS term
+  FROM (SELECT doc_id, {_NORM} AS n FROM documents),
+       UNNEST(string_split(n, ' ')) AS u(t)
+  WHERE length(u.t) >= 3
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+r AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dfq.df ASC, tf.term
+         ) AS rnk
+  FROM tf JOIN dfq USING (term))
+SELECT doc_id, term, tf, df, rnk FROM r
+WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
+@register("text_tfidf_topterms", oracle=TFIDF_TOPTERMS_ORACLE, tags=("text",))
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document, TF-IDF ranked: high term
+    frequency first, low document frequency breaking ties (the idf
+    factor is monotone in 1/df, so the (tf DESC, df ASC) sort IS the
+    tf·idf order for fixed tf — and stays integer-exact, no float log).
+
+    Plan shape: explode → (doc, term) count → term df count → tf⋈df on
+    term → per-doc top-k window.  Every stage is key-partitioned; the
+    df side is bounded by vocabulary size, and the final window sees ≤
+    |distinct terms per doc| rows per key — no global sort anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        dd.spread_small(
+            docs.select(
+                "doc_id", dd.normalize_text(F.col("text")).alias("n")
+            ),
+            "doc_id",
+        )
+        .select("doc_id", F.explode(F.split("n", " ")).alias("term"))
+        .where(F.length("term") >= 3)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), "term"
+    )
+    return (
+        tf.join(dfq, "term")
+        .select("doc_id", "term", "tf", "df", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
+    )

@@ -1197,3 +1197,93 @@ def subq_in_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    WHERE o_totalprice > 450000)
            ORDER BY c_custkey"""
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join (executed extension — the reference's JoinType enum has no
+# point-in-time variant, planner/core/logical_plans.go:59; same posture as
+# the GROUPS frame / ALL SHORTEST extensions).  One union + one per-key
+# window shuffle; see operators/asof.py for the 100 TB argument.
+
+JOIN_ASOF_ORACLE = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT * FROM events WHERE event_type = 'view'),
+     m AS (
+       SELECT p.event_id, p.user_id, p.ts,
+              (SELECT max(v.ts) FROM v
+               WHERE v.user_id = p.user_id AND v.ts <= p.ts) AS view_ts
+       FROM p)
+SELECT event_id, user_id, ts, view_ts,
+       epoch_us(ts) - epoch_us(view_ts) AS gap_us
+FROM m
+ORDER BY event_id
+"""
+
+
+@register("join_asof", oracle=JOIN_ASOF_ORACLE, tags=("join",))
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase gets the SAME USER's latest
+    at-or-before view event.  Formulated as union + per-user window
+    (operators/asof.py) — one shuffle, no range-join pair explosion."""
+    from tidb_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase")
+    views = events.where(F.col("event_type") == "view")
+    m = asof_join(
+        purchases, views, on=["user_id"], left_time="ts", right_time="ts"
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_r").alias("view_ts"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))).alias(
+            "gap_us"
+        ),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram — the reference builds per-column histograms for its
+# CBO (statistics/histogram.go:1 Histogram buckets; ANALYZE fills them,
+# executor/analyze.go).  Exposed as a query so the distribution pass a data
+# pipeline runs before filtering is first-class: one map-side-combined
+# groupBy on the bucket id, no sort, no skew (≤ n_buckets groups).
+
+AGG_HISTOGRAM_ORACLE = """
+SELECT CAST(least(floor(value / 25.0), 19) AS BIGINT) AS bucket,
+       CAST(least(floor(value / 25.0), 19) AS BIGINT) * 25 AS lo,
+       COUNT(*) AS n,
+       min(value) AS lo_value,
+       max(value) AS hi_value
+FROM events
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@register("agg_histogram", oracle=AGG_HISTOGRAM_ORACLE, tags=("agg",))
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket equi-width histogram of events.value over [0, 500), last
+    bucket clamped open-ended (statistics/histogram.go bucket layout).
+    min/max per bucket are data values (exact); no float accumulation."""
+    events = _t(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("long")
+    return (
+        events.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo_value"),
+            F.max("value").alias("hi_value"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 25).alias("lo"),
+            "n",
+            "lo_value",
+            "hi_value",
+        )
+        .orderBy("bucket")
+    )
