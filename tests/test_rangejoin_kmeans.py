@@ -1,0 +1,92 @@
+"""Operator-level tests for the bucketed range join and quantized k-means
+(the query-level oracle mirror in test_correctness.py covers the registered
+queries; these pin the operators' contracts directly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tidb_spark.data.kmeans import kmeans_assignments
+from tidb_spark.operators.rangejoin import range_join
+
+
+def _naive(points, intervals, point_col, lo_col, hi_col):
+    return points.crossJoin(intervals).where(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    )
+
+
+def test_range_join_matches_naive_cross_product(spark):
+    points = spark.range(0, 200).select(
+        F.col("id").alias("pid"), (F.col("id") * 0.37 % 50).alias("pv")
+    )
+    intervals = spark.range(0, 60).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 0.81 % 45).alias("lo"),
+        ((F.col("id") * 0.81 % 45) + 3.0).alias("hi"),
+    )
+    got = (
+        range_join(points, intervals, point_col="pv", lo_col="lo",
+                   hi_col="hi", bucket_width=3.0)
+        .select("pid", "iid").orderBy("pid", "iid").collect()
+    )
+    want = (
+        _naive(points, intervals, "pv", "lo", "hi")
+        .select("pid", "iid").orderBy("pid", "iid").collect()
+    )
+    assert got == want
+    assert len(got) > 0  # non-vacuous
+
+
+def test_range_join_no_duplicate_pairs_on_bucket_boundary(spark):
+    # Interval exactly on a bucket boundary spans 2 buckets; the point on
+    # the boundary must appear exactly once.
+    points = spark.createDataFrame([(1, 10.0)], "pid long, pv double")
+    intervals = spark.createDataFrame(
+        [(7, 10.0, 10.0), (8, 5.0, 15.0)], "iid long, lo double, hi double"
+    )
+    rows = (
+        range_join(points, intervals, point_col="pv", lo_col="lo",
+                   hi_col="hi", bucket_width=10.0)
+        .select("pid", "iid").collect()
+    )
+    assert sorted((r.pid, r.iid) for r in rows) == [(1, 7), (1, 8)]
+
+
+def test_range_join_inclusive_bounds(spark):
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 7.0), (3, 7.000001)], "pid long, pv double"
+    )
+    intervals = spark.createDataFrame([(9, 5.0, 7.0)], "iid long, lo double, hi double")
+    rows = range_join(points, intervals, point_col="pv", lo_col="lo",
+                      hi_col="hi", bucket_width=2.0).collect()
+    assert sorted(r.pid for r in rows) == [1, 2]
+
+
+def test_kmeans_deterministic_and_total(spark):
+    emb = spark.range(0, 40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 4).cast("float"),
+            ((F.col("id") * 7) % 5).cast("float"),
+            (F.col("id") % 3).cast("float"),
+        ).alias("embedding"),
+    )
+    a1 = kmeans_assignments(emb, k=4, iters=2).orderBy("vec_id").collect()
+    a2 = kmeans_assignments(emb, k=4, iters=2).orderBy("vec_id").collect()
+    assert a1 == a2  # deterministic end to end
+    assert len(a1) == 40  # every point assigned exactly once
+    assert {r.cluster_id for r in a1} <= set(range(4))
+
+
+def test_kmeans_separated_clusters_recovered(spark):
+    # Two tight blobs far apart -> 2-means with the blobs' own members as
+    # seeds must split them exactly.
+    rows = [(i, [float(i % 5), 0.0]) for i in range(10)] + [
+        (i, [1000.0 + float(i % 5), 0.0]) for i in range(10, 20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = kmeans_assignments(emb, k=2, iters=2).orderBy("vec_id").collect()
+    low = {r.cluster_id for r in got if r.vec_id < 10}
+    high = {r.cluster_id for r in got if r.vec_id >= 10}
+    assert len(low) == 1 and len(high) == 1 and low != high

@@ -520,3 +520,56 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["d1", "d2"])
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    threshold: float = 0.5,
+    max_posting: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT: |A∩B| / min(|A|,|B|)
+    ≥ threshold — catches a short document embedded inside a longer one,
+    which Jaccard misses (the union denominator dilutes the short side).
+
+    Same inverted-index scale shape as :func:`ngram_jaccard_pairs` (posting
+    self-join on the shingle hash, hot-shingle cap, counts-only pair agg);
+    only the final arithmetic differs.  Emits (d1, d2, c, n1, n2,
+    containment) with d1 < d2."""
+    posting = shingle_posting(df, text_col, id_col, k=k, distinct=True)
+    sizes = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    if max_posting is not None:
+        hot = (
+            posting.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .where(F.col("df_count") > max_posting)
+            .select("g")
+        )
+        posting = posting.join(hot, on="g", how="left_anti")
+    a = posting.select(F.col("doc").alias("d1"), "g")
+    b = posting.select(F.col("doc").alias("d2"), "g")
+    common = (
+        a.join(b, on="g")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"doc": "d1", "n": "n1"}), on="d1")
+        .join(sizes.withColumnsRenamed({"doc": "d2", "n": "n2"}), on="d2")
+        .select(
+            "d1",
+            "d2",
+            "c",
+            "n1",
+            "n2",
+            (
+                F.col("c").cast("double")
+                / F.least("n1", "n2").cast("double")
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

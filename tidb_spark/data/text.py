@@ -145,3 +145,25 @@ def scrub_pii(col: Column) -> Column:
     )
     out = F.regexp_replace(out, r"\+?\d[\d -]{7,}\d", "<PHONE>")
     return out
+
+
+def chunk_spans(col: Column, *, window: int, stride: int) -> Column:
+    """Start offsets (0-based, token units) of overlapping chunks over the
+    normalized-whitespace token stream: 0, stride, 2*stride, ... while the
+    start is inside the document.  Every document yields >= 1 chunk (an
+    empty/short doc is one short chunk) — RAG/pretraining chunkers keep
+    tails, they don't drop them.
+    """
+    toks = F.split(normalize_text(col), " ")
+    n = F.size(toks)
+    return F.sequence(
+        F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(stride)
+    )
+
+
+def chunk_text(col: Column, start: Column, *, window: int) -> Column:
+    """The chunk's text: `window` tokens from 0-based `start` (1-based
+    slice), re-joined with single spaces.  Pure codegen: split + slice +
+    concat_ws."""
+    toks = F.split(normalize_text(col), " ")
+    return F.concat_ws(" ", F.slice(toks, start + F.lit(1), F.lit(window)))

@@ -63,16 +63,21 @@ _LOADED = False
 # everything not listed keeps its natural (import) order after slot 50.
 _PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round 7 window (50 slots the driver verifies) ---
-    # Built by replaying CORRECTNESS_r0{1..6}.json: 3 never-checked
+    # Built by replaying CORRECTNESS_r0{1..6}.json: 7 never-checked
     # r7 additions, then the 8 queries whose plans r7's fixes changed
     # (engine _ci GROUP BY fold rewritten per-set-op-branch; cte replan
-    # hook; MATCH splice dotted-item fix), then ALL 39 rows whose latest
-    # green driver check is r4 (the stalest tier).  After this window no
-    # query's latest driver row predates r5.
+    # hook; MATCH splice dotted-item fix), then 35 of the 39 rows whose
+    # latest green driver check is r4 (the stalest tier; the 4 bumped
+    # rows — mysqlsql_prepare, text_top_tokens, text_pipeline_e2e,
+    # text_seq_packing — lead the r8 window).
     # --- new in r7 (never driver-checked) ---
     "join_asof",
     "agg_histogram",
     "text_tfidf_topterms",
+    "text_chunking",
+    "data_mixture",
+    "embedding_kmeans",
+    "join_range",
     # --- r7 plan changes must re-verify ---
     "mysqlsql_collation_groupby",
     "mysqlsql_collation_ci",
@@ -118,17 +123,15 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "multimodal_frames",
     "text_pii_scrub",
     "sample_stratified",
-    "text_seq_packing",
-    "text_pipeline_e2e",
-    "text_top_tokens",
-    "mysqlsql_prepare",
-    # (r8 rotation plan: the 43 r5-latest rows — tpch_q1/2/6/9/12/14-18/
-    # 21, subq_* ×4, func_* ×6 tail, dedup_exact/cluster, point gets,
-    # text_* r5 tier, sample_diversity, window_groups_frame,
+    # (r8 rotation plan: the 4 r4-latest rows bumped from this window —
+    # mysqlsql_prepare, text_top_tokens, text_pipeline_e2e,
+    # text_seq_packing — then the 43 r5-latest rows: tpch_q1/2/6/9/12/
+    # 14-18/21, subq_* ×4, func_* ×6 tail, dedup_exact/cluster, point
+    # gets, text_* r5 tier, sample_diversity, window_groups_frame,
     # setop_except_all, agg_percentile/json, embedding_neardup,
     # sim_topk_quantized, multimodal_meta, mysqlsql_group_concat/
-    # json_mutate — lead r8.  Regenerate from the CORRECTNESS files,
-    # not this comment.)
+    # json_mutate.  Regenerate from the CORRECTNESS files, not this
+    # comment.)
 )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from tidb_spark.catalog import load_table
 from tidb_spark.data import dedup as dd
+from tidb_spark.data import kmeans as km
 from tidb_spark.data import multimodal as mm
 from tidb_spark.data import similarity as sim
 from tidb_spark.data import text as tx
@@ -1452,4 +1453,205 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", F.row_number().over(w).alias("rnk"))
         .where(F.col("rnk") <= 3)
         .orderBy("doc_id", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Document chunking (RAG / pretraining windows).
+
+CHUNKING_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start // 24 AS BIGINT) AS chunk_idx,
+       CAST(least(32, len(toks) - start) AS BIGINT) AS n_tokens,
+       md5(array_to_string(toks[CAST(start + 1 AS INT):CAST(start + 32 AS INT)], ' ')) AS chunk_hash
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@register("text_chunking", oracle=CHUNKING_ORACLE, tags=("text",))
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token-window chunking (window=32, stride=24) —
+    the pretraining/RAG splitter.  Pure codegen: split → sequence of
+    start offsets → posexplode → slice/concat_ws/md5.  Embarrassingly
+    parallel (per-row explode, no shuffle until the presentation sort);
+    output size is input size × ~(1/stride) duplication — the plan at
+    100 TB is scan → project → explode → project, zero exchanges."""
+    docs = dd.spread_small(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    spans = docs.select(
+        "doc_id",
+        "text",
+        F.posexplode(tx.chunk_spans(F.col("text"), window=32, stride=24)).alias(
+            "chunk_idx", "start"
+        ),
+    )
+    toks = F.split(dd.normalize_text(F.col("text")), " ")
+    return (
+        spans.select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.least(F.lit(32), F.size(toks) - F.col("start"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.md5(
+                tx.chunk_text(F.col("text"), F.col("start"), window=32).cast(
+                    "binary"
+                )
+            ).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# Source-mixture sampling to a per-source token budget.
+
+MIXTURE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split({_NORM}, ' ')) AS tok,
+         CASE WHEN source IN ('src0','src1','src2','src3','src4')
+              THEN 600 ELSE 300 END AS budget
+  FROM documents
+),
+r AS (
+  SELECT *,
+         SUM(tok) OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM d
+)
+SELECT source,
+       COUNT(*)  AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       MIN(budget) AS budget
+FROM r
+WHERE cum - tok < budget
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("data_mixture", oracle=MIXTURE_ORACLE, tags=("sample",))
+def data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: sample each source down to a token
+    budget (head sources 600 tokens, tail 300) by hash-ranked cumulative
+    token count — deterministic, order-free, and the budget boundary doc
+    is kept (standard "fill then stop" packing).
+
+    Scale: ONE shuffle on source (the window), then a map-side-combined
+    re-aggregation on the same key — at 100 TB with few sources the
+    per-source window is the skew hazard, so the production variant
+    pre-aggregates per (source, hash-prefix) ranges; here sources are
+    uniform and the plan stays two exchanges total."""
+    docs = _t(spark, sf_dir, "documents")
+    d = dd.spread_small(docs.select("doc_id", "source", "text"), "source").select(
+        "doc_id",
+        "source",
+        F.size(F.split(dd.normalize_text(F.col("text")), " ")).cast("long").alias("tok"),
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"), F.lit(600)
+        )
+        .otherwise(F.lit(300))
+        .cast("long")
+        .alias("budget"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string").cast("binary")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = d.withColumn("cum", F.sum("tok").over(w)).where(
+        F.col("cum") - F.col("tok") < F.col("budget")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.min("budget").alias("budget"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# k-means over embeddings (SemDeDup / IVF-training building block).
+
+KMEANS_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id, qv AS cv
+  FROM q ORDER BY vec_id LIMIT 8
+),
+a1 AS (
+  SELECT vec_id, cluster_id, qv,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_sum([(qv[i] - cv[i]) * (qv[i] - cv[i]) FOR i IN range(1, len(qv) + 1)]),
+                    cluster_id
+         ) AS rn
+  FROM q CROSS JOIN c0
+),
+c1 AS (
+  SELECT cluster_id, list(CAST(floor(s / n) AS BIGINT) ORDER BY i) AS cv
+  FROM (
+    SELECT cluster_id, u.i AS i,
+           SUM(qv[u.i]) AS s, COUNT(*) AS n
+    FROM a1, range(1, 65) u(i)
+    WHERE rn = 1
+    GROUP BY cluster_id, u.i
+  )
+  GROUP BY cluster_id
+),
+a2 AS (
+  SELECT vec_id, cluster_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_sum([(qv[i] - cv[i]) * (qv[i] - cv[i]) FOR i IN range(1, len(qv) + 1)]),
+                    cluster_id
+         ) AS rn
+  FROM q CROSS JOIN c1
+)
+SELECT cluster_id,
+       COUNT(*) AS n_points,
+       MIN(vec_id) AS min_vec_id,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+FROM a2 WHERE rn = 1
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
+@register("embedding_kmeans", oracle=KMEANS_ORACLE, tags=("embedding",))
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means (k=8, 2 Lloyd steps, deterministic lowest-id seeds) over
+    the embedding table, integer-quantized so the oracle matches
+    bit-exactly (see data/kmeans.py for the scale contract: k-row
+    driver sync per step, broadcast assign, one combined shuffle per
+    update — nothing O(n) ever leaves the executors)."""
+    emb = dd.spread_small(_t(spark, sf_dir, "embeddings"), "vec_id")
+    assigned = km.kmeans_assignments(
+        emb, vec_col="embedding", id_col="vec_id", k=8, iters=2, scale=1000
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+        .orderBy("cluster_id")
     )

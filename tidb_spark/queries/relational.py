@@ -1287,3 +1287,66 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Numeric range (interval) join — bucketed equi-join scale path; see
+# operators/rangejoin.py.  The reference executes BETWEEN-join predicates
+# as Selection over a nested-loop Apply (executor/join.go); the oracle
+# below is exactly that naive formulation (DuckDB's IEJoin runs it), so
+# correctness pins the bucketed plan against the cross-product semantics.
+
+JOIN_RANGE_ORACLE = """
+WITH i AS (SELECT event_id AS interval_id, value AS lo, value + 5.0 AS hi
+           FROM events WHERE event_type = 'purchase'),
+     p AS (SELECT event_id AS point_id, value AS pv
+           FROM events WHERE event_type = 'click')
+SELECT interval_id,
+       COUNT(point_id)                              AS n_matches,
+       CAST(COALESCE(SUM(CAST(round(pv * 100) AS BIGINT)), 0) AS BIGINT)
+                                                    AS sum_pv_cents,
+       MIN(point_id)                                AS min_point_id
+FROM i LEFT JOIN p ON p.pv BETWEEN i.lo AND i.hi
+GROUP BY interval_id
+ORDER BY interval_id
+"""
+
+
+@register("join_range", oracle=JOIN_RANGE_ORACLE, tags=("join",))
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: each purchase's value-window [v, v+5] counts the
+    click events whose value falls inside it.  Executed as the bucketed
+    equi-join (operators/rangejoin.py) — O(n) with a ≤2× interval
+    duplication — then re-aggregated per interval; unmatched intervals
+    are restored with a left anti-union (count 0), matching the oracle's
+    LEFT JOIN.  Point values are summed in exact cents."""
+    from tidb_spark.operators.rangejoin import range_join
+
+    events = _t(spark, sf_dir, "events")
+    intervals = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("interval_id"),
+        F.col("value").alias("lo"),
+        (F.col("value") + F.lit(5.0)).alias("hi"),
+    )
+    points = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("point_id"), F.col("value").alias("pv")
+    )
+    matched = (
+        range_join(
+            points, intervals, point_col="pv", lo_col="lo", hi_col="hi",
+            bucket_width=5.0,
+        )
+        .groupBy("interval_id")
+        .agg(
+            F.count("point_id").alias("n_matches"),
+            F.sum(F.round(F.col("pv") * 100).cast("long")).alias("sum_pv_cents"),
+            F.min("point_id").alias("min_point_id"),
+        )
+    )
+    empty = intervals.join(matched, "interval_id", "left_anti").select(
+        "interval_id",
+        F.lit(0).cast("long").alias("n_matches"),
+        F.lit(0).cast("long").alias("sum_pv_cents"),
+        F.lit(None).cast("long").alias("min_point_id"),
+    )
+    return matched.unionByName(empty).orderBy("interval_id")
