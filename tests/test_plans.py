@@ -476,3 +476,51 @@ def test_text_repetition_zero_shuffle(spark):
     )
     assert plan.count("Exchange") <= 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_range_join_no_cartesian(spark):
+    """The bucketed range join must plan as an equi-join on the bucket id —
+    never a CartesianProduct / BroadcastNestedLoopJoin (the naive plan for
+    pure non-equi predicates, reference executor/join.go nested-loop
+    Apply)."""
+    p = plan_of(spark, "join_range", mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Join" in p  # really joined, not rewritten away
+
+
+def test_sessionize_single_window_exchange(spark):
+    """Both window passes (lag-gap, running sum) share the user_id
+    partitioning — Catalyst must fuse them into ONE hash-partitioned
+    exchange (plus the final aggregate's reuse of it)."""
+    p = plan_of(spark, "ts_sessionize", mode="simple")
+    assert p.count("hashpartitioning(user_id") >= 1
+    # The window sort must not re-shuffle between the two passes:
+    assert p.count("Exchange hashpartitioning(user_id") <= 1, p
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """The k-means assign stage must broadcast the k-row centroid side,
+    never shuffle the points for the candidate join."""
+    from tidb_spark.catalog import load_table
+    from tidb_spark.data.kmeans import kmeans_assignments
+
+    emb = load_table(spark, TEST_SF_DIR, "embeddings")
+    df = kmeans_assignments(emb, k=4, iters=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    p = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_chunking_zero_exchange_before_sort(spark):
+    """Chunking is per-row explode work — the only exchanges allowed are
+    the deliberate spread_small repartition (REPARTITION_BY_NUM) and the
+    presentation orderBy's range partitioning; no operator may DEMAND a
+    hash shuffle (ENSURE_REQUIREMENTS)."""
+    p = plan_of(spark, "text_chunking", mode="simple")
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "REPARTITION_BY_NUM" in line, line

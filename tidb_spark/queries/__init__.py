@@ -63,13 +63,12 @@ _LOADED = False
 # everything not listed keeps its natural (import) order after slot 50.
 _PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round 7 window (50 slots the driver verifies) ---
-    # Built by replaying CORRECTNESS_r0{1..6}.json: 7 never-checked
+    # Built by replaying CORRECTNESS_r0{1..6}.json: 13 never-checked
     # r7 additions, then the 8 queries whose plans r7's fixes changed
     # (engine _ci GROUP BY fold rewritten per-set-op-branch; cte replan
-    # hook; MATCH splice dotted-item fix), then 35 of the 39 rows whose
-    # latest green driver check is r4 (the stalest tier; the 4 bumped
-    # rows — mysqlsql_prepare, text_top_tokens, text_pipeline_e2e,
-    # text_seq_packing — lead the r8 window).
+    # hook; MATCH splice dotted-item fix), then 29 of the 39 rows whose
+    # latest green driver check is r4 (the stalest tier; the 10 bumped
+    # rows lead the r8 window — see the r8 plan note below).
     # --- new in r7 (never driver-checked) ---
     "join_asof",
     "agg_histogram",
@@ -78,6 +77,12 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "data_mixture",
     "embedding_kmeans",
     "join_range",
+    "ts_sessionize",
+    "ts_rollup_gapfill",
+    "agg_mode",
+    "join_skew_salted",
+    "dedup_containment",
+    "text_unigram_rarity",
     # --- r7 plan changes must re-verify ---
     "mysqlsql_collation_groupby",
     "mysqlsql_collation_ci",
@@ -87,7 +92,7 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "mysqlsql_match_multipath",
     "mysqlsql_match_1hop",
     "dedup_minhash_lsh",
-    # --- the 39 r4-latest rows ---
+    # --- 29 of the 39 r4-latest rows ---
     "tpch_q4",
     "tpch_q5",
     "tpch_q7",
@@ -101,15 +106,12 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "join_inner_nonequi",
     "join_left_outer",
     "join_right_outer",
-    "join_cross",
     "setop_union_distinct",
-    "setop_union_all",
     "setop_intersect",
     "setop_except",
     "window_rank_family",
     "window_lead_lag",
     "window_rows_frame",
-    "window_partition_agg",
     "distinct_op",
     "agg_group_concat",
     "agg_bit_ops",
@@ -117,17 +119,16 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_count_distinct",
     "agg_minmax_first",
     "agg_approx_sketches",
-    "agg_grouping_sets",
-    "dedup_ngram_jaccard",
     "dedup_decontaminate",
     "multimodal_frames",
     "text_pii_scrub",
-    "sample_stratified",
-    # (r8 rotation plan: the 4 r4-latest rows bumped from this window —
+    # (r8 rotation plan: the 10 r4-latest rows bumped from this window —
     # mysqlsql_prepare, text_top_tokens, text_pipeline_e2e,
-    # text_seq_packing — then the 43 r5-latest rows: tpch_q1/2/6/9/12/
-    # 14-18/21, subq_* ×4, func_* ×6 tail, dedup_exact/cluster, point
-    # gets, text_* r5 tier, sample_diversity, window_groups_frame,
+    # text_seq_packing, agg_grouping_sets, dedup_ngram_jaccard,
+    # sample_stratified, join_cross, setop_union_all,
+    # window_partition_agg — then the 43 r5-latest rows: tpch_q1/2/6/9/12/14-18/21,
+    # subq_* ×4, func_* ×6 tail, dedup_exact/cluster, point gets,
+    # text_* r5 tier, sample_diversity, window_groups_frame,
     # setop_except_all, agg_percentile/json, embedding_neardup,
     # sim_topk_quantized, multimodal_meta, mysqlsql_group_concat/
     # json_mutate.  Regenerate from the CORRECTNESS files, not this

@@ -1655,3 +1655,100 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Containment near-dup (short-doc-inside-long-doc; Jaccard's blind spot).
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([substr(n, i, 8) FOR i IN range(1, greatest(length(n) - 6, 2))]) AS s
+  FROM (SELECT doc_id, {_NORM} AS n FROM documents WHERE doc_id < 200)
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.s, b.s)) AS c, len(a.s) AS n1, len(b.s) AS n2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT d1, d2, c, n1, n2,
+       CAST(c AS DOUBLE) / least(n1, n2) AS containment
+FROM pairs
+WHERE CAST(c AS DOUBLE) / least(n1, n2) >= 0.3
+ORDER BY d1, d2
+"""
+
+
+@register("dedup_containment", oracle=DEDUP_CONTAINMENT_ORACLE, tags=("dedup",))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment pairs (|A∩B| / min(|A|,|B|) ≥ 0.3): the
+    inverted-index posting join of ngram_jaccard with an asymmetric
+    denominator — finds excerpts/boilerplate embedded in longer docs.
+    Oracle is the all-pairs list_intersect on the same restricted set."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return (
+        dd.containment_pairs(
+            docs, "text", "doc_id", k=8, threshold=0.3, max_posting=None
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram commonness (perplexity-proxy quality signal, integer-exact).
+
+UNIGRAM_RARITY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, u.t AS term
+  FROM (SELECT doc_id, {_NORM} AS n FROM documents),
+       UNNEST(string_split(n, ' ')) AS u(t)
+  WHERE length(u.t) >= 3
+),
+cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+d AS (
+  SELECT tok.doc_id,
+         COUNT(*) AS n_tok,
+         CAST(SUM(cnt.c) AS BIGINT) AS sum_cnt
+  FROM tok JOIN cnt USING (term)
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, n_tok,
+       CAST(sum_cnt * 1000000 // n_tok AS BIGINT) AS commonness_micros
+FROM d
+ORDER BY doc_id
+"""
+
+
+@register("text_unigram_rarity", oracle=UNIGRAM_RARITY_ORACLE, tags=("text",))
+def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean corpus-frequency of its tokens — the integer-exact
+    stand-in for a unigram-LM perplexity quality filter (a doc of rare
+    tokens scores low commonness, boilerplate scores high).  Two shuffles
+    (corpus term count, per-doc re-agg) + one join on term; the term-count
+    side is vocabulary-sized, broadcastable far beyond 100 TB corpora."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        dd.spread_small(
+            docs.select("doc_id", dd.normalize_text(F.col("text")).alias("n")),
+            "doc_id",
+        )
+        .select("doc_id", F.explode(F.split("n", " ")).alias("term"))
+        .where(F.length("term") >= 3)
+    )
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    d = (
+        tok.join(cnt, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("c").alias("sum_cnt"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "n_tok",
+        # `div` = exact integer division (no double rounding at any scale).
+        F.expr("sum_cnt * 1000000L div n_tok").cast("long").alias(
+            "commonness_micros"
+        ),
+    ).orderBy("doc_id")

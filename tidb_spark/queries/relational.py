@@ -1297,7 +1297,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness pins the bucketed plan against the cross-product semantics.
 
 JOIN_RANGE_ORACLE = """
-WITH i AS (SELECT event_id AS interval_id, value AS lo, value + 5.0 AS hi
+WITH i AS (SELECT event_id AS interval_id, value AS lo, value + 0.5 AS hi
            FROM events WHERE event_type = 'purchase'),
      p AS (SELECT event_id AS point_id, value AS pv
            FROM events WHERE event_type = 'click')
@@ -1314,19 +1314,21 @@ ORDER BY interval_id
 
 @register("join_range", oracle=JOIN_RANGE_ORACLE, tags=("join",))
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval join: each purchase's value-window [v, v+5] counts the
+    """Interval join: each purchase's value-window [v, v+0.5] counts the
     click events whose value falls inside it.  Executed as the bucketed
     equi-join (operators/rangejoin.py) — O(n) with a ≤2× interval
     duplication — then re-aggregated per interval; unmatched intervals
-    are restored with a left anti-union (count 0), matching the oracle's
-    LEFT JOIN.  Point values are summed in exact cents."""
+    are restored with ONE outer join from the interval side (count 0),
+    matching the oracle's LEFT JOIN without evaluating the range join
+    twice (an anti-join + union formulation recomputes it).  Point
+    values are summed in exact cents."""
     from tidb_spark.operators.rangejoin import range_join
 
     events = _t(spark, sf_dir, "events")
     intervals = events.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("interval_id"),
         F.col("value").alias("lo"),
-        (F.col("value") + F.lit(5.0)).alias("hi"),
+        (F.col("value") + F.lit(0.5)).alias("hi"),
     )
     points = events.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("point_id"), F.col("value").alias("pv")
@@ -1334,7 +1336,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = (
         range_join(
             points, intervals, point_col="pv", lo_col="lo", hi_col="hi",
-            bucket_width=5.0,
+            bucket_width=0.5,
         )
         .groupBy("interval_id")
         .agg(
@@ -1343,10 +1345,239 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("point_id").alias("min_point_id"),
         )
     )
-    empty = intervals.join(matched, "interval_id", "left_anti").select(
-        "interval_id",
-        F.lit(0).cast("long").alias("n_matches"),
-        F.lit(0).cast("long").alias("sum_pv_cents"),
-        F.lit(None).cast("long").alias("min_point_id"),
+    return (
+        intervals.select("interval_id")
+        .join(matched, "interval_id", "left")
+        .select(
+            "interval_id",
+            F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
+            F.coalesce("sum_pv_cents", F.lit(0).cast("long")).alias(
+                "sum_pv_cents"
+            ),
+            "min_point_id",
+        )
+        .orderBy("interval_id")
     )
-    return matched.unionByName(empty).orderBy("interval_id")
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization — lag-gap + cumulative-sum session ids (the batch
+# twin of streaming/events.py's session windows; reference expresses this
+# as window functions, planner/core/logical_plans.go window plan).
+
+TS_SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              ) > 21600000000 OR
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_idx
+  FROM g
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM s
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+@register("ts_sessionize", oracle=TS_SESSIONIZE_ORACLE, tags=("ts",))
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 6h inactivity gap: lag → gap flag →
+    running sum = session id, then one per-(user, session) aggregate.
+    Two window passes over ONE partitioning (user_id) — Catalyst fuses
+    them into a single sort+window stage, so the whole operator is one
+    shuffle; at 100 TB per-user event streams fit partitions by the same
+    contract every sessionizer has."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    g = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap_us.isNull() | (gap_us > 6 * 3600 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    s = g.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_idx"),
+    )
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hypertable-style hourly rollup with gap filling (continuous-aggregate
+# shape: every (type, hour) cell exists even when no events landed in it).
+
+TS_ROLLUP_GAPFILL_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, g.hr
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        FROM bounds) g
+)
+SELECT s.event_type, s.hr,
+       COALESCE(h.n, 0)     AS n,
+       COALESCE(h.cents, 0) AS cents
+FROM spine s LEFT JOIN h ON s.event_type = h.event_type AND s.hr = h.hr
+ORDER BY s.event_type, s.hr
+"""
+
+
+@register("ts_rollup_gapfill", oracle=TS_ROLLUP_GAPFILL_ORACLE, tags=("ts",))
+def ts_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup per event type with a dense gap-filled spine
+    (TimescaleDB time_bucket_gapfill shape).  The rollup is one map-side-
+    combined groupBy; the spine is (types × hours) built from a 1-row
+    bounds aggregate crossed with the distinct types — both broadcast-
+    sized at ANY fact scale, so the gap-fill join adds no data-sized
+    shuffle beyond the rollup's own."""
+    events = _t(spark, sf_dir, "events")
+    h = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr")
+    )
+    spine = events.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    return (
+        spine.join(h, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("cents"), F.lit(0)).alias("cents"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+# --------------------------------------------------------------------------
+# Modal value per group (MySQL has no MODE() builtin; the reference
+# computes it the same way — count + window top-1).
+
+AGG_MODE_ORACLE = """
+WITH b AS (
+  SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, bucket, n,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY n DESC, bucket
+         ) AS rn
+  FROM b
+)
+SELECT event_type, bucket AS mode_bucket, n AS mode_n
+FROM r WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+@register("agg_mode", oracle=AGG_MODE_ORACLE, tags=("agg",))
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value-decade) per event type, deterministic
+    lowest-bucket tiebreak: count groupBy (map-side combined) + a top-1
+    window whose input is ≤ |buckets| rows per group — no data-sized
+    sort."""
+    events = _t(spark, sf_dir, "events")
+    b = (
+        events.select(
+            "event_type",
+            F.floor(F.col("value") / 10).cast("long").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "bucket")
+    return (
+        b.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("bucket").alias("mode_bucket"),
+            F.col("n").alias("mode_n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew-salted join — operators/skew.py exposed as a registry query; the
+# oracle is the plain join, pinning that salting is correctness-neutral.
+
+JOIN_SKEW_ORACLE = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@register("join_skew_salted", oracle=JOIN_SKEW_ORACLE, tags=("join",))
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim join through the explicit salting operator
+    (operators/skew.py: dim replicated salt ways, fact scattered with a
+    random salt, equi-join on (key, salt)) — the manual fallback for skew
+    AQE won't split.  The oracle is the unsalted join: same rows, same
+    aggregate, pinning that the rewrite is semantics-free."""
+    from tidb_spark.operators.skew import salted_join
+
+    events = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(events, cust, on=["user_id"], salt=8, how="inner")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
