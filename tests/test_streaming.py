@@ -154,3 +154,33 @@ def test_stream_merge_into_managed_table(spark, tmp_path):
         sdf3, table, checkpoint_dir=str(tmp_path / "ck1"), transform=project
     )
     assert table.df().count() == n_events
+
+
+def test_stream_cascade_rollup_equals_batch_closed_windows(spark):
+    """Chained stateful aggregation (minute partials → hour rollup) must
+    run as a STREAM (window-of-window watermark propagation) and its
+    append-mode output must equal the batch run on every CLOSED window
+    (hour_end ≤ final watermark = max_ts − 1h); open windows are
+    legitimately withheld by append mode."""
+    from pyspark.sql import functions as F
+
+    batch_src = load_table(spark, TEST_SF_DIR, "events")
+    batch = ev.cascade_rollup(batch_src)
+    max_ts = batch_src.agg(F.max("ts")).first()[0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=1)
+    closed = batch.where(
+        F.col("window_start") + F.expr("interval 1 hour") <= F.lit(cutoff)
+    )
+    stream = ev.cascade_rollup(
+        ev.with_watermark(ev.events_stream(spark, TEST_SF_DIR), "1 hour")
+    )
+    out = ev.run_to_memory(
+        stream, f"c_{uuid.uuid4().hex}", output_mode="append"
+    ).where(F.col("window_start") + F.expr("interval 1 hour") <= F.lit(cutoff))
+    assert_frames_match(
+        _sorted_pdf(out, ["window_start", "event_type"]),
+        _sorted_pdf(closed, ["window_start", "event_type"]),
+        "stream_cascade_vs_batch",
+    )

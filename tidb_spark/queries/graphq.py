@@ -13,9 +13,10 @@ storage-order dependent); self-pairs get dist 0 / path ``[x]``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tidb_spark.catalog import load_table
 from tidb_spark.graph.match import match, union_paths
 from tidb_spark.graph.model import default_graph
 from tidb_spark.graph.shortest import (
@@ -777,3 +778,96 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy("id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction by common-neighbor count (the classic graph-ML feature;
+# an executed extension — the reference's MATCH surface stops at fixed
+# patterns, logical_plan_builder.go buildGraph).
+
+COMMON_NEIGHBORS_ORACLE = f"""
+WITH {E_KNOWS_CTE},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e_knows WHERE src <> dst
+),
+nbr AS (
+  SELECT a AS v, b AS n FROM und UNION SELECT b AS v, a AS n FROM und
+),
+deg AS (SELECT n, COUNT(*) AS d FROM nbr GROUP BY n),
+ok_nbr AS (SELECT nbr.v, nbr.n FROM nbr JOIN deg USING (n) WHERE deg.d <= 1000),
+cand AS (
+  SELECT x.v AS a, y.v AS b, COUNT(*) AS common_cnt
+  FROM ok_nbr x JOIN ok_nbr y ON x.n = y.n AND x.v < y.v
+  GROUP BY x.v, y.v
+),
+nonadj AS (
+  SELECT c.a, c.b, c.common_cnt
+  FROM cand c LEFT JOIN und u ON c.a = u.a AND c.b = u.b
+  WHERE u.a IS NULL
+)
+SELECT a, b, common_cnt
+FROM nonadj
+ORDER BY common_cnt DESC, a, b
+LIMIT 20
+"""
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=COMMON_NEIGHBORS_ORACLE,
+    tags=("graph",),
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 link predictions on the knows graph: non-adjacent vertex
+    pairs ranked by common-neighbor count (deterministic (cnt DESC, a, b)
+    tiebreak).
+
+    Scale shape: undirected-canonical edge dedup, then the two-hop
+    wedge self-join keyed on the SHARED NEIGHBOR — the one key whose
+    skew explodes the join (a degree-d hub emits d² wedges), so hub
+    vertices above degree 1000 are excluded from being the common
+    neighbor (both sides of the oracle apply the same cap; standard
+    link-prediction practice since hub-mediated wedges carry ~zero
+    signal).  Final ranking is a TakeOrderedAndProject, no global
+    sort."""
+    from tidb_spark.data.dedup import spread_small
+
+    orders = spread_small(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        "o_orderkey",
+    )
+    a = orders.select(
+        F.col("o_orderkey").alias("k1"), F.col("o_custkey").alias("src")
+    )
+    b = orders.select(
+        (F.col("o_orderkey") - 1).alias("k1"), F.col("o_custkey").alias("dst")
+    )
+    knows = a.join(b, "k1").where(F.col("src") != F.col("dst"))
+    und = knows.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    # No distinct needed: und is canonical (a<b), so the v<n and v>n
+    # halves of the union are disjoint by construction.
+    nbr = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionByName(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    # Degree cap as a count-over-window on the SAME n-partitioning the
+    # wedge join needs next — one shuffle serves both (a groupBy+join
+    # formulation costs an extra exchange for identical semantics).
+    wd = Window.partitionBy("n")
+    ok = (
+        nbr.withColumn("d", F.count(F.lit(1)).over(wd))
+        .where(F.col("d") <= 1000)
+        .select("v", "n")
+    )
+    x = ok.select(F.col("v").alias("a"), "n")
+    y = ok.select(F.col("v").alias("b"), "n")
+    cand = (
+        x.join(y, "n")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common_cnt"))
+    )
+    nonadj = cand.join(und, ["a", "b"], "left_anti")
+    return nonadj.orderBy(F.col("common_cnt").desc(), "a", "b").limit(20)

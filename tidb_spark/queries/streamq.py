@@ -148,3 +148,23 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.where(F.col("event_type") == "click"),
         events.where(F.col("event_type") == "error"),
     ).orderBy("click_id", "error_id")
+
+
+CASCADE_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {_SUM}   AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@register("stream_cascade_rollup", oracle=CASCADE_ORACLE, tags=("streaming",))
+def stream_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute→hour cascading rollup (streaming/events.py cascade_rollup);
+    the oracle aggregates hours DIRECTLY from raw events, pinning that
+    re-aggregating decomposable partials is lossless."""
+    df = load_table(spark, sf_dir, "events")
+    return ev.cascade_rollup(df).orderBy("window_start", "event_type")

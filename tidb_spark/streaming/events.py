@@ -274,3 +274,38 @@ def stream_merge_into(
         .start()
     )
     query.awaitTermination()
+
+
+def cascade_rollup(df: DataFrame) -> DataFrame:
+    """Two-tier cascading rollup: minute partials re-aggregated to hours —
+    the continuous-materialized-view pattern (store the fine tier, serve
+    the coarse tiers from partials instead of raw events).
+
+    Losslessness contract: count and decimal-sum are decomposable
+    aggregates, so hour-from-minutes equals hour-from-raw exactly (the
+    registered oracle is the direct hour aggregation).  At 100 TB the
+    hour tier touches 60× fewer rows than the raw scan, and the second
+    stage shuffles minute-partial rows only."""
+    minutes = df.groupBy(
+        F.window("ts", "1 minute").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+    )
+    # Window-of-window keeps the event-time watermark flowing through the
+    # second stateful aggregation (Spark's chained-stateful-operators
+    # contract) — date_trunc over w.start would sever it and break the
+    # streaming form of this exact plan.
+    return (
+        minutes.groupBy(F.window(F.col("w"), "1 hour").alias("h"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("h.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
