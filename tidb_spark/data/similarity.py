@@ -653,3 +653,63 @@ def ivf_bucketed_neardup(
         )
     )
     return pairs.select("v1", "v2", "centroid_id", "dot")
+
+
+def within_group_cosine_pairs(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Pairs (group, v1 < v2) with cosine ≥ num/den, searched ONLY within
+    each group — the SemDeDup kernel (groups = k-means clusters).
+
+    Same exact integer algebra as :func:`allpairs_cosine_above` but
+    round-half-up quantization (matching data/kmeans.py's quantize, so
+    one oracle chain covers clustering AND pairing), and one
+    applyInPandas cell per group: an exact int64 matmul over the group's
+    rows.  Contract: a group (n_g × dim int64) must fit an executor —
+    production SemDeDup sizes k ∝ n to bound n_g; groups past that get
+    the block-pair treatment of allpairs_cosine_above within the group.
+    """
+    num2, den2 = threshold_num * threshold_num, threshold_den * threshold_den
+
+    def cell(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"g": [], "v1": [], "v2": []}).astype(
+                {"g": np.int64, "v1": np.int64, "v2": np.int64}
+            )
+        V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * scale
+        Q = (np.sign(V) * np.floor(np.abs(V) + 0.5)).astype(np.int64)  # HALF_UP
+        ids = pdf[id_col].to_numpy().astype(np.int64)
+        n2 = np.einsum("ij,ij->i", Q, Q)
+        D = Q @ Q.T
+        Df = D.astype(np.float64)
+        lhs = Df * Df * den2
+        rhs = num2 * (n2.astype(np.float64)[:, None] * n2.astype(np.float64)[None, :])
+        ok = (D > 0) & (lhs >= rhs) & (ids[:, None] < ids[None, :])
+        border = (D > 0) & (
+            np.abs(lhs - rhs) <= 1e-9 * np.maximum(np.abs(lhs), np.abs(rhs))
+        ) & (ids[:, None] < ids[None, :])
+        if border.any():
+            for i_, j_ in zip(*np.nonzero(border)):
+                d_ = int(D[i_, j_])
+                ok[i_, j_] = d_ > 0 and d_ * d_ * den2 >= num2 * int(
+                    n2[i_]
+                ) * int(n2[j_])
+        i, j = np.nonzero(ok)
+        return pd.DataFrame(
+            {"g": np.full(len(i), key[0], dtype=np.int64),
+             "v1": ids[i], "v2": ids[j]}
+        )
+
+    return (
+        df.select(F.col(group_col).alias("g"), id_col, vec_col)
+        .groupby("g")
+        .applyInPandas(cell, schema="g long, v1 long, v2 long")
+        .withColumnRenamed("g", group_col)
+    )

