@@ -524,3 +524,11 @@ def test_chunking_zero_exchange_before_sort(spark):
     for line in p.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "REPARTITION_BY_NUM" in line, line
+
+
+def test_ewma_single_window_exchange(spark):
+    """All 8 lag terms share one (user_id) window sort — the plan must
+    contain at most one hash exchange and one Window node."""
+    p = plan_of(spark, "ts_ewma", mode="simple")
+    assert p.count("Exchange hashpartitioning(user_id") <= 1, p
+    assert p.count("Window ") <= 1, p

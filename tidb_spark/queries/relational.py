@@ -1589,3 +1589,66 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Exponentially weighted moving average (α = 1/2, depth 8) — integer-exact.
+
+_EWMA_TERMS_SQL = " + ".join(
+    f"COALESCE(CAST(round(LAG(value, {k}) OVER w * 100) AS BIGINT) * {1 << (7 - k)}, 0)"
+    for k in range(8)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"CASE WHEN LAG(value, {k}) OVER w IS NOT NULL THEN {1 << (7 - k)} ELSE 0 END"
+    for k in range(8)
+)
+
+TS_EWMA_ORACLE = f"""
+SELECT event_id, user_id,
+       {_EWMA_TERMS_SQL} AS num,
+       {_EWMA_DEN_SQL} AS den,
+       CAST(({_EWMA_TERMS_SQL}) * 1000000 // ({_EWMA_DEN_SQL}) AS BIGINT)
+         AS ewma_micros
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+@register("ts_ewma", oracle=TS_EWMA_ORACLE, tags=("ts",))
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (α=1/2, truncated at depth 8),
+    computed in EXACT integers: cents × power-of-two weights, presented
+    as micros via integer division — bit-identical in any engine, unlike
+    float EWMA whose pow/accumulate order is engine-specific.  One
+    shuffle (the user_id window); all 8 lags share one sort."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    num = sum(
+        (
+            F.coalesce(F.lag(cents, k).over(w), F.lit(0)) * (1 << (7 - k))
+            for k in range(8)
+        ),
+        F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(F.lag(cents, k).over(w).isNotNull(), F.lit(1 << (7 - k)))
+            .otherwise(F.lit(0))
+            for k in range(8)
+        ),
+        F.lit(0),
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            num.alias("num"),
+            den.alias("den"),
+        )
+        .withColumn(
+            "ewma_micros", F.expr("num * 1000000L div den").cast("long")
+        )
+        .orderBy("event_id")
+    )
