@@ -1,0 +1,99 @@
+"""Corpus-wide physical-plan lint — the whole-registry analogue of
+tests/test_plans.py's per-query pins (and of the reference's explaintest
+golden corpus, cmd/explaintest/r/tpch.result).
+
+For every registered query, compile the physical plan at sf0.001 and
+record the properties that matter at 100 TB:
+- cartesian: CartesianProduct / BroadcastNestedLoopJoin present (a pure
+  non-equi join that enumerates pairs — a non-plan at scale).  The
+  k-means assign stage is the one DELIBERATE broadcast-nested-loop (k-row
+  centroid side crossJoined by design), whitelisted below.
+- batch_eval_python: row-at-a-time Python UDF in the plan (the slow path;
+  the engine's contract is codegen or Arrow everywhere).
+- n_exchanges / n_scans: shuffle and scan counts, tracked so a rewrite
+  that silently doubles either shows up in the artifact diff.
+
+Usage: python scripts/plan_audit.py [out.json]   (default PLAN_AUDIT.json)
+Exit code 1 if any non-whitelisted invariant fails.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Queries allowed to contain a nested-loop/cartesian node, with the reason
+# recorded in the artifact (auditable, not silent).
+NESTED_LOOP_OK = {
+    "embedding_kmeans": "k-row centroid broadcast crossJoin (assign stage, by design)",
+    "dedup_semantic_kmeans": "k-row centroid broadcast crossJoin (assign stage, by design)",
+    "join_cross": "the query IS a CROSS JOIN (semantics, region x nation)",
+    "ts_rollup_gapfill": "distinct-types x broadcast hour-spine scaffold (both sides control-plane-sized at any fact scale)",
+    "sim_topk_cosine": "broadcast of the <=5-row query-vector side (documented ANN plan: broadcast queries + partition-local top-k)",
+    "sim_topk_quantized": "broadcast of the <=5-row query-vector side",
+    "sim_ivf_topk": "broadcast of the <=5-row query-vector side (probe-pruned)",
+    "tpch_q11": "1-row scalar-subquery threshold broadcast (Spark's plan for scalar subqueries)",
+    "tpch_q22": "1-row scalar-subquery avg(c_acctbal) broadcast",
+    "graph_any_shortest": "roots x dsts pair grid (<=10 x <=21 rows) broadcast scaffold",
+    "graph_any_shortest_len": "roots x dsts pair grid broadcast scaffold",
+    "graph_all_shortest": "roots x dsts pair grid broadcast scaffold",
+    "graph_top_k_shortest": "roots x dsts pair grid broadcast scaffold",
+}
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PLAN_AUDIT.json"
+    from tidb_spark.queries import all_queries
+    from tidb_spark.session import get_spark
+
+    spark = get_spark()
+    report: dict[str, dict] = {}
+    violations: list[str] = []
+    for name, q in sorted(all_queries().items()):
+        try:
+            df = q.spark(spark, SF_DIR)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("simple")
+            p = buf.getvalue()
+        except Exception as exc:  # pragma: no cover - audit robustness
+            report[name] = {"error": str(exc)[:200]}
+            violations.append(f"{name}: plan build failed: {exc}")
+            continue
+        cartesian = ("CartesianProduct" in p) or ("BroadcastNestedLoopJoin" in p)
+        row = {
+            "cartesian": cartesian,
+            "batch_eval_python": "BatchEvalPython" in p,
+            "n_exchanges": len(re.findall(r"Exchange ", p)),
+            "n_scans": len(re.findall(r"FileScan|Scan parquet", p)),
+        }
+        if cartesian and name in NESTED_LOOP_OK:
+            row["cartesian_whitelisted"] = NESTED_LOOP_OK[name]
+        elif cartesian:
+            violations.append(f"{name}: cartesian/nested-loop join in plan")
+        if row["batch_eval_python"]:
+            violations.append(f"{name}: BatchEvalPython in plan")
+        report[name] = row
+    summary = {
+        "n_queries": len(report),
+        "violations": violations,
+        "queries": report,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(summary, fh, indent=1, sort_keys=True)
+    print(f"{len(report)} plans audited, {len(violations)} violations")
+    for v in violations:
+        print(" -", v)
+    sys.exit(1 if violations else 0)
+
+
+if __name__ == "__main__":
+    main()
