@@ -107,7 +107,10 @@ def kmeans_assignments(
     pts = emb.select(
         F.col(id_col).alias("vec_id"), quantize(vec_col, scale=scale).alias(_Q)
     )
-    dim = len(pts.select(_Q).first()[0])
+    probe = pts.select(_Q).first()
+    if probe is None:
+        raise ValueError("kmeans_assignments: input has no rows")
+    dim = len(probe[0])
     seeds = pts.orderBy("vec_id").limit(k).collect()  # k rows by contract
     cent_schema = StructType(
         [

@@ -147,7 +147,7 @@ def scrub_pii(col: Column) -> Column:
     return out
 
 
-def chunk_spans(col: Column, *, window: int, stride: int) -> Column:
+def chunk_spans(col: Column, *, stride: int) -> Column:
     """Start offsets (0-based, token units) of overlapping chunks over the
     normalized-whitespace token stream: 0, stride, 2*stride, ... while the
     start is inside the document.  Every document yields >= 1 chunk (an

@@ -1488,7 +1488,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = docs.select(
         "doc_id",
         "text",
-        F.posexplode(tx.chunk_spans(F.col("text"), window=32, stride=24)).alias(
+        F.posexplode(tx.chunk_spans(F.col("text"), stride=24)).alias(
             "chunk_idx", "start"
         ),
     )
