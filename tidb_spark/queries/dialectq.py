@@ -654,3 +654,38 @@ def mysqlsql_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng.sql("DROP TABLE IF EXISTS ci_gb")
     return out
+
+
+# MySQL 8 named-window clause (WINDOW w AS (...), parser.y WindowClause) —
+# flows through the shim to Spark SQL's native named-window support; both
+# OVER w references share the one window definition (and one sort).
+
+WINDOW_NAMED_ORACLE = """
+SELECT o_custkey,
+       ROW_NUMBER() OVER w AS rn,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS cum_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, rn
+"""
+
+
+@register(
+    "mysqlsql_window_named",
+    oracle=WINDOW_NAMED_ORACLE,
+    tags=("dialect", "window"),
+)
+def mysqlsql_window_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause through the MySQL dialect entry: two window
+    functions referencing one named definition (integer-cents running
+    sum keeps the oracle exact).  One shuffle + one sort serves both."""
+    eng = _engine(spark, sf_dir)
+    return eng.sql(
+        "SELECT o_custkey, "
+        "ROW_NUMBER() OVER w AS rn, "
+        "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS cum_cents "
+        "FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+        "ORDER BY o_custkey, rn"
+    )
