@@ -689,3 +689,39 @@ def mysqlsql_window_named(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
         "ORDER BY o_custkey, rn"
     )
+
+
+# LATERAL derived tables — executed extension: the reference's parser has
+# no LATERAL production (parser.y); MySQL 8.0.14 added it and both Spark
+# and DuckDB support it natively, so the shim passes it through (same
+# extension posture as GROUPS frames / ALL SHORTEST).
+
+LATERAL_ORACLE = """
+SELECT c.c_custkey, t.top_cents, t.n_orders
+FROM customer c,
+     LATERAL (SELECT CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS top_cents,
+                     COUNT(*) AS n_orders
+              FROM orders o WHERE o.o_custkey = c.c_custkey) t
+WHERE c.c_custkey < 50
+ORDER BY c.c_custkey
+"""
+
+
+@register(
+    "mysqlsql_lateral", oracle=LATERAL_ORACLE, tags=("dialect", "subquery")
+)
+def mysqlsql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table through the dialect entry —
+    Catalyst decorrelates it into the same aggregate-then-join plan the
+    NestedLoopApply family uses (no per-row re-execution)."""
+    eng = _engine(spark, sf_dir)
+    return eng.sql(
+        "SELECT c.c_custkey, t.top_cents, t.n_orders "
+        "FROM customer c, "
+        "LATERAL (SELECT CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS top_cents, "
+        "COUNT(*) AS n_orders "
+        "FROM orders o WHERE o.o_custkey = c.c_custkey) t "
+        "WHERE c.c_custkey < 50 "
+        "ORDER BY c.c_custkey"
+    )
