@@ -63,13 +63,17 @@ _LOADED = False
 # everything not listed keeps its natural (import) order after slot 50.
 _PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round 7 window (50 slots the driver verifies) ---
-    # Built by replaying CORRECTNESS_r0{1..6}.json: 19 never-checked
-    # r7 additions, then the 8 queries whose plans r7's fixes changed
+    # Built by replaying CORRECTNESS_r0{1..6}.json: 22 never-checked
+    # r7 additions, then the 9 queries whose plans r7's fixes changed
     # (engine _ci GROUP BY fold rewritten per-set-op-branch; cte replan
-    # hook; MATCH splice dotted-item fix), then 23 of the 39 rows whose
-    # latest green driver check is r4 (the stalest tier; the 16 bumped
-    # rows lead the r8 window — see the r8 plan note below).
+    # hook; MATCH splice dotted-item fix; shared canonical undirected
+    # edge frame for triangles/link-prediction), then 19 of the 39 rows
+    # whose latest green driver check is r4 (the stalest tier; the 20
+    # bumped rows lead the r8 window — see the r8 plan note below).
     # --- new in r7 (never driver-checked) ---
+    "dedup_substring",
+    "text_bm25_topk",
+    "dedup_bloom_decontam",
     "join_asof",
     "agg_histogram",
     "text_tfidf_topterms",
@@ -98,7 +102,8 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "mysqlsql_match_multipath",
     "mysqlsql_match_1hop",
     "dedup_minhash_lsh",
-    # --- 23 of the 39 r4-latest rows ---
+    "graph_triangles",
+    # --- 19 of the 39 r4-latest rows ---
     "tpch_q4",
     "tpch_q5",
     "tpch_q7",
@@ -106,12 +111,8 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "tpch_q10",
     "tpch_q11",
     "tpch_q13",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q22",
     "join_inner_nonequi",
     "join_left_outer",
-    "join_right_outer",
     "setop_union_distinct",
     "setop_except",
     "window_rank_family",
@@ -122,12 +123,13 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_decontaminate",
     "multimodal_frames",
     "text_pii_scrub",
-    # (r8 rotation plan: the 16 r4-latest rows bumped from this window —
+    # (r8 rotation plan: the 20 r4-latest rows bumped from this window —
     # mysqlsql_prepare, text_top_tokens, text_pipeline_e2e,
     # text_seq_packing, agg_grouping_sets, dedup_ngram_jaccard,
     # sample_stratified, join_cross, setop_union_all,
     # window_partition_agg, setop_intersect, window_lead_lag, distinct_op,
-    # agg_var_stddev, agg_minmax_first, agg_bit_ops — then the 43 r5-latest rows: tpch_q1/2/6/9/12/14-18/21,
+    # agg_var_stddev, agg_minmax_first, agg_bit_ops, tpch_q19, tpch_q20,
+    # tpch_q22, join_right_outer — then the 43 r5-latest rows: tpch_q1/2/6/9/12/14-18/21,
     # subq_* ×4, func_* ×6 tail, dedup_exact/cluster, point gets,
     # text_* r5 tier, sample_diversity, window_groups_frame,
     # setop_except_all, agg_percentile/json, embedding_neardup,

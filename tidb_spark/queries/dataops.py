@@ -1875,3 +1875,364 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact substring-span dedup (token-level suffix-window variant of Lee et
+# al., "Deduplicating Training Data Makes Language Models Better"): every
+# k-token window of every document is fingerprinted, and a window whose
+# fingerprint appears in >= 2 distinct documents is a duplicated span.
+# Winnowing (text_winnowing) SAMPLES fingerprints; this is the exact,
+# all-positions variant the paper's suffix-array pass computes.
+
+SUBSTRING_K = 8
+
+DEDUP_SUBSTRING_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+),
+post AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(array_to_string(
+             list_slice(toks, i, i + {SUBSTRING_K - 1}), ' ')), 1, 15)
+           AS BIGINT) AS h
+  FROM tk, UNNEST(range(1, greatest(len(toks) - {SUBSTRING_K - 1}, 0) + 1)) AS t(i)
+),
+dup AS (
+  SELECT h FROM post GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+         COUNT(*) FILTER (WHERE h IN (SELECT h FROM dup)) AS n_dup_windows
+  FROM post GROUP BY doc_id
+)
+SELECT doc_id, n_windows, n_dup_windows
+FROM per WHERE n_dup_windows > 0 ORDER BY doc_id
+"""
+
+
+@register("dedup_substring", oracle=DEDUP_SUBSTRING_ORACLE, tags=("dedup",))
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span accounting: how many of the document's
+    8-token windows also occur (verbatim, post-normalization) in at least
+    one OTHER document.  Fingerprint = first 60 bits of md5 over the
+    space-joined window, bit-identical in DuckDB (same technique as
+    text_winnowing).
+
+    Scale shape: ``spread_small`` hash-partitions by doc_id BEFORE the
+    position explode, so the (|tokens| x docs) posting is built on all
+    cores and the final per-doc aggregate reuses that partitioning with
+    no extra shuffle.  The one unavoidable shuffle keys on the window
+    fingerprint (the distinct-doc count); the duplicated-fingerprint set
+    it yields is HAVING-filtered tiny and broadcast back onto the
+    posting, so the posting itself is never shuffled twice.  At 100 TB
+    the broadcast reverts to a shuffled semi-join on the same key and a
+    hot-fingerprint cap (boilerplate spans) bounds the reduce side."""
+    k = SUBSTRING_K
+    docs = dd.spread_small(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", dd.normalize_text(F.col("text")).alias("n")
+        ),
+        "doc_id",
+    )
+    toks = docs.select("doc_id", F.split("n", " ").alias("toks")).where(
+        # Docs shorter than one window emit nothing (DuckDB's range() is
+        # empty there; Spark's sequence(1, n<=0) would DESCEND instead).
+        F.size("toks") >= k
+    )
+    post = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - (k - 1))
+        ).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), k))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    # Two consumers (the dup-fingerprint aggregate and the per-doc count)
+    # read the posting; materialize it once — 16 bytes/window — instead
+    # of running the explode+md5 scan twice.  Cluster equivalent: write
+    # the posting dataset once, the paper's suffix-array pass does the
+    # same.
+    post = post.localCheckpoint(eager=False)
+    dup = (
+        post.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = post.join(F.broadcast(dup.withColumn("is_dup", F.lit(1))), "h", "left")
+    per = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_windows"),
+    )
+    return per.where(F.col("n_dup_windows") > 0).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword retrieval, integer-exact.  Classic Okapi BM25 with k1=6/5,
+# b=3/4 and a log-free rational idf ((N-df+1)/(df+1)) so the whole score is
+# a ratio of int64 products — both engines compute identical integers, no
+# float summation order to drift.  Multiplying numerator and denominator by
+# 20*A (A = total corpus tokens) clears every fraction:
+#   score_t = (N-df+1) * 44*A*tf  /  ((df+1) * (20*A*tf + 6*A + 18*N*dl))
+# reported in tenths-of-milli units via integer division (x10000).
+
+BM25_TERMS = ("table", "hash", "merge")
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"len([x FOR x IN toks IF x = '{t}']) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS, 1)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(1, len(BM25_TERMS) + 1)
+    )
+    score_terms = " + ".join(
+        f"(CASE WHEN tf{i} = 0 THEN 0 ELSE "
+        f"(10000 * ((n - df{i} + 1) * 44 * a * tf{i})) // "
+        f"((df{i} + 1) * (20 * a * tf{i} + 6 * a + 18 * n * dl)) END)"
+        for i in range(1, len(BM25_TERMS) + 1)
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+),
+per AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM tk
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS a,
+         {df_cols}
+  FROM per
+)
+SELECT doc_id, CAST({score_terms} AS BIGINT) AS score_dmicro
+FROM per, tot
+WHERE {score_terms} > 0
+ORDER BY score_dmicro DESC, doc_id LIMIT 15
+"""
+
+
+TEXT_BM25_ORACLE = _bm25_oracle()
+
+
+@register("text_bm25_topk", oracle=TEXT_BM25_ORACLE, tags=("text",))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 documents by BM25 for a fixed keyword query.  All corpus
+    statistics (N, total tokens A, per-term document frequency) come from
+    ONE scalar aggregate that is broadcast back onto the per-doc frame;
+    the ranking is a TakeOrderedAndProject.  At 100 TB: same plan — the
+    scalar stats row is O(1), the per-doc scoring is embarrassingly
+    parallel map work, and the top-k never materializes a global sort."""
+    docs = dd.spread_small(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", dd.normalize_text(F.col("text")).alias("nrm")
+        ),
+        "doc_id",
+    )
+    toks = docs.select("doc_id", F.split("nrm", " ").alias("toks"))
+    per = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            # NB: a one-arg lambda only — a second (default) parameter
+            # would make F.filter pass the element INDEX into it.
+            F.size(F.filter(F.col("toks"), (lambda term: lambda x: x == F.lit(term))(t)))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS, 1)
+        ],
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").alias("a"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(1, len(BM25_TERMS) + 1)
+        ],
+    )
+    scored = per.crossJoin(F.broadcast(tot))
+    score = None
+    for i in range(1, len(BM25_TERMS) + 1):
+        term = F.when(F.col(f"tf{i}") == 0, F.lit(0).cast("long")).otherwise(
+            F.expr(
+                f"(10000 * ((n - df{i} + 1) * 44 * a * tf{i})) div "
+                f"((df{i} + 1) * (20 * a * tf{i} + 6 * a + 18 * n * dl))"
+            )
+        )
+        score = term if score is None else score + term
+    return (
+        scored.select("doc_id", score.alias("score_dmicro"))
+        .where(F.col("score_dmicro") > 0)
+        .orderBy(F.col("score_dmicro").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination.  dedup_decontaminate overlaps n-grams via a
+# bucketed join; this is the other standard mechanism — build a compact
+# Bloom filter over the held-out source's 8-token-window fingerprints,
+# broadcast it, and test every training-corpus window map-side.  2^21 bits
+# packed into 32-bit words (~256 KB), two md5-derived hash functions;
+# every position is pure integer arithmetic, so DuckDB builds the
+# bit-identical filter and flags the identical windows — including any
+# false positives, which is the point of oracle-checking a probabilistic
+# structure (the STRUCTURE is deterministic; only its guarantee is
+# approximate, and n_exact separates the two).
+
+_BLOOM_M = 2097152  # bits
+_BLOOM_W = 32       # bits per packed word
+
+_BLOOM_POST = f"""
+  SELECT doc_id, source,
+         md5(array_to_string(list_slice(toks, i, i + {SUBSTRING_K - 1}), ' ')) AS g
+  FROM (SELECT doc_id, source, string_split({_NORM}, ' ') AS toks FROM documents),
+       UNNEST(range(1, greatest(len(toks) - {SUBSTRING_K - 1}, 0) + 1)) AS t(i)
+"""
+
+DEDUP_BLOOM_ORACLE = f"""
+WITH post AS ({_BLOOM_POST}),
+ev AS (SELECT DISTINCT g FROM post WHERE source = 'src0'),
+pos AS (
+  SELECT h % {_BLOOM_M} AS p FROM (
+    SELECT CAST('0x' || substr(g, 1, 15) AS BIGINT) AS h FROM ev
+    UNION ALL
+    SELECT CAST('0x' || substr(g, 16, 15) AS BIGINT) AS h FROM ev
+  )
+),
+bloom AS (
+  SELECT p // {_BLOOM_W} AS w,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(p % {_BLOOM_W} AS INTEGER)) AS bits
+  FROM pos GROUP BY w
+),
+chk AS (
+  SELECT doc_id, g,
+         CAST('0x' || substr(g, 1, 15) AS BIGINT) % {_BLOOM_M} AS p1,
+         CAST('0x' || substr(g, 16, 15) AS BIGINT) % {_BLOOM_M} AS p2
+  FROM post WHERE source <> 'src0'
+),
+hit AS (
+  SELECT k.doc_id, k.g
+  FROM chk k
+  JOIN bloom b1 ON k.p1 // {_BLOOM_W} = b1.w
+  JOIN bloom b2 ON k.p2 // {_BLOOM_W} = b2.w
+  WHERE (b1.bits & (CAST(1 AS BIGINT) << CAST(k.p1 % {_BLOOM_W} AS INTEGER))) <> 0
+    AND (b2.bits & (CAST(1 AS BIGINT) << CAST(k.p2 % {_BLOOM_W} AS INTEGER))) <> 0
+)
+SELECT doc_id,
+       COUNT(*) AS n_flagged,
+       CAST(SUM(CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact
+FROM hit GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("dedup_bloom_decontam", oracle=DEDUP_BLOOM_ORACLE, tags=("dedup",))
+def dedup_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-doc count of 8-token windows that hit a Bloom filter
+    built over the held-out source's window fingerprints; n_exact is the
+    true-containment count (Bloom false positives are the difference).
+
+    Scale shape: the held-out set reduces to an O(m)-word frame (~256 KB)
+    that is BROADCAST, so the 100 TB training corpus is tested map-side
+    with ZERO shuffle of corpus data — versus dedup_decontaminate's
+    bucketed gram join, which shuffles both sides.  The exact rescore
+    then joins only the flagged windows (candidate-only verify, same
+    pattern as MinHash-LSH); here that set is small enough to broadcast
+    too, and at scale it becomes a shuffled semi-join of the flagged
+    remainder only."""
+    k = SUBSTRING_K
+    docs = dd.spread_small(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", dd.normalize_text(F.col("text")).alias("n")
+        ),
+        "doc_id",
+    )
+    toks = docs.select(
+        "doc_id", "source", F.split("n", " ").alias("toks")
+    ).where(F.size("toks") >= k)
+    post = toks.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), k))).alias(
+            "g"
+        ),
+    )
+    # Three consumers (bloom positions, exact set, corpus check) read the
+    # window grams; materialize the posting once instead of re-running
+    # the explode+md5 scan per branch.
+    post = post.localCheckpoint(eager=False)
+    ev = post.where(F.col("source") == "src0").select("g").distinct()
+
+    def _h(col, start: int):
+        return F.conv(F.substring(col, start, 15), 16, 10).cast("long") % _BLOOM_M
+
+    def _bit(p: str):
+        return F.expr(
+            f"shiftleft(cast(1 as bigint), cast({p} % {_BLOOM_W} as int))"
+        )
+
+    pos = ev.select(
+        F.explode(F.array(_h(F.col("g"), 1), _h(F.col("g"), 16))).alias("p")
+    )
+    bloom = (
+        pos.select(
+            (F.col("p") / _BLOOM_W).cast("long").alias("w"),
+            _bit("p").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    chk = post.where(F.col("source") != "src0").select(
+        "doc_id",
+        "g",
+        _h(F.col("g"), 1).alias("p1"),
+        _h(F.col("g"), 16).alias("p2"),
+    )
+    b1 = F.broadcast(
+        bloom.select(F.col("w").alias("w1"), F.col("bits").alias("bits1"))
+    )
+    b2 = F.broadcast(
+        bloom.select(F.col("w").alias("w2"), F.col("bits").alias("bits2"))
+    )
+    hit = (
+        chk.join(b1, (F.col("p1") / _BLOOM_W).cast("long") == F.col("w1"))
+        .join(b2, (F.col("p2") / _BLOOM_W).cast("long") == F.col("w2"))
+        .where(
+            (F.col("bits1").bitwiseAND(_bit("p1")) != 0)
+            & (F.col("bits2").bitwiseAND(_bit("p2")) != 0)
+        )
+        .select("doc_id", "g")
+    )
+    exact = ev.withColumn("exact", F.lit(1))
+    return (
+        hit.join(F.broadcast(exact), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_flagged"),
+            F.sum(F.coalesce(F.col("exact"), F.lit(0)))
+            .cast("long")
+            .alias("n_exact"),
+        )
+        .orderBy("doc_id")
+    )
