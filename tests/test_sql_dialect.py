@@ -1606,3 +1606,56 @@ def test_match_splice_qualified_comma_item():
         "SELECT * FROM edges e JOIN nodes v ON e.dst = v.id, db.tbl t "
         "WHERE v.id > 0 AND x = 1"
     )
+
+
+def test_json_table_lowering_and_rejections(engine):
+    """JSON_TABLE (executed extension — no parser.y production in the
+    reference): PATH columns are typed get_json_object casts, FOR
+    ORDINALITY counts from 1 per source row, scalar arrays and '$[*]'
+    roots work, and every unsupported clause fails loudly instead of
+    silently misreading."""
+    # Scalar array + '$[*]' root + ordinality restart per row.
+    out = engine.sql(
+        "WITH src AS (SELECT n_nationkey AS k, "
+        "CONCAT('[', n_nationkey, ',', n_nationkey + 10, ']') AS j "
+        "FROM nation WHERE n_nationkey < 2) "
+        "SELECT s.k, jt.rn, jt.v FROM src s, "
+        "JSON_TABLE(s.j, '$[*]' COLUMNS ("
+        "v BIGINT PATH '$', rn FOR ORDINALITY)) AS jt "
+        "ORDER BY s.k, jt.rn"
+    ).collect()
+    assert [(r.k, r.rn, r.v) for r in out] == [
+        (0, 1, 0), (0, 2, 10), (1, 1, 1), (1, 2, 11),
+    ]
+    # Missing path -> NULL (never an error).
+    out = engine.sql(
+        "SELECT jt.x FROM (SELECT '[{\"a\":1}]' AS j) s, "
+        "JSON_TABLE(s.j, '$[*]' COLUMNS (x INT PATH '$.missing')) AS jt"
+    ).collect()
+    assert [r.x for r in out] == [None]
+    # Loud rejections.
+    for bad, msg in [
+        (
+            "JSON_TABLE(s.j, '$' COLUMNS (x INT PATH '$.a')) AS jt",
+            "row path",
+        ),
+        (
+            "JSON_TABLE(s.j, '$[*]' COLUMNS (NESTED PATH '$.b[*]' "
+            "COLUMNS (y INT PATH '$'))) AS jt",
+            "NESTED",
+        ),
+        (
+            "JSON_TABLE(s.j, '$[*]' COLUMNS (x INT EXISTS PATH '$.a')) AS jt",
+            "EXISTS",
+        ),
+        (
+            "JSON_TABLE(s.j, '$[*]' COLUMNS "
+            "(x INT PATH '$.a' DEFAULT '0' ON EMPTY)) AS jt",
+            "DEFAULT",
+        ),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            engine.sql(f"SELECT 1 FROM (SELECT '[1]' AS j) s, {bad}")
+    # A string literal mentioning JSON_TABLE( must NOT trigger lowering.
+    out = engine.sql("SELECT 'use JSON_TABLE(x)' AS note").collect()
+    assert out[0].note == "use JSON_TABLE(x)"

@@ -117,6 +117,11 @@ _EXPLAIN_STMT_RE = re.compile(
     r"(?P<body>(?:SELECT|WITH|TABLE|VALUES)\b.*)$"
 )
 
+# Cheap gate before importing/running the JSON_TABLE lowering (string
+# literals are masked first so a literal mentioning JSON_TABLE can't
+# trigger it).
+_JSON_TABLE_GATE_RE = re.compile(r"(?i)\bJSON_TABLE\s*\(")
+
 _DDL_RE = re.compile(
     r"(?is)^\s*(?:(?P<dverb>DROP|TRUNCATE)\s+TABLE\s+"
     r"(?P<ifex>IF\s+EXISTS\s+)?`?(?P<dtab>\w+)`?"
@@ -1350,6 +1355,10 @@ class Engine:
         query = self._rewrite_partition_selection(query)
         query = self._apply_static_pruning(query)
         query = self._apply_ci_collation(query)
+        if _JSON_TABLE_GATE_RE.search(merge_clause._STRING_RE.sub("''", query)):
+            from tidb_spark.sqlshim import json_table as _jt
+
+            query = _jt.lower(query)
         query = self._inject_hints(query, hints)
         parsed = mc.find_and_parse(query)
         if parsed is not None:

@@ -725,3 +725,43 @@ def mysqlsql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE c.c_custkey < 50 "
         "ORDER BY c.c_custkey"
     )
+
+
+# JSON_TABLE — executed extension (MySQL 8.0.4 surface; the reference's
+# parser.y has no JSON_TABLE production).  Lowered by sqlshim/json_table.py
+# to a correlated LATERAL posexplode over from_json(..., 'array<string>'),
+# so each PATH is evaluated JVM-side by get_json_object — no UDFs.
+
+JSON_TABLE_ORACLE = """
+WITH src AS (SELECT n_nationkey AS k FROM nation)
+SELECT k, rn, q, s FROM (
+  SELECT k, CAST(1 AS BIGINT) AS rn, k AS q, 'a' AS s FROM src
+  UNION ALL
+  SELECT k, CAST(2 AS BIGINT) AS rn, k * 2 AS q, 'b' AS s FROM src
+)
+WHERE q % 3 <> 1
+ORDER BY k, rn
+"""
+
+
+@register(
+    "mysqlsql_json_table", oracle=JSON_TABLE_ORACLE, tags=("dialect", "json")
+)
+def mysqlsql_json_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON_TABLE over a constructed JSON document column: two array
+    elements per source row, typed PATH columns + FOR ORDINALITY, with a
+    post-explosion filter.  The oracle builds the identical rowset
+    analytically (the JSON round-trip is the thing under test)."""
+    eng = _engine(spark, sf_dir)
+    return eng.sql(
+        "WITH src AS (SELECT n_nationkey AS k, CONCAT('{\"items\":[{\"q\":', "
+        "n_nationkey, ',\"s\":\"a\"},{\"q\":', n_nationkey * 2, "
+        "',\"s\":\"b\"}]}') AS j FROM nation) "
+        "SELECT s.k, jt.rn, jt.q, jt.s FROM src s, "
+        "JSON_TABLE(s.j, '$.items[*]' COLUMNS ("
+        "q BIGINT PATH '$.q', "
+        "s VARCHAR(5) PATH '$.s', "
+        "rn FOR ORDINALITY)) AS jt "
+        "WHERE jt.q % 3 <> 1 "
+        "ORDER BY s.k, jt.rn"
+    )
