@@ -1659,3 +1659,86 @@ def test_json_table_lowering_and_rejections(engine):
     # A string literal mentioning JSON_TABLE( must NOT trigger lowering.
     out = engine.sql("SELECT 'use JSON_TABLE(x)' AS note").collect()
     assert out[0].note == "use JSON_TABLE(x)"
+
+
+def test_with_rollup_lowering(engine):
+    """MySQL ``GROUP BY ... WITH ROLLUP`` (executed extension — the
+    reference grammar carries the form only in a comment,
+    parser/parser.y:13846) lowers to standard ROLLUP: super-aggregate
+    rows appear with NULL keys, subqueries rewrite independently, and
+    string literals never trigger the rewrite."""
+    out = engine.sql(
+        "SELECT n_regionkey AS rk, COUNT(*) AS n FROM nation "
+        "GROUP BY n_regionkey WITH ROLLUP ORDER BY rk NULLS LAST"
+    ).collect()
+    assert len(out) == 6  # 5 regions + 1 grand total
+    assert out[-1].rk is None and out[-1].n == 25
+    assert sum(r.n for r in out[:-1]) == 25
+    # Two grouping columns: per-pair, per-first, grand total.
+    out = engine.sql(
+        "SELECT n_regionkey AS rk, n_nationkey % 2 AS par, COUNT(*) AS n "
+        "FROM nation GROUP BY n_regionkey, n_nationkey % 2 WITH ROLLUP"
+    ).collect()
+    counts = {}
+    for r in out:
+        counts[(r.rk, r.par)] = r.n
+    assert counts[(None, None)] == 25
+    assert sum(v for (rk, par), v in counts.items()
+               if rk is not None and par is None) == 25
+    # Literal mentioning the keywords is untouched.
+    out = engine.sql("SELECT 'GROUP BY x WITH ROLLUP' AS s").collect()
+    assert out[0].s == "GROUP BY x WITH ROLLUP"
+
+
+def test_match_against_fulltext(engine):
+    """MATCH ... AGAINST (executed extension — the reference parses
+    ast.MatchAgainst, parser/parser.y:5182, but no planner rule consumes
+    it): natural-language mode scores matched-term count, boolean mode
+    honors +/-/*/phrases, bare predicates in WHERE coerce like MySQL,
+    and unsupported forms raise."""
+    # Natural-language (default) relevance + bare WHERE coercion.
+    out = engine.sql(
+        "SELECT r_name, MATCH(r_name) AGAINST('ASIA EUROPE') AS rel "
+        "FROM region WHERE MATCH(r_name) AGAINST('ASIA EUROPE') "
+        "ORDER BY r_name"
+    ).collect()
+    assert [(r.r_name, r.rel) for r in out] == [("ASIA", 1.0), ("EUROPE", 1.0)]
+    # Boolean mode: wildcard, required+prohibited, phrase.
+    out = engine.sql(
+        "SELECT r_name FROM region "
+        "WHERE MATCH(r_name) AGAINST('A*' IN BOOLEAN MODE) ORDER BY r_name"
+    ).collect()
+    assert [r.r_name for r in out] == ["AFRICA", "AMERICA", "ASIA"]
+    out = engine.sql(
+        "SELECT r_name FROM region "
+        "WHERE MATCH(r_name) AGAINST('+A* -ASIA' IN BOOLEAN MODE) "
+        "ORDER BY r_name"
+    ).collect()
+    assert [r.r_name for r in out] == ["AFRICA", "AMERICA"]
+    out = engine.sql(
+        'SELECT r_name FROM region WHERE MATCH(r_name) '
+        "AGAINST('\"MIDDLE EAST\"' IN BOOLEAN MODE)"
+    ).collect()
+    assert [r.r_name for r in out] == ["MIDDLE EAST"]
+    # Multi-column doc: nation name + joined region name.
+    out = engine.sql(
+        "SELECT COUNT(*) AS n FROM nation n JOIN region r "
+        "ON n.n_regionkey = r.r_regionkey "
+        "WHERE MATCH(n.n_name, r.r_name) AGAINST('ASIA' IN BOOLEAN MODE)"
+    ).collect()
+    assert out[0].n == 5
+    # Loud rejections.
+    for bad, msg in [
+        ("MATCH(r_name) AGAINST(r_comment)", "string literal"),
+        ("MATCH(r_name) AGAINST('x' WITH QUERY EXPANSION)", "EXPANSION"),
+        ("MATCH(r_name) AGAINST('>a b' IN BOOLEAN MODE)", "operator"),
+        ("MATCH(r_name) AGAINST('(a b)' IN BOOLEAN MODE)", "operator"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            engine.sql(f"SELECT 1 FROM region WHERE {bad}")
+    # NULL documents never match, never error.
+    out = engine.sql(
+        "SELECT MATCH(s) AGAINST('x') AS rel "
+        "FROM (SELECT CAST(NULL AS STRING) AS s)"
+    ).collect()
+    assert out[0].rel == 0.0

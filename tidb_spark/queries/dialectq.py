@@ -765,3 +765,86 @@ def mysqlsql_json_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE jt.q % 3 <> 1 "
         "ORDER BY s.k, jt.rn"
     )
+
+
+# GROUP BY ... WITH ROLLUP — executed extension (the reference grammar
+# shows the MySQL form only in a comment, parser/parser.y:13846, with no
+# production; same posture as GROUPING SETS).  Lowered by
+# sqlshim/translate.py::_with_rollup to standard GROUP BY ROLLUP(...),
+# which Catalyst expands to one Expand + single hash aggregate.
+
+WITH_ROLLUP_ORACLE = """
+SELECT o_orderstatus AS st, o_orderpriority AS pri,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY st NULLS LAST, pri NULLS LAST
+"""
+
+
+@register(
+    "mysqlsql_with_rollup", oracle=WITH_ROLLUP_ORACLE, tags=("dialect", "agg")
+)
+def mysqlsql_with_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL WITH ROLLUP over two grouping columns: per-pair rows,
+    per-status subtotals, and the grand total, with money summed in
+    integer cents so the rollup totals are bit-exact."""
+    eng = _engine(spark, sf_dir)
+    return eng.sql(
+        "SELECT o_orderstatus AS st, o_orderpriority AS pri, "
+        "COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) "
+        "AS BIGINT) AS cents "
+        "FROM orders "
+        "GROUP BY o_orderstatus, o_orderpriority WITH ROLLUP "
+        "ORDER BY st NULLS LAST, pri NULLS LAST"
+    )
+
+
+# MATCH ... AGAINST — executed extension (the reference parses
+# ast.MatchAgainst, parser/parser.y:5182 / parser/ast/dml.go:3461, but no
+# planner rule consumes it; plans over it fail).  Lowered by
+# sqlshim/fulltext.py to word-boundary RLIKE expressions — codegen regex
+# scan, no shuffle until the final TakeOrderedAndProject top-k, so the
+# predicate is embarrassingly parallel at any scale.
+
+FULLTEXT_ORACLE = r"""
+WITH scored AS (
+  SELECT doc_id,
+    CASE WHEN regexp_matches(text, '(?i)\bspark\b')
+          AND NOT regexp_matches(text, '(?i)\bbatch\b')
+      THEN CAST((CASE WHEN regexp_matches(text, '(?i)\bspark\b')
+                 THEN 1 ELSE 0 END)
+              + (CASE WHEN regexp_matches(text, '(?i)\bwindow\w*')
+                 THEN 1 ELSE 0 END) AS DOUBLE)
+      ELSE 0.0 END AS rel,
+    CAST((CASE WHEN regexp_matches(text, '(?i)\bspark\b')
+          THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(text, '(?i)\bjoin\b')
+          THEN 1 ELSE 0 END) AS DOUBLE) AS rel_nl
+  FROM documents WHERE doc_id % 7 = 0)
+SELECT doc_id, rel, rel_nl FROM scored WHERE rel > 0
+ORDER BY rel DESC, doc_id LIMIT 100
+"""
+
+
+@register(
+    "mysqlsql_fulltext_match",
+    oracle=FULLTEXT_ORACLE,
+    tags=("dialect", "text"),
+)
+def mysqlsql_fulltext_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval through the MySQL predicate surface: boolean
+    mode (+required / -prohibited / prefix wildcard) filters and ranks,
+    natural-language mode scores alongside; the oracle mirrors the
+    word-boundary regex semantics in DuckDB's RE2."""
+    eng = _engine(spark, sf_dir)
+    return eng.sql(
+        "SELECT doc_id, "
+        "MATCH(text) AGAINST('+spark -batch window*' IN BOOLEAN MODE) AS rel, "
+        "MATCH(text) AGAINST('spark join') AS rel_nl "
+        "FROM documents "
+        "WHERE MATCH(text) AGAINST('+spark -batch window*' IN BOOLEAN MODE) "
+        "AND doc_id % 7 = 0 "
+        "ORDER BY rel DESC, doc_id LIMIT 100"
+    )

@@ -158,6 +158,77 @@ def _regexp_kw(code: str) -> str:
     return re.sub(r"\bREGEXP\b", "RLIKE", code, flags=re.IGNORECASE)
 
 
+_GROUP_BY_RE = re.compile(r"(?is)\bGROUP\s+BY\s+")
+_WITH_ROLLUP_RE = re.compile(r"(?is)^WITH\s+ROLLUP\b")
+_CLAUSE_STOP_RE = re.compile(
+    r"(?is)^(?:HAVING|ORDER|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT|QUALIFY)\b"
+)
+
+
+def _with_rollup(sql: str) -> str:
+    """MySQL's ``GROUP BY a, b WITH ROLLUP`` → ``GROUP BY ROLLUP(a, b)``.
+
+    Executed extension: the reference parser documents the MySQL form only
+    in a grammar comment (parser/parser.y:13846) with no production, same
+    posture as GROUPING SETS.  Super-aggregate rows carry NULL group keys
+    in both dialects, so the standard ROLLUP lowering is semantics-exact.
+    Scans string-aware at clause depth so subquery GROUP BYs rewrite
+    independently and literals can't trigger or terminate the match.
+    """
+    while True:
+        spans = []
+        off = 0
+        for is_code, text in _split_segments(sql):
+            if is_code:
+                spans.append((off, off + len(text)))
+            off += len(text)
+        hit = None
+        for m in _GROUP_BY_RE.finditer(sql):
+            # Only matches in code (not inside string/backtick literals).
+            if not any(a <= m.start() < b for a, b in spans):
+                continue
+            i, depth = m.end(), 0
+            while i < len(sql):
+                c = sql[i]
+                if c in "'\"`":
+                    sm = _STRING_RE.match(sql, i)
+                    if sm:
+                        i = sm.end()
+                        continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    if depth == 0:
+                        break  # end of subquery — no rollup here
+                    depth -= 1
+                elif depth == 0 and (c.isalpha() or c == "_"):
+                    tail = sql[i:]
+                    if _WITH_ROLLUP_RE.match(tail):
+                        wr_end = i + _WITH_ROLLUP_RE.match(tail).end()
+                        hit = (m.start(), m.end(), i, wr_end)
+                        break
+                    if _CLAUSE_STOP_RE.match(tail):
+                        break
+                    # skip the rest of this identifier/keyword
+                    j = i
+                    while j < len(sql) and (sql[j].isalnum() or sql[j] == "_"):
+                        j += 1
+                    i = j
+                    continue
+                i += 1
+            if hit:
+                break
+        if hit is None:
+            return sql
+        gb_start, gb_end, list_end, wr_end = hit
+        grouping = sql[gb_end:list_end].strip()
+        sql = (
+            sql[:gb_start]
+            + f"GROUP BY ROLLUP({grouping})"
+            + sql[wr_end:]
+        )
+
+
 def _unquote(lit: str) -> str:
     return lit.strip()[1:-1]
 
@@ -680,6 +751,11 @@ def translate(sql: str) -> str:
     """Translate one MySQL-dialect statement to Spark SQL."""
     sql = _map_code(sql, _limit_offset)
     sql = _map_code(sql, _regexp_kw)
+    sql = _with_rollup(sql)
+    if re.search(r"(?i)\bAGAINST\s*\(", sql):
+        from tidb_spark.sqlshim import fulltext
+
+        sql = fulltext.lower(sql)
     # GET_FORMAT first: its literal result feeds STR_TO_DATE/DATE_FORMAT
     # rewrites below (which need the format known at translate time).
     sql = _rewrite_calls(sql, "GET_FORMAT", _get_format)
