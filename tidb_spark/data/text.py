@@ -167,3 +167,36 @@ def chunk_text(col: Column, start: Column, *, window: int) -> Column:
     concat_ws."""
     toks = F.split(normalize_text(col), " ")
     return F.concat_ws(" ", F.slice(toks, start + F.lit(1), F.lit(window)))
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical URL form for URL-level deduplication (the CCNet /
+    Common-Crawl pipeline's first dedup key): lowercase scheme+host,
+    strip default ports (:80/:443), drop the fragment, drop tracking
+    query params (utm_*, fbclid, gclid, ref), sort the surviving params,
+    and strip trailing slashes from the path.  Pure codegen column
+    expressions — regexp_extract/replace plus array filter/sort — so the
+    canonicalization runs inside whole-stage codegen on the scan at any
+    scale.
+    """
+    no_frag = F.split(col, "#").getItem(0)
+    scheme_host = F.lower(
+        F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]+)", 1)
+    )
+    scheme_host = F.regexp_replace(scheme_host, r":(80|443)$", "")
+    path = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.when(
+        no_frag.contains("?"), F.split(no_frag, r"\?", 2).getItem(1)
+    )
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: (p != "")
+            & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)="),
+        )
+    )
+    qtail = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(scheme_host, path, qtail)

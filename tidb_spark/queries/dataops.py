@@ -2236,3 +2236,120 @@ def dedup_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SAMPLE_WEIGHTED_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         (CAST(n_chars AS DOUBLE) * 1152921504606846976) /
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) + 1 AS DOUBLE) AS priority
+  FROM documents
+)
+SELECT doc_id, n_chars, priority
+FROM keyed ORDER BY priority DESC, doc_id LIMIT 200
+"""
+
+
+@register("sample_weighted", oracle=SAMPLE_WEIGHTED_ORACLE, tags=("sample",))
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (Duffield-Lund-Thorup): each row gets priority w/u with u uniform in
+    (0,1], the k largest priorities form the sample.  u derives from an
+    md5 of the row id, so the draw is deterministic, reproducible across
+    engines, and — unlike the exp/ln formulation of Efraimidis-Spirakis
+    keys — uses only IEEE-exactly-rounded multiply/divide, making the
+    keys bit-identical in any engine.  Weight = n_chars (length-biased
+    selection, the usual token-budget proxy).
+
+    Scale: the only cross-partition step is TakeOrderedAndProject —
+    per-partition top-k then a driver merge of k·P candidate rows; no
+    shuffle of the corpus, no per-stratum state.  At 100 TB this is the
+    one-pass distributed weighted sample."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    priority = (
+        F.col("n_chars").cast("double") * F.lit(1152921504606846976.0)
+    ) / (h + F.lit(1)).cast("double")
+    return (
+        docs.select("doc_id", "n_chars", priority.alias("priority"))
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(200)
+    )
+
+
+_RAWURL_SPARK = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END, "
+    "source, CASE WHEN doc_id % 7 = 0 THEN '.Example.COM' ELSE "
+    "'.example.com' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END, "
+    "'/Docs/', CAST(doc_id % 40 AS STRING), "
+    "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END, "
+    "'?utm_source=feed&b=', CAST(doc_id % 5 AS STRING), '&a=1', "
+    "CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)"
+)
+_RAWURL_DUCK = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END) || "
+    "source || (CASE WHEN doc_id % 7 = 0 THEN '.Example.COM' ELSE "
+    "'.example.com' END) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) || "
+    "'/Docs/' || CAST(doc_id % 40 AS VARCHAR) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) || "
+    "'?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=1' || "
+    "(CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)"
+)
+
+DEDUP_URL_ORACLE = f"""
+WITH raw AS (SELECT doc_id, {_RAWURL_DUCK} AS u FROM documents),
+parts AS (
+  SELECT doc_id, split_part(u, '#', 1) AS u0 FROM raw
+),
+canon AS (
+  SELECT doc_id,
+    regexp_replace(
+      lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]+)', 1)),
+      ':(80|443)$', '')
+    || regexp_replace(
+         regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)', 1),
+         '/+$', '')
+    || (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+        ELSE '' END) AS url
+  FROM (
+    SELECT doc_id, u0,
+      list_sort(list_filter(string_split(
+        CASE WHEN contains(u0, '?') THEN split_part(u0, '?', 2)
+             ELSE '' END, '&'),
+        x -> x <> '' AND NOT regexp_matches(x,
+             '^(utm_[^=]*|fbclid|gclid|ref)='))) AS kept
+    FROM parts)
+)
+SELECT url, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+FROM canon GROUP BY url ORDER BY url
+"""
+
+
+@register("dedup_url_canonical", oracle=DEDUP_URL_ORACLE, tags=("dedup",))
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level deduplication, the cheapest dedup tier in a crawl
+    pipeline: canonicalize each document's URL (case-folded scheme+host,
+    default ports and fragments stripped, tracking params dropped,
+    surviving params sorted, trailing slash trimmed) and group on the
+    canonical form, keeping the smallest doc_id.  Raw URLs are built
+    deterministically from doc fields (the fixture has none) with
+    per-row case/port/fragment noise, so the canonicalizer — not the
+    construction — is what collapses groups.  Entirely codegen column
+    expressions; dedup is one shuffle on the canonical key at any
+    scale."""
+    docs = _t(spark, sf_dir, "documents")
+    canon = tx.canonicalize_url(F.expr(_RAWURL_SPARK))
+    return (
+        docs.select(canon.alias("url"), "doc_id")
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .orderBy("url")
+    )
