@@ -184,3 +184,65 @@ def test_stream_cascade_rollup_equals_batch_closed_windows(spark):
         _sorted_pdf(closed, ["window_start", "event_type"]),
         "stream_cascade_vs_batch",
     )
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path_factory):
+    """Stream-stream LEFT OUTER interval join == the identical batch left
+    join.  NULL rows only emit once the watermark proves no match can
+    arrive; the watermark is the MIN across both branch watermarks and
+    only advances between micro-batches.  The source is therefore staged
+    as three batches: (1) all real events; (2) a far-future sentinel
+    click + error for a user with no real events — surviving both branch
+    filters so BOTH branch watermarks advance; (3) a filtered-out row,
+    giving the stateful operator one batch running under the advanced
+    watermark to flush every real click's eviction output."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path_factory.mktemp("lo_join_src"))
+    dest = os.path.join(src, "events.parquet")
+    batch = load_table(spark, TEST_SF_DIR, "events")
+    batch.coalesce(1).write.mode("overwrite").parquet(dest)
+    uid_t = batch.schema["user_id"].dataType
+
+    def _row(event_id, ts, user_id, event_type):
+        return batch.limit(1).select(
+            F.lit(event_id).cast("long").alias("event_id"),
+            F.lit(ts).cast("timestamp").alias("ts"),
+            F.lit(user_id).cast(uid_t).alias("user_id"),
+            F.lit(event_type).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+
+    time.sleep(1.1)  # FileStreamSource orders by mtime (oldest first)
+    # Sentinel click (Mar 2) precedes sentinel error (Mar 1) in event time,
+    # so they can never join each other.
+    _row(10**9, "2024-03-02 00:00:00", 10**9, "click").unionAll(
+        _row(10**9 + 1, "2024-03-01 00:00:00", 10**9, "error")
+    ).coalesce(1).write.mode("append").parquet(dest)
+    time.sleep(1.1)
+    _row(10**9 + 2, "2024-03-03 00:00:00", 10**9, "view").coalesce(1).write.mode(
+        "append"
+    ).parquet(dest)
+
+    cutoff = "2024-01-28 00:00:00"
+    is_sentinel = F.col("user_id") == 10**9
+    b = ev.click_error_left_join(
+        batch.where(
+            (F.col("event_type") == "click") & (F.col("ts") < F.lit(cutoff))
+        ),
+        batch.where(F.col("event_type") == "error"),
+    )
+    sdf = ev.events_stream(spark, src, max_files_per_trigger=1)
+    s = ev.click_error_left_join(
+        sdf.where(
+            (F.col("event_type") == "click")
+            & ((F.col("ts") < F.lit(cutoff)) | is_sentinel)
+        ).withWatermark("ts", "1 hour"),
+        sdf.where(F.col("event_type") == "error").withWatermark("ts", "1 hour"),
+    )
+    out = ev.run_to_memory(s, f"lo_{uuid.uuid4().hex}")
+    got = out.where(F.col("user_id") != 10**9)
+    assert_frames_match(got.toPandas(), b.toPandas(), "stream_left_outer_join")

@@ -168,3 +168,35 @@ def stream_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregating decomposable partials is lossless."""
     df = load_table(spark, sf_dir, "events")
     return ev.cascade_rollup(df).orderBy("window_start", "event_type")
+
+
+LEFT_OUTER_JOIN_ORACLE = """
+SELECT c.user_id,
+       c.event_id AS click_id, c.ts AS click_ts,
+       e.event_id AS error_id, e.ts AS error_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+ORDER BY click_id, error_id
+"""
+
+
+@register(
+    "stream_left_outer_join",
+    oracle=LEFT_OUTER_JOIN_ORACLE,
+    tags=("streaming", "join"),
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: clicks with no error in
+    the following 10 minutes surface with NULL error columns.  In
+    streaming mode the NULL row is held until the watermark proves no
+    match can arrive (state eviction, tests/test_streaming.py); batch
+    mode — run here — is the plain left join of the same code."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    return ev.click_error_left_join(
+        events.where(F.col("event_type") == "click"),
+        events.where(F.col("event_type") == "error"),
+    ).orderBy("click_id", "error_id")

@@ -179,6 +179,42 @@ def click_error_interval_join(
     )
 
 
+def click_error_left_join(
+    clicks: DataFrame, errors: DataFrame, *, gap: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits, paired
+    with each error in (click_ts, click_ts + gap] or with NULL error
+    columns if none arrived.  On streaming inputs both sides must be
+    watermarked; the NULL row for an unmatched click is emitted only once
+    the watermark passes click_ts + gap (state eviction proves no match
+    can still arrive) — so a terminating run emits NULLs for every click
+    older than the final watermark, and the identical code in batch mode
+    is a plain left join."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    e = errors.select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    return c.join(
+        e,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") > F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {gap}")),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "error_id",
+        "error_ts",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator (applyInPandasWithState).
 
