@@ -1742,3 +1742,39 @@ def test_match_against_fulltext(engine):
         "FROM (SELECT CAST(NULL AS STRING) AS s)"
     ).collect()
     assert out[0].rel == 0.0
+
+
+def test_tablesample_regions(engine, spark, tmp_path):
+    """TABLESAMPLE REGIONS() (executor/sample.go:42 — first row per
+    storage region) lowers to first-scan-order-row per parquet file: row
+    count equals file count, rows are stable across runs, and the form
+    composes with WHERE/aliases."""
+    import os
+
+    from tidb_spark.catalog import load_table
+    from tests.conftest import TEST_SF_DIR
+
+    dest = os.path.join(str(tmp_path), "ev4.parquet")
+    load_table(spark, TEST_SF_DIR, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(dest)
+    spark.read.parquet(dest).createOrReplaceTempView("ev4")
+    out = engine.sql("SELECT event_id FROM ev4 TABLESAMPLE REGIONS()")
+    rows1 = sorted(r.event_id for r in out.collect())
+    assert len(rows1) == 4  # one row per file
+    rows2 = sorted(
+        r.event_id
+        for r in engine.sql(
+            "SELECT event_id FROM ev4 TABLESAMPLE REGIONS()"
+        ).collect()
+    )
+    assert rows1 == rows2  # deterministic
+    # Alias + predicate compose.
+    out = engine.sql(
+        "SELECT s.event_id FROM ev4 TABLESAMPLE REGIONS() AS s "
+        "WHERE s.event_id >= 0"
+    ).collect()
+    assert len(out) == 4
+    # Single-file dataset view: exactly one row.
+    out = engine.sql("SELECT COUNT(*) AS n FROM nation TABLESAMPLE REGIONS()").collect()
+    assert out[0].n >= 1

@@ -1352,6 +1352,7 @@ class Engine:
         if ms is not None:
             return self._run_merge(ms)
         query = self._rewrite_as_of(query)
+        query = self._rewrite_tablesample(query)
         query = self._rewrite_partition_selection(query)
         query = self._apply_static_pruning(query)
         query = self._apply_ci_collation(query)
@@ -2567,6 +2568,35 @@ class Engine:
                 )
             ).alias("total_bytes"),
         )
+
+    _TABLESAMPLE_RE = re.compile(
+        r"(?is)\b(FROM|JOIN)\s+`?(\w+)`?\s+TABLESAMPLE\s+REGIONS\s*\(\s*\)"
+        r"(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|ORDER\b|LIMIT\b|JOIN\b|ON\b"
+        r"|LEFT\b|RIGHT\b|INNER\b|FULL\b|CROSS\b|UNION\b|HAVING\b)"
+        r"(\w+))?"
+    )
+
+    def _rewrite_tablesample(self, query: str) -> str:
+        """``FROM t TABLESAMPLE REGIONS()`` (executor/sample.go:42 — the
+        reference returns the first row of each storage region): the
+        Spark-native storage split is the parquet file, so this lowers to
+        the first scan-order row per ``input_file_name()`` (projected in
+        an inner subquery — nondeterministic funcs can't sit in a window
+        spec directly), then a row_number window over the file column.
+        Same sampling contract as the reference: rows ∝ storage splits,
+        stable across runs, no RNG."""
+
+        def repl(m: re.Match) -> str:
+            kw, name, alias = m.groups()
+            return (
+                f"{kw} (SELECT * EXCEPT (__ts_rn, __ts_f) FROM ("
+                f"SELECT *, row_number() OVER ("
+                f"PARTITION BY __ts_f ORDER BY __ts_f) AS __ts_rn "
+                f"FROM (SELECT *, input_file_name() AS __ts_f FROM {name})"
+                f") WHERE __ts_rn = 1) AS {alias or name}"
+            )
+
+        return self._TABLESAMPLE_RE.sub(repl, query)
 
     def _rewrite_as_of(self, query: str) -> str:
         """``FROM t AS OF TIMESTAMP '…'`` (stale read, parser/ast/dml.go:276

@@ -2353,3 +2353,76 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("url")
     )
+
+
+TEXT_NB_FILTER_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, doc_id % 2 AS cls, w
+  FROM (SELECT doc_id,
+               UNNEST(list_distinct(string_split(lower(text), ' '))) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+weights AS (
+  SELECT w, SUM(CASE WHEN cls = 1 THEN 1 ELSE -1 END) AS wt
+  FROM tok WHERE doc_id < 300 GROUP BY w
+),
+scored AS (
+  SELECT t.doc_id, SUM(COALESCE(weights.wt, 0)) AS score
+  FROM (SELECT doc_id, w FROM tok
+        WHERE doc_id >= 300 AND doc_id < 500) t
+  LEFT JOIN weights ON t.w = weights.w
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score, score > 0 AS keep
+FROM scored ORDER BY doc_id
+"""
+
+
+@register("text_nb_filter", oracle=TEXT_NB_FILTER_ORACLE, tags=("text",))
+def text_nb_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filter trained on the cluster itself (the fastText-style
+    classifier tier of a training-data pipeline, reduced to its Spark
+    shape): a labeled seed set (doc_id parity stands in for human
+    labels) yields per-word discriminative weights by counting — a
+    single (word) shuffle with map-side combine — and unseen documents
+    score as the sum of their distinct words' weights via a
+    broadcast-joined vocabulary.  Integer count differences instead of
+    log-probabilities keep the score engine-exact; the decision
+    boundary (score > 0) is the same sign test NB log-odds would give
+    with balanced classes.  At 100 TB: vocabulary stays
+    broadcast-sized after min-count pruning, scoring is embarrassingly
+    parallel."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % 2).alias("cls"),
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col("text")), " "))
+            ).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    weights = (
+        tok.where(F.col("doc_id") < 300)
+        .groupBy("w")
+        .agg(
+            F.sum(
+                F.when(F.col("cls") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias("wt")
+        )
+    )
+    return (
+        tok.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 500))
+        .select("doc_id", "w")
+        .join(F.broadcast(weights), "w", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("wt"), F.lit(0))).alias("score"))
+        .select(
+            "doc_id",
+            F.col("score").cast("long").alias("score"),
+            (F.col("score") > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

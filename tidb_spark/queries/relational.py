@@ -1652,3 +1652,74 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+TS_FUNNEL_ORACLE = """
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+fc AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'click' AND e.ts > fv.v_ts
+  GROUP BY e.user_id
+),
+fp AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fc.c_ts
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM fv) AS n_view,
+       (SELECT COUNT(*) FROM fc) AS n_click,
+       (SELECT COUNT(*) FROM fp) AS n_purchase,
+       (SELECT COUNT(*) FROM fp) * 10000
+         // (SELECT COUNT(*) FROM fv) AS conv_bps
+"""
+
+
+@register("ts_funnel", oracle=TS_FUNNEL_ORACLE, tags=("ts",))
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → later click → later purchase) per user,
+    reported as per-step user counts and basis-point conversion.  Shape:
+    one aggregate per step, each keyed on user_id — Catalyst/AQE reuses
+    the user_id partitioning across the three steps, so at scale this is
+    one shuffle of the events table plus co-partitioned step joins; the
+    final 1-row summary is a scalar reduce.  Conversion reported in
+    integer basis points so both engines agree exactly."""
+    events = _t(spark, sf_dir, "events")
+    fv = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    fc = (
+        events.where(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    fp = (
+        events.where(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    n_view = fv.agg(F.count(F.lit(1)).alias("n")).select("n")
+    n_click = fc.agg(F.count(F.lit(1)).alias("n")).select("n")
+    n_purch = fp.agg(F.count(F.lit(1)).alias("n")).select("n")
+    return (
+        n_view.crossJoin(n_click.withColumnRenamed("n", "nc"))
+        .crossJoin(n_purch.withColumnRenamed("n", "np"))
+        .select(
+            F.col("n").alias("n_view"),
+            F.col("nc").alias("n_click"),
+            F.col("np").alias("n_purchase"),
+            (F.col("np") * 10000 / F.col("n"))
+            .cast("long")
+            .alias("conv_bps"),
+        )
+    )
