@@ -27,7 +27,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, LongType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from tidb_spark.data.dedup import _hash_params
 
@@ -712,4 +719,150 @@ def within_group_cosine_pairs(
         .groupby("g")
         .applyInPandas(cell, schema="g long, v1 long, v2 long")
         .withColumnRenamed("g", group_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC).
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+    n_queries: int = 3,
+    topk: int = 10,
+) -> DataFrame:
+    """Product-quantization ANN: split each vector into ``m`` subvectors,
+    train a ``k``-centroid codebook per subspace (Lloyd steps with the
+    same integer determinism contract as data/kmeans.py: quantize →
+    exact long distances → floor-avg updates → lowest-id tie breaks),
+    encode every vector as ``m`` small codes, and answer queries by ADC —
+    the distance from query subvector to each codebook centroid is
+    computed once per (query, subspace, code) and summed over a vector's
+    codes.
+
+    Scale shape: codebooks are m·k rows (driver-synced per Lloyd step,
+    like every distributed k-means); encoding is a broadcast join + one
+    (vec, subspace) window; query scoring joins the m·k·|Q| broadcast
+    distance table onto the codes and re-aggregates per (query, vec) —
+    the corpus is never shuffled except that one sum, and the stored
+    index is m bytes/vector instead of the raw floats, which is the
+    entire point of PQ at 100 TB.
+
+    Returns (query_id, rank, vec_id, adc) for the ``topk`` nearest
+    non-identical vectors per query (queries = the ``n_queries`` lowest
+    ids), ranked by exact-integer ADC then vec_id.
+    """
+    from tidb_spark.data import kmeans as km
+
+    spark = emb.sparkSession
+    pts = emb.select(
+        F.col(id_col).alias("vec_id"),
+        km.quantize(vec_col, scale=scale).alias("qv"),
+    )
+    probe = pts.select("qv").first()
+    if probe is None:
+        raise ValueError("pq_adc_topk: input has no rows")
+    dim = len(probe[0])
+    if dim % m:
+        raise ValueError(f"pq_adc_topk: dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+
+    sdist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+    subs = pts.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice(F.col("qv"), j * sub_d + 1, sub_d) for j in range(m)]
+            )
+        ).alias("sub_id", "sv"),
+    )
+
+    cent_schema = StructType(
+        [
+            StructField("sub_id", IntegerType()),
+            StructField("code", IntegerType()),
+            StructField("cv", ArrayType(LongType())),
+        ]
+    )
+    seeds = pts.orderBy("vec_id").limit(k).collect()  # k rows by contract
+    codebook = spark.createDataFrame(
+        [
+            (j, i, list(r["qv"][j * sub_d : (j + 1) * sub_d]))
+            for i, r in enumerate(seeds)
+            for j in range(m)
+        ],
+        cent_schema,
+    )
+
+    w = Window.partitionBy("vec_id", "sub_id").orderBy("__pq_d", "code")
+
+    def _assign(cb: DataFrame) -> DataFrame:
+        return (
+            subs.join(F.broadcast(cb), "sub_id")
+            .withColumn("__pq_d", sdist)
+            .withColumn("__pq_rn", F.row_number().over(w))
+            .where(F.col("__pq_rn") == 1)
+            .select("vec_id", "sub_id", "code", "sv")
+        )
+
+    for _ in range(iters - 1):
+        assigned = _assign(codebook)
+        new_rows = (
+            assigned.groupBy("sub_id", "code")
+            .agg(
+                F.aggregate(
+                    F.collect_list("sv"),
+                    F.array([F.lit(0).cast("long")] * sub_d),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ).alias("__pq_sum"),
+                F.count(F.lit(1)).alias("__pq_n"),
+            )
+            .select(
+                "sub_id",
+                "code",
+                F.transform(
+                    F.col("__pq_sum"),
+                    lambda s: F.floor(s / F.col("__pq_n")).cast("long"),
+                ).alias("cv"),
+            )
+            .collect()
+        )
+        codebook = spark.createDataFrame(
+            [(int(r["sub_id"]), int(r["code"]), list(r["cv"])) for r in new_rows],
+            cent_schema,
+        )
+
+    enc = _assign(codebook).select("vec_id", "sub_id", "code")
+
+    qdist = (
+        subs.where(F.col("vec_id") < n_queries)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook), "sub_id")
+        .withColumn("__pq_d", sdist)
+        .select("query_id", "sub_id", "code", F.col("__pq_d").alias("d"))
+    )
+
+    adc = (
+        enc.join(F.broadcast(qdist), ["sub_id", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc"))
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wq))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "rank", "vec_id", "adc")
     )

@@ -93,6 +93,15 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "ts_ewma",
     "mysqlsql_window_named",
     "mysqlsql_lateral",
+    "mysqlsql_json_table",
+    "mysqlsql_with_rollup",
+    "mysqlsql_fulltext_match",
+    "sample_weighted",
+    "dedup_url_canonical",
+    "stream_left_outer_join",
+    "ts_funnel",
+    "text_nb_filter",
+    "sim_pq_topk",
     # --- r7 plan changes must re-verify ---
     "mysqlsql_collation_groupby",
     "mysqlsql_collation_ci",
@@ -103,27 +112,20 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "mysqlsql_match_1hop",
     "dedup_minhash_lsh",
     "graph_triangles",
-    # --- 19 of the 39 r4-latest rows ---
-    "tpch_q4",
+    # --- 10 of the 39 r4-latest rows ---
     "tpch_q5",
     "tpch_q7",
     "tpch_q8",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
     "join_inner_nonequi",
     "join_left_outer",
     "setop_union_distinct",
     "setop_except",
-    "window_rank_family",
-    "window_rows_frame",
-    "agg_group_concat",
-    "agg_count_distinct",
-    "agg_approx_sketches",
     "dedup_decontaminate",
     "multimodal_frames",
     "text_pii_scrub",
-    # (r8 rotation plan: the 20 r4-latest rows bumped from this window —
+    # (r8 rotation plan: the 29 r4-latest rows bumped from this window —
+    # tpch_q4, tpch_q10, tpch_q11, tpch_q13, window_rank_family, window_rows_frame,
+    # agg_group_concat, agg_count_distinct, agg_approx_sketches,
     # mysqlsql_prepare, text_top_tokens, text_pipeline_e2e,
     # text_seq_packing, agg_grouping_sets, dedup_ngram_jaccard,
     # sample_stratified, join_cross, setop_union_all,

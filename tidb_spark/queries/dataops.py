@@ -2426,3 +2426,82 @@ def text_nb_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+PQ_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id, [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS qv
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, CAST(s.sub_id AS INT) AS sub_id,
+         list_slice(qv, s.sub_id * 16 + 1, s.sub_id * 16 + 16) AS sv
+  FROM q, range(0, 4) s(sub_id)
+),
+c0 AS (
+  SELECT sub_id, CAST(rn - 1 AS INT) AS code, sv AS cv FROM (
+    SELECT sub_id, sv,
+           ROW_NUMBER() OVER (PARTITION BY sub_id ORDER BY vec_id) AS rn
+    FROM sub) WHERE rn <= 8
+),
+a1 AS (
+  SELECT vec_id, sub.sub_id, code, sv, ROW_NUMBER() OVER (
+    PARTITION BY vec_id, sub.sub_id
+    ORDER BY list_sum([(sv[i] - cv[i]) * (sv[i] - cv[i])
+                       FOR i IN range(1, len(sv) + 1)]), code) AS rn
+  FROM sub JOIN c0 ON sub.sub_id = c0.sub_id
+),
+c1 AS (
+  SELECT sub_id, code, list(CAST(floor(s / n) AS BIGINT) ORDER BY i) AS cv
+  FROM (
+    SELECT sub_id, code, u.i AS i, SUM(sv[u.i]) AS s, COUNT(*) AS n
+    FROM a1, range(1, 17) u(i) WHERE rn = 1
+    GROUP BY sub_id, code, u.i)
+  GROUP BY sub_id, code
+),
+enc AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT vec_id, sub.sub_id, code, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, sub.sub_id
+      ORDER BY list_sum([(sv[i] - cv[i]) * (sv[i] - cv[i])
+                         FOR i IN range(1, len(sv) + 1)]), code) AS rn
+    FROM sub JOIN c1 ON sub.sub_id = c1.sub_id) WHERE rn = 1
+),
+qd AS (
+  SELECT s.vec_id AS query_id, s.sub_id, c1.code,
+         list_sum([(s.sv[i] - c1.cv[i]) * (s.sv[i] - c1.cv[i])
+                   FOR i IN range(1, len(s.sv) + 1)]) AS d
+  FROM sub s JOIN c1 ON s.sub_id = c1.sub_id
+  WHERE s.vec_id < 3
+),
+adc AS (
+  SELECT qd.query_id, e.vec_id, CAST(SUM(qd.d) AS BIGINT) AS adc
+  FROM enc e JOIN qd ON e.sub_id = qd.sub_id AND e.code = qd.code
+  WHERE e.vec_id <> qd.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, vec_id, adc FROM (
+  SELECT query_id, vec_id, adc,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc, vec_id) AS INT) AS rank
+  FROM adc) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_pq_topk", oracle=PQ_TOPK_ORACLE, tags=("sim", "embedding"))
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (data/similarity.py::pq_adc_topk): 4
+    subspaces x 8-centroid integer codebooks (one Lloyd refinement from
+    lowest-id seeds), every vector encoded as 4 codes, queries answered
+    by asymmetric distance over a broadcast (query, subspace, code)
+    lookup table.  The oracle replays the identical integer arithmetic,
+    so ranks match bit-exactly.  PQ is the memory-bound scale path: the
+    stored index is m codes per vector instead of the raw floats."""
+    from tidb_spark.data import similarity as sim
+
+    emb = dd.spread_small(_t(spark, sf_dir, "embeddings"), "vec_id")
+    return sim.pq_adc_topk(
+        emb, vec_col="embedding", id_col="vec_id",
+        m=4, k=8, iters=2, scale=1000, n_queries=3, topk=10,
+    ).orderBy("query_id", "rank")
