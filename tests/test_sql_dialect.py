@@ -1778,3 +1778,43 @@ def test_tablesample_regions(engine, spark, tmp_path):
     # Single-file dataset view: exactly one row.
     out = engine.sql("SELECT COUNT(*) AS n FROM nation TABLESAMPLE REGIONS()").collect()
     assert out[0].n >= 1
+
+
+def test_with_recursive_sql_surface(engine):
+    """WITH RECURSIVE through Engine.sql: the UNION ALL form runs on
+    Spark's native recursion; the UNION (distinct) form — which Spark
+    rejects but the reference executes with hashtable dedup
+    (executor/cte.go) — lowers to the fixpoint round driver and
+    terminates on cycles."""
+    # Native UNION ALL path.
+    out = engine.sql(
+        "WITH RECURSIVE seq(n) AS ("
+        "SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 6) "
+        "SELECT SUM(n) AS s, COUNT(*) AS c FROM seq"
+    ).collect()
+    assert (out[0].s, out[0].c) == (21, 6)
+    # UNION DISTINCT on a CYCLIC step: only dedup terminates this.
+    out = engine.sql(
+        "WITH RECURSIVE r(n) AS ("
+        "SELECT 1 UNION SELECT (n % 4) + 1 FROM r) "
+        "SELECT n FROM r ORDER BY n"
+    ).collect()
+    assert [x.n for x in out] == [1, 2, 3, 4]
+    # Real tables + trailing plain CTE after the recursive one.
+    out = engine.sql(
+        "WITH RECURSIVE chain(k) AS ("
+        "SELECT CAST(0 AS BIGINT) AS k "
+        "UNION SELECT n.n_nationkey FROM nation n JOIN chain c "
+        "ON n.n_nationkey = c.k + 5), "
+        "lab AS (SELECT k, k * 2 AS dbl FROM chain) "
+        "SELECT k, dbl FROM lab ORDER BY k"
+    ).collect()
+    assert [(r.k, r.dbl) for r in out] == [
+        (0, 0), (5, 10), (10, 20), (15, 30), (20, 40),
+    ]
+    # Seed referencing itself is rejected loudly.
+    with pytest.raises(ValueError, match="seed member"):
+        engine.sql(
+            "WITH RECURSIVE bad(n) AS ("
+            "SELECT n FROM bad UNION SELECT 1) SELECT * FROM bad"
+        )

@@ -1351,6 +1351,12 @@ class Engine:
         ms = merge_clause.parse(query)
         if ms is not None:
             return self._run_merge(ms)
+        if re.match(r"(?is)^\s*WITH\s+RECURSIVE\b", query):
+            from tidb_spark.sqlshim import recursive_cte as _rc
+
+            rc_stmt = _rc.parse(query)
+            if rc_stmt is not None:
+                return self._run_recursive_cte(rc_stmt)
         query = self._rewrite_as_of(query)
         query = self._rewrite_tablesample(query)
         query = self._rewrite_partition_selection(query)
@@ -2597,6 +2603,39 @@ class Engine:
             )
 
         return self._TABLESAMPLE_RE.sub(repl, query)
+
+    def _run_recursive_cte(self, rc_stmt) -> DataFrame:
+        """Execute the UNION-DISTINCT recursive CTE form Spark rejects
+        natively (sqlshim/recursive_cte.py): seed and recursive member
+        each run through the full engine pipeline; the fixpoint is the
+        shared pipelined round driver (operators/cte.py — the same
+        dedup-by-hashtable semantics as the reference's executor/cte.go).
+        The recursive member sees the previous round's NEW rows, per the
+        MySQL/reference iteration contract; column names map by position
+        like any set operation."""
+        from tidb_spark.operators.cte import recursive_cte as fixpoint
+        from tidb_spark.sqlshim import recursive_cte as rc
+
+        seed = self.sql(rc_stmt.seed_sql)
+        cols = rc_stmt.cols or seed.columns
+        seed = seed.toDF(*cols)
+        n = next(_view_counter)
+        frontier_view = f"__rcte_f_{n}"
+
+        def step(frontier: DataFrame) -> DataFrame:
+            frontier.createOrReplaceTempView(frontier_view)
+            out = self.sql(
+                rc.replace_name(rc_stmt.step_sql, rc_stmt.name, frontier_view)
+            )
+            return out.toDF(*cols)
+
+        result = fixpoint(seed, step, distinct_keys=list(cols))
+        out_view = f"__rcte_r_{n}"
+        result.createOrReplaceTempView(out_view)
+        rest = rc.replace_name(rc_stmt.rest_sql, rc_stmt.name, out_view)
+        if rest.startswith(","):
+            rest = "WITH " + rest[1:]
+        return self.sql(rest)
 
     def _rewrite_as_of(self, query: str) -> str:
         """``FROM t AS OF TIMESTAMP '…'`` (stale read, parser/ast/dml.go:276

@@ -102,6 +102,7 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "ts_funnel",
     "text_nb_filter",
     "sim_pq_topk",
+    "mysqlsql_recursive_union",
     # --- r7 plan changes must re-verify ---
     "mysqlsql_collation_groupby",
     "mysqlsql_collation_ci",
@@ -112,8 +113,7 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "mysqlsql_match_1hop",
     "dedup_minhash_lsh",
     "graph_triangles",
-    # --- 10 of the 39 r4-latest rows ---
-    "tpch_q5",
+    # --- 9 of the 39 r4-latest rows ---
     "tpch_q7",
     "tpch_q8",
     "join_inner_nonequi",
@@ -123,8 +123,8 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_decontaminate",
     "multimodal_frames",
     "text_pii_scrub",
-    # (r8 rotation plan: the 29 r4-latest rows bumped from this window —
-    # tpch_q4, tpch_q10, tpch_q11, tpch_q13, window_rank_family, window_rows_frame,
+    # (r8 rotation plan: the 30 r4-latest rows bumped from this window —
+    # tpch_q4, tpch_q5, tpch_q10, tpch_q11, tpch_q13, window_rank_family, window_rows_frame,
     # agg_group_concat, agg_count_distinct, agg_approx_sketches,
     # mysqlsql_prepare, text_top_tokens, text_pipeline_e2e,
     # text_seq_packing, agg_grouping_sets, dedup_ngram_jaccard,

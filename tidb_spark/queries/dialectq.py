@@ -848,3 +848,36 @@ def mysqlsql_fulltext_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AND doc_id % 7 = 0 "
         "ORDER BY rel DESC, doc_id LIMIT 100"
     )
+
+
+# WITH RECURSIVE ... UNION (distinct) — Spark rejects the distinct form
+# natively; the engine lowers it to the fixpoint round driver
+# (engine._run_recursive_cte → operators/cte.py), the same hashtable-dedup
+# semantics as the reference's executor/cte.go.  DuckDB executes the
+# identical statement natively, so the oracle IS the query text.
+
+RECURSIVE_UNION_SQL = """
+WITH RECURSIVE walk(k) AS (
+  SELECT CAST(0 AS BIGINT) AS k
+  UNION
+  SELECT CAST((w.k * w.k + 1) % 25 AS BIGINT) FROM walk w
+)
+SELECT w.k, n.n_name FROM walk w
+JOIN nation n ON n.n_nationkey = w.k
+ORDER BY w.k
+"""
+
+
+@register(
+    "mysqlsql_recursive_union",
+    oracle=RECURSIVE_UNION_SQL,
+    tags=("dialect", "cte"),
+)
+def mysqlsql_recursive_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic walk k -> (k*k+1) mod 25 (orbit 0,1,2,5,1,... ) as a UNION-DISTINCT
+    recursive CTE: only dedup terminates it (UNION ALL would loop
+    forever), pinning the fixpoint runner's distinct semantics through
+    the SQL surface; the oracle runs the very same statement on DuckDB's
+    native recursion."""
+    eng = _engine(spark, sf_dir)
+    return eng.sql(RECURSIVE_UNION_SQL)
