@@ -46,6 +46,8 @@ NESTED_LOOP_OK = {
     "graph_any_shortest_len": "roots x dsts pair grid broadcast scaffold",
     "graph_all_shortest": "roots x dsts pair grid broadcast scaffold",
     "graph_top_k_shortest": "roots x dsts pair grid broadcast scaffold",
+    "ts_funnel": "three 1-row step-count aggregates crossJoined into the summary row (control-plane-sized at any scale)",
+    "text_bm25_topk": "1-row corpus-stats (N, avgdl) broadcast joined onto every posting (scalar scaffold, control-plane-sized at any scale)",
 }
 
 
