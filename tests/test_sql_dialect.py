@@ -1818,3 +1818,44 @@ def test_with_recursive_sql_surface(engine):
             "WITH RECURSIVE bad(n) AS ("
             "SELECT n FROM bad UNION SELECT 1) SELECT * FROM bad"
         )
+
+
+def test_rename_table_statement(engine):
+    """RENAME TABLE a TO b[, c TO d] (ddl/ddl_api.go RenameTable) moves
+    managed tables and re-aliases in one statement; old names stop
+    resolving."""
+    engine.sql("DROP TABLE IF EXISTS rt_a")
+    engine.sql("DROP TABLE IF EXISTS rt_b")
+    engine.sql("CREATE TABLE rt_a (k BIGINT, v VARCHAR(10))")
+    engine.sql("INSERT INTO rt_a VALUES (1, 'x'), (2, 'y')")
+    engine.sql("RENAME TABLE rt_a TO rt_b")
+    out = engine.sql("SELECT COUNT(*) AS n FROM rt_b").collect()
+    assert out[0].n == 2
+    with pytest.raises(Exception):
+        engine.sql("SELECT * FROM rt_a").collect()
+    # Multi-pair form.
+    engine.sql("CREATE TABLE rt_c (k BIGINT)")
+    engine.sql("RENAME TABLE rt_b TO rt_d, rt_c TO rt_e")
+    assert engine.sql("SELECT COUNT(*) AS n FROM rt_d").collect()[0].n == 2
+    engine.sql("DROP TABLE IF EXISTS rt_d")
+    engine.sql("DROP TABLE IF EXISTS rt_e")
+
+
+def test_select_into_user_vars(engine):
+    """SELECT ... INTO @a, @b: stores a one-row result into user
+    variables (readable via @a), errors on >1 row or column-count
+    mismatch, leaves variables unchanged on zero rows, and never fires
+    on INTO inside a string literal."""
+    engine.sql("SELECT COUNT(*), MAX(n_nationkey) INTO @cnt, @mx FROM nation")
+    out = engine.sql("SELECT @cnt AS c, @mx AS m").collect()
+    assert (out[0].c, out[0].m) == (25, 24)
+    with pytest.raises(ValueError, match="more than one row"):
+        engine.sql("SELECT n_nationkey INTO @x FROM nation")
+    with pytest.raises(ValueError, match="variables"):
+        engine.sql("SELECT 1, 2 INTO @only FROM nation LIMIT 1")
+    # Zero rows: unchanged.
+    engine.sql("SELECT n_nationkey INTO @cnt FROM nation WHERE n_nationkey < 0")
+    assert engine.sql("SELECT @cnt AS c").collect()[0].c == 25
+    # Literal containing ' INTO @v' is just a string.
+    out = engine.sql("SELECT 'go INTO @v' AS s").collect()
+    assert out[0].s == "go INTO @v"

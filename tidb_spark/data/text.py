@@ -200,3 +200,77 @@ def canonicalize_url(col: Column) -> Column:
         F.lit("")
     )
     return F.concat(scheme_host, path, qtail)
+
+
+def segment_spans(col: Column, *, seg_tokens: int) -> Column:
+    """Fixed-stride token segments: array of (seg_idx, seg_text) structs,
+    segment i = tokens [i*seg_tokens, (i+1)*seg_tokens).  The paragraph
+    proxy for boilerplate detection when the corpus carries no newlines;
+    swap the splitter for real line/paragraph splits when it does.  Pure
+    codegen (split / sequence / transform / slice)."""
+    toks = F.split(normalize_text(col), " ")
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.struct(
+            i.alias("seg_idx"),
+            F.array_join(
+                F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+            ).alias("seg"),
+        ),
+    )
+
+
+def strip_common_segments(
+    df,
+    text_col: str,
+    id_col: str,
+    *,
+    seg_tokens: int = 10,
+    min_df: int = 50,
+):
+    """Boilerplate removal (the CCNet/C4 common-paragraph strip): segment
+    every document, count each distinct segment's document frequency,
+    drop segments appearing in >= ``min_df`` documents, and reassemble
+    the survivors in order.
+
+    Scale shape: one shuffle keyed on segment text for the df-count
+    (map-side combined), one more to regroup survivors per document;
+    the boilerplate set is an anti-join — no driver materialization,
+    no all-pairs work.  Returns (id, n_seg_before, n_seg_kept,
+    cleaned_text).
+    """
+    segs = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(segment_spans(F.col(text_col), seg_tokens=seg_tokens)).alias(
+            "s"
+        ),
+    ).select("doc", F.col("s.seg_idx").alias("seg_idx"), F.col("s.seg").alias("seg"))
+    common = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct("doc").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("seg")
+    )
+    kept = segs.join(common, "seg", "left_anti")
+    before = segs.groupBy("doc").agg(F.count(F.lit(1)).alias("n_seg_before"))
+    return (
+        kept.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_seg_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s.seg,
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .join(before, "doc", "right")
+        .select(
+            "doc",
+            "n_seg_before",
+            F.coalesce("n_seg_kept", F.lit(0)).alias("n_seg_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

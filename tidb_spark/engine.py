@@ -1284,6 +1284,11 @@ class Engine:
         # Hints first: @query_block qualifiers inside /*+ ... */ must not be
         # mistaken for @user variables by the substitution pass.
         query, hints = self._extract_hints(query)
+        # SELECT ... INTO @vars writes variables — split it off BEFORE the
+        # read-side substitution pass turns the target @names into values.
+        iv = self._match_into_vars(query)
+        if iv is not None:
+            return self._run_select_into_vars(*iv)
         query = self._substitute_user_vars(query)
         if re.match(r"(?is)^\s*(SHOW|DESC(?:RIBE)?\s+\w+\s*;?\s*$)", query):
             return self._run_show(query)
@@ -1324,6 +1329,25 @@ class Engine:
             return self._run_into_outfile(om)
         if re.match(r"(?is)^\s*ALTER\s+TABLE\b", query):
             self._run_alter(query)
+            return self.spark.range(0).select(F.lit("OK").alias("status"))
+        rnm = re.match(
+            r"(?is)^\s*RENAME\s+TABLE\s+(?P<body>.+?)\s*;?\s*$", query
+        )
+        if rnm:
+            # RENAME TABLE a TO b [, c TO d] (ddl/ddl_api.go RenameTable):
+            # each pair reuses the ALTER ... RENAME TO path, so managed
+            # tables move storage-level and registered views re-alias.
+            for pair in rnm.group("body").split(","):
+                pm = re.match(
+                    r"(?is)^\s*`?(\w+)`?\s+TO\s+`?(\w+)`?\s*$", pair
+                )
+                if not pm:
+                    raise ValueError(
+                        f"RENAME TABLE: cannot parse pair {pair.strip()!r}"
+                    )
+                self._run_alter(
+                    f"ALTER TABLE {pm.group(1)} RENAME TO {pm.group(2)}"
+                )
             return self.spark.range(0).select(F.lit("OK").alias("status"))
         query = self._rewrite_infoschema(query)
         query = translate(query)
@@ -1464,6 +1488,54 @@ class Engine:
         r"(?:\s+ENCLOSED\s+BY\s+'(?P<quote>[^']*)')?"
         r"(?:\s+ESCAPED\s+BY\s+'(?P<esc>[^']*)')?)?\s*;?\s*$"
     )
+
+    # INTO var-list sits either before FROM (the classic MySQL position)
+    # or at statement end.
+    _INTO_VARS_RE = re.compile(
+        r"(?is)^\s*(?P<select>SELECT\b.*?)\s+INTO\s+"
+        r"(?P<vars>@\w+(?:\s*,\s*@\w+)*)(?P<tail>\s+FROM\b.*?)?\s*;?\s*$"
+    )
+
+    def _match_into_vars(self, query: str):
+        """``SELECT ... INTO @a[, @b]`` (executor/set.go UserVars write
+        side; MySQL SELECT ... INTO var_list).  Matched against a
+        length-preserving literal mask so an INTO inside a string can't
+        trigger, then sliced from the original text."""
+        masked = merge_clause._STRING_RE.sub(
+            lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", query
+        )
+        m = self._INTO_VARS_RE.match(masked)
+        if m is None:
+            return None
+        select_sql = query[m.start("select") : m.end("select")]
+        if m.group("tail"):
+            select_sql += query[m.start("tail") : m.end("tail")]
+        names = [
+            v.strip().lstrip("@")
+            for v in query[m.start("vars") : m.end("vars")].split(",")
+        ]
+        return select_sql, names
+
+    def _run_select_into_vars(
+        self, select_sql: str, names: list[str]
+    ) -> DataFrame:
+        rows = self.sql(select_sql).limit(2).collect()
+        if len(rows) > 1:
+            raise ValueError(
+                "SELECT INTO: result consisted of more than one row "
+                "(MySQL error 1172)"
+            )
+        if rows:
+            row = rows[0]
+            if len(row) != len(names):
+                raise ValueError(
+                    f"SELECT INTO: {len(row)} columns into {len(names)} "
+                    "variables (MySQL error 1222)"
+                )
+            for name, val in zip(names, row):
+                self.user_vars[name] = _sql_literal(val)
+        # MySQL: zero rows leaves the variables unchanged (with a warning).
+        return self.spark.range(0).select(F.lit("OK").alias("status"))
 
     def _run_load_data(self, m: re.Match) -> DataFrame:
         """LOAD DATA INFILE … INTO TABLE t: distributed CSV scan with the

@@ -2505,3 +2505,138 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, vec_col="embedding", id_col="vec_id",
         m=4, k=8, iters=2, scale=1000, n_queries=3, topk=10,
     ).orderBy("query_id", "rank")
+
+
+DEDUP_EDIT_ORACLE = f"""
+WITH nd AS (SELECT doc_id, {_NORM} AS n FROM documents WHERE doc_id < 200),
+sh AS (
+  SELECT doc_id,
+         list_distinct([substr(n, i, 8)
+                        FOR i IN range(1, greatest(length(n) - 6, 2))]) AS s
+  FROM nd
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.s, b.s)) AS c, len(a.s) AS n1, len(b.s) AS n2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT d1, d2 FROM pairs
+  WHERE CAST(c AS DOUBLE) / (n1 + n2 - c) >= 0.2
+)
+SELECT cand.d1, cand.d2,
+       CAST(levenshtein(x.n, y.n) AS BIGINT) AS dist,
+       CAST((greatest(length(x.n), length(y.n)) - levenshtein(x.n, y.n))
+            * 1000000 // greatest(length(x.n), length(y.n)) AS BIGINT)
+         AS sim_micros
+FROM cand JOIN nd x ON x.doc_id = cand.d1 JOIN nd y ON y.doc_id = cand.d2
+ORDER BY d1, d2
+"""
+
+
+@register("dedup_edit_verify", oracle=DEDUP_EDIT_ORACLE, tags=("dedup",))
+def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification tier: candidate pairs from the shingle
+    inverted index (never all-pairs) get an exact Levenshtein check —
+    the standard two-stage near-dup pipeline where the O(len²) DP runs
+    only on pairs the cheap index already suspects.  Similarity reported
+    in integer micros (floor), engine-exact.  Scale: the candidate set
+    is the posting join's output; Levenshtein work ∝ |candidates|, never
+    ∝ n²."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    cand = dd.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=8, threshold=0.2, max_posting=None
+    ).select("d1", "d2")
+    nd = docs.select(
+        "doc_id", dd.normalize_text(F.col("text")).alias("n")
+    )
+    x = nd.toDF("d1", "n1")
+    y = nd.toDF("d2", "n2")
+    dist = F.levenshtein(F.col("n1"), F.col("n2"))
+    mx = F.greatest(F.length("n1"), F.length("n2"))
+    return (
+        cand.join(x, "d1")
+        .join(y, "d2")
+        .select(
+            "d1",
+            "d2",
+            dist.cast("long").alias("dist"),
+            F.floor((mx - dist) * F.lit(1000000) / mx)
+            .cast("long")
+            .alias("sim_micros"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+_BP_HEADER = "terms of service apply to all content on this site"
+_BP_BLOCK = "subscribe now to our daily newsletter for more updates today"
+_BP_INJECT_SPARK = (
+    f"concat('{_BP_HEADER} ', "
+    f"CASE WHEN doc_id % 2 = 0 THEN '{_BP_BLOCK} ' ELSE '' END, text)"
+)
+_BP_INJECT_DUCK = (
+    f"'{_BP_HEADER} ' || "
+    f"(CASE WHEN doc_id % 2 = 0 THEN '{_BP_BLOCK} ' ELSE '' END) || text"
+)
+
+BOILERPLATE_ORACLE = f"""
+WITH nd AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower({_BP_INJECT_DUCK})), '\\s+', ' ', 'g') AS n
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, n,
+         UNNEST(range(0, CAST(ceil(len(string_split(n, ' ')) / 10.0)
+                              AS BIGINT))) AS seg_idx
+  FROM nd
+),
+segs AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(list_slice(string_split(n, ' '),
+                                    seg_idx * 10 + 1, seg_idx * 10 + 10),
+                         ' ') AS seg
+  FROM idx
+),
+common AS (
+  SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 50
+),
+kept AS (
+  SELECT s.* FROM segs s LEFT JOIN common c ON s.seg = c.seg
+  WHERE c.seg IS NULL
+),
+before AS (SELECT doc_id, COUNT(*) AS n_seg_before FROM segs GROUP BY doc_id)
+SELECT b.doc_id AS doc, b.n_seg_before,
+       COALESCE(k.n_seg_kept, 0) AS n_seg_kept,
+       md5(COALESCE(k.cleaned, '')) AS cleaned_md5
+FROM before b LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_seg_kept,
+         string_agg(seg, ' ' ORDER BY seg_idx) AS cleaned
+  FROM kept GROUP BY doc_id) k ON b.doc_id = k.doc_id
+ORDER BY doc
+"""
+
+
+@register("text_boilerplate_strip", oracle=BOILERPLATE_ORACLE, tags=("text",))
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (CCNet/C4 common-paragraph strip) via
+    data/text.py::strip_common_segments: fixed-stride token segments,
+    document-frequency count, segments in >= 50 docs stripped, survivors
+    reassembled in order.  A universal header and an every-other-doc
+    promo block are injected deterministically (the fixture has no
+    boilerplate); the strip must remove exactly those and nothing else.
+    Two keyed shuffles, boilerplate set applied as an anti-join — no
+    all-pairs, no driver state."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_BP_INJECT_SPARK).alias("btext")
+    )
+    out = tx.strip_common_segments(
+        docs, "btext", "doc_id", seg_tokens=10, min_df=50
+    )
+    return out.select(
+        "doc",
+        "n_seg_before",
+        "n_seg_kept",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    ).orderBy("doc")
