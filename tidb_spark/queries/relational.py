@@ -1723,3 +1723,76 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("conv_bps"),
         )
     )
+
+
+TS_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_wk FROM events
+  GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+joined AS (
+  SELECT f.cohort_wk,
+         CAST(datediff('day', f.cohort_wk, a.wk) / 7 AS INT) AS week_offset,
+         a.user_id
+  FROM act a JOIN firsts f ON a.user_id = f.user_id
+),
+cells AS (
+  SELECT cohort_wk, week_offset, COUNT(DISTINCT user_id) AS n_active
+  FROM joined GROUP BY cohort_wk, week_offset
+),
+sizes AS (
+  SELECT cohort_wk, n_active AS cohort_size FROM cells WHERE week_offset = 0
+)
+SELECT CAST(c.cohort_wk AS TIMESTAMP) AS cohort_wk, c.week_offset,
+       c.n_active, s.cohort_size,
+       c.n_active * 10000 // s.cohort_size AS retention_bps
+FROM cells c JOIN sizes s ON c.cohort_wk = s.cohort_wk
+ORDER BY cohort_wk, week_offset
+"""
+
+
+@register("ts_retention_cohort", oracle=TS_RETENTION_ORACLE, tags=("ts",))
+def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, each cell counts distinct users from that cohort active k
+    weeks later, with integer basis-point retention.  Shape: one
+    user_id-keyed aggregate for cohorts, one distinct over (user, week),
+    one co-partitioned join, one (cohort, offset) aggregate — the events
+    table is shuffled twice total; week offsets are exact integer
+    day-diffs over Monday-anchored date_trunc so both engines agree."""
+    events = _t(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    act = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    joined = act.join(firsts, "user_id").select(
+        "cohort_wk",
+        (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+        "user_id",
+    )
+    cells = joined.groupBy("cohort_wk", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    sizes = cells.where(F.col("week_offset") == 0).select(
+        "cohort_wk", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        cells.join(sizes, "cohort_wk")
+        .select(
+            "cohort_wk",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.floor(F.col("n_active") * 10000 / F.col("cohort_size"))
+            .cast("long")
+            .alias("retention_bps"),
+        )
+        .orderBy("cohort_wk", "week_offset")
+    )
