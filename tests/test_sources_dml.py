@@ -459,3 +459,51 @@ def test_multi_table_update_delete(engine):
     )
     assert engine.sql("SELECT COUNT(*) AS n FROM accounts").collect()[0].n == 20
     engine.sql("DROP TABLE accounts")
+
+
+def test_optimize_zorder_clusters_files(spark, tmp_path):
+    """OPTIMIZE t ZORDER BY (x, y): content unchanged, and every output
+    file covers a small tile of the (x, y) plane — per-file min/max
+    ranges on BOTH dimensions shrink far below the global range, which
+    is what makes parquet row-group stats selective on either column."""
+    from pyspark.sql import functions as F
+
+    from tidb_spark.catalog import TABLES
+    from tidb_spark.engine import Engine
+
+    eng = Engine(spark, TEST_SF_DIR, workspace=str(tmp_path / "zws"))
+    eng.sql("DROP TABLE IF EXISTS zt")
+    eng.sql("CREATE TABLE zt (id BIGINT, x BIGINT, y BIGINT)")
+    src = spark.range(4096).select(
+        F.col("id"),
+        (F.col("id") % 256).alias("x"),
+        ((F.col("id") * 7919) % 256).alias("y"),
+    )
+    src.createOrReplaceTempView("zsrc")
+    eng.sql("INSERT INTO zt SELECT id, x, y FROM zsrc")
+    before_sum = eng.sql("SELECT SUM(id) AS s, COUNT(*) AS n FROM zt").collect()[0]
+    eng.sql("OPTIMIZE zt ZORDER BY (x, y)")
+    after = eng.sql("SELECT SUM(id) AS s, COUNT(*) AS n FROM zt").collect()[0]
+    assert (after.s, after.n) == (before_sum.s, before_sum.n)
+    # Per-file tile check via input_file_name on the managed table.
+    mt = eng.managed["zt"]
+    spans = (
+        mt.df()
+        .select("x", "y", F.expr("input_file_name()").alias("f"))
+        .groupBy("f")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xr"),
+            (F.max("y") - F.min("y")).alias("yr"),
+        )
+        .collect()
+    )
+    assert len(spans) >= 8  # clustering produced multiple files
+    # Global area is 255*255 = 65025; every z-ordered file must cover a
+    # small tile of the plane — BOTH dimensions constrained at once.
+    areas = [r.xr * r.yr for r in spans]
+    assert max(areas) <= 12_000, sorted(areas)[-3:]
+    assert sum(areas) / len(areas) <= 6_000, sum(areas) / len(areas)
+    # Rejections: partitioned table / unknown column.
+    with pytest.raises(ValueError, match="unknown column"):
+        eng.sql("OPTIMIZE zt ZORDER BY (nope)")
+    eng.sql("DROP TABLE IF EXISTS zt")

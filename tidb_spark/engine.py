@@ -1330,6 +1330,26 @@ class Engine:
         if re.match(r"(?is)^\s*ALTER\s+TABLE\b", query):
             self._run_alter(query)
             return self.spark.range(0).select(F.lit("OK").alias("status"))
+        zm = re.match(
+            r"(?is)^\s*OPTIMIZE\s+(?:TABLE\s+)?`?(?P<tab>\w+)`?\s+"
+            r"ZORDER\s+BY\s*\((?P<cols>[^)]*)\)\s*;?\s*$",
+            query,
+        )
+        if zm:
+            # OPTIMIZE t ZORDER BY (a, b) — lakehouse layout extension
+            # (Delta syntax); multi-dimensional clustering so parquet
+            # row-group stats prune on every listed column.
+            mt = self.managed.get(zm.group("tab"))
+            if mt is None:
+                raise ValueError(
+                    f"OPTIMIZE ZORDER: {zm.group('tab')!r} is not a "
+                    "managed table"
+                )
+            mt.optimize_zorder(
+                [c.strip().strip("`") for c in zm.group("cols").split(",")]
+            )
+            self._refresh_view(zm.group("tab"))
+            return self.spark.range(0).select(F.lit("OK").alias("status"))
         rnm = re.match(
             r"(?is)^\s*RENAME\s+TABLE\s+(?P<body>.+?)\s*;?\s*$", query
         )

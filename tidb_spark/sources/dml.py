@@ -477,3 +477,62 @@ class ManagedTable:
         lookup, pushed to the scan."""
         df = self.df()
         return df.where(df[col].isin(values))
+
+    def optimize_zorder(
+        self, cols: list[str], *, n_files: int = 16, bits: int = 16
+    ) -> None:
+        """Rewrite the table clustered by the Morton (Z-order) interleave
+        of the given columns — the lakehouse OPTIMIZE ... ZORDER BY
+        layout operation.  Multi-dimensional clustering makes parquet
+        row-group min/max stats selective on EVERY zordered column at
+        once, so pushed-down predicates on any of them skip most of the
+        data — the 100 TB answer to "we filter on two keys but can only
+        partition by one".
+
+        Plan shape: one scalar min/max aggregate per column (broadcast,
+        k rows), a codegen bit-interleave expression, one range
+        repartition on the z-value (sampled range boundaries — the same
+        machinery as a global sort, but producing ``n_files`` balanced
+        files), an intra-partition sort, and a rewrite into the next
+        version.  No driver materialization of data.
+
+        Partitioned tables keep their layout contract; reject rather
+        than silently flatten.
+        """
+        if self.partition_spec is not None or self.partition_by:
+            raise ValueError(
+                "OPTIMIZE ZORDER: not supported on a partitioned table "
+                "(the partition layout is the clustering)"
+            )
+        if not cols or len(cols) > 4:
+            raise ValueError("OPTIMIZE ZORDER: give 1-4 columns")
+        df = self.df()
+        for c in cols:
+            if c not in df.columns:
+                raise ValueError(f"OPTIMIZE ZORDER: unknown column {c!r}")
+        stats = df.agg(
+            *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
+            *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)],
+        ).collect()[0]
+        top = (1 << bits) - 1
+        k = len(cols)
+        z = F.lit(0).cast("long")
+        for j, c in enumerate(cols):
+            mn = float(stats[f"mn_{j}"])
+            mx = float(stats[f"mx_{j}"])
+            span = (mx - mn) or 1.0
+            bucket = F.floor(
+                (F.col(c).cast("double") - F.lit(mn)) * F.lit(top) / F.lit(span)
+            ).cast("long")
+            for i in range(bits):
+                pos = i * k + (k - 1 - j)
+                z = z + F.shiftleft(
+                    F.shiftright(bucket, i).bitwiseAND(F.lit(1)), pos
+                )
+        clustered = (
+            df.withColumn("__zorder", z)
+            .repartitionByRange(n_files, F.col("__zorder"))
+            .sortWithinPartitions("__zorder")
+            .drop("__zorder")
+        )
+        self._write(clustered)
