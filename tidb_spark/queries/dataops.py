@@ -2640,3 +2640,47 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_seg_kept",
         F.md5("cleaned_text").alias("cleaned_md5"),
     ).orderBy("doc")
+
+
+SAMPLE_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, lang,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                AS BIGINT) % 10 AS b
+    FROM documents)
+)
+SELECT split, lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM assigned GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+@register("sample_split", oracle=SAMPLE_SPLIT_ORACLE, tags=("sample",))
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by hashing the
+    stable document id — the split every training pipeline needs to be
+    reproducible across reruns, engines, and data arrivals: a document's
+    split NEVER changes when other documents are added or removed
+    (hash-based, not rank-based).  Zero joins, zero window functions —
+    one map-side-combined aggregate summarizes the assignment; the id
+    checksum per (split, lang) cell pins every single row's assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10
+    )
+    split = (
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+    ).alias("split")
+    return (
+        docs.select(split, "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("split", "lang")
+    )
