@@ -253,20 +253,30 @@ def strip_common_segments(
         .select("seg")
     )
     kept = segs.join(common, "seg", "left_anti")
-    before = segs.groupBy("doc").agg(F.count(F.lit(1)).alias("n_seg_before"))
+    # Segment count is a closed-form expression on the source row — no
+    # second aggregate over the exploded frame.
+    n_toks = F.size(F.split(normalize_text(F.col(text_col)), " "))
+    before = df.select(
+        F.col(id_col).alias("doc"),
+        F.ceil(n_toks / F.lit(seg_tokens)).cast("long").alias("n_seg_before"),
+    )
     return (
-        kept.groupBy("doc")
-        .agg(
-            F.count(F.lit(1)).alias("n_seg_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
-                    lambda s: s.seg,
-                ),
-                " ",
-            ).alias("cleaned_text"),
+        before.join(
+            kept.groupBy("doc").agg(
+                F.count(F.lit(1)).alias("n_seg_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seg_idx", "seg"))
+                        ),
+                        lambda s: s.seg,
+                    ),
+                    " ",
+                ).alias("cleaned_text"),
+            ),
+            "doc",
+            "left",
         )
-        .join(before, "doc", "right")
         .select(
             "doc",
             "n_seg_before",
