@@ -366,3 +366,79 @@ def test_unicode_ci_sql_pieces_wellformed():
     for src, dst in expansions:
         assert len(src) == 1 and len(dst) >= 2
         assert not set(",>'\\") & set(src + dst)
+
+
+# ---------------------------------------------------------------------------
+# WITH ROLLUP lowering properties.
+
+_roll_idents = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+
+
+@given(
+    cols=st.lists(_roll_idents, min_size=1, max_size=3, unique=True),
+    tbl=_roll_idents,
+    literal=st.text(
+        alphabet=st.characters(blacklist_characters="'\\\x00", max_codepoint=0x7E),
+        max_size=30,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_with_rollup_lowering_properties(cols, tbl, literal):
+    """_with_rollup rewrites exactly the keyword form, never literals,
+    and is idempotent."""
+    from tidb_spark.sqlshim.translate import _with_rollup
+
+    col_list = ", ".join(cols)
+    q = (
+        f"SELECT {col_list}, COUNT(*), '{literal}' AS s FROM {tbl} "
+        f"GROUP BY {col_list} WITH ROLLUP"
+    )
+    out = _with_rollup(q)
+    assert f"GROUP BY ROLLUP({col_list})" in out
+    assert "WITH ROLLUP" not in out.upper().replace(
+        f"'{literal.upper()}'", ""
+    ) or "WITH ROLLUP" in literal.upper()
+    assert f"'{literal}'" in out  # literal untouched
+    assert _with_rollup(out) == out  # idempotent
+    # Without the clause: unchanged.
+    plain = f"SELECT {col_list} FROM {tbl} GROUP BY {col_list}"
+    assert _with_rollup(plain) == plain
+
+
+# ---------------------------------------------------------------------------
+# MATCH ... AGAINST lowering properties.
+
+_terms = st.from_regex(r"[a-z]{2,8}", fullmatch=True)
+
+
+@given(
+    req=st.lists(_terms, min_size=0, max_size=2, unique=True),
+    proh=st.lists(_terms, min_size=0, max_size=2, unique=True),
+    opt=st.lists(_terms, min_size=0, max_size=2, unique=True),
+    col=_roll_idents,
+)
+@settings(max_examples=60, deadline=None)
+def test_fulltext_boolean_lowering_properties(req, proh, opt, col):
+    """Boolean-mode lowering: every term's word-boundary regex appears,
+    prohibited terms appear under NOT, required terms gate the CASE, and
+    the expression is wrapped with > 0 in WHERE position."""
+    from hypothesis import assume
+
+    from tidb_spark.sqlshim import fulltext
+
+    assume(req or proh or opt)
+    assume(not (set(req) & set(proh)) and not (set(req) & set(opt))
+           and not (set(proh) & set(opt)))
+    query = " ".join(
+        [f"+{t}" for t in req] + [f"-{t}" for t in proh] + list(opt)
+    )
+    sql = f"SELECT id FROM t WHERE MATCH({col}) AGAINST('{query}' IN BOOLEAN MODE)"
+    out = fulltext.lower(sql)
+    assert "MATCH(" not in out.upper().replace("RLIKE", "")
+    for t in req + proh + opt:
+        assert f"\\\\b{t}" in out, (t, out)
+    for t in proh:
+        assert f"NOT ({'coalesce(' + col}" in out or "NOT (" in out
+    assert out.rstrip().endswith("> 0)")
+    if req or proh:
+        assert "CASE WHEN" in out
