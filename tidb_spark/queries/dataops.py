@@ -2684,3 +2684,97 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+DEDUP_ENSEMBLE_ORACLE = f"""
+WITH RECURSIVE nd AS (
+  SELECT doc_id, {_NORM} AS n FROM documents WHERE doc_id < 200
+),
+raw AS (SELECT doc_id, {_RAWURL_DUCK} AS u FROM documents WHERE doc_id < 200),
+parts AS (SELECT doc_id, split_part(u, '#', 1) AS u0 FROM raw),
+canon AS (
+  SELECT doc_id,
+    regexp_replace(
+      lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]+)', 1)),
+      ':(80|443)$', '')
+    || regexp_replace(
+         regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)', 1),
+         '/+$', '')
+    || (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+        ELSE '' END) AS url
+  FROM (
+    SELECT doc_id, u0,
+      list_sort(list_filter(string_split(
+        CASE WHEN contains(u0, '?') THEN split_part(u0, '?', 2)
+             ELSE '' END, '&'),
+        x -> x <> '' AND NOT regexp_matches(x,
+             '^(utm_[^=]*|fbclid|gclid|ref)='))) AS kept
+    FROM parts)
+),
+url_keep AS (SELECT url, MIN(doc_id) AS k FROM canon GROUP BY url),
+url_edges AS (
+  SELECT uk.k AS d1, c.doc_id AS d2
+  FROM canon c JOIN url_keep uk ON c.url = uk.url
+  WHERE c.doc_id <> uk.k
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([substr(n, i, 8)
+                        FOR i IN range(1, greatest(length(n) - 6, 2))]) AS s
+  FROM nd
+),
+jac AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+),
+all_pairs AS (SELECT d1, d2 FROM url_edges UNION SELECT d1, d2 FROM jac),
+-- MATERIALIZED: DuckDB inlines plain CTEs, so the recursive step below
+-- would otherwise recompute the full jaccard all-pairs every iteration.
+edges AS MATERIALIZED (
+  SELECT d1 AS a, d2 AS b FROM all_pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM all_pairs
+),
+reach(n, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT reach.n, edges.b FROM reach JOIN edges ON reach.r = edges.a
+),
+comp AS (SELECT n AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY n),
+sizes AS (
+  SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY canonical_id
+)
+SELECT comp.doc_id, comp.canonical_id, sizes.cluster_size
+FROM comp JOIN sizes USING (canonical_id)
+ORDER BY doc_id
+"""
+
+
+@register("dedup_ensemble_cluster", oracle=DEDUP_ENSEMBLE_ORACLE, tags=("dedup",))
+def dedup_ensemble_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble dedup: union the candidate edges from TWO independent
+    signals — same canonical URL (keeper→member star edges, enough for
+    connectivity) and 8-gram Jaccard near-dup pairs — then resolve one
+    transitive-closure cluster set over the combined graph.  This is the
+    production shape: no single dedup signal catches everything, and
+    clustering the union is how signals compose without double-counting.
+    Edge construction is the two signals' own one-shuffle shapes;
+    components run the O(log n) large-star/small-star rounds."""
+    from tidb_spark.data import cluster as cl
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    url = docs.select(
+        tx.canonicalize_url(F.expr(_RAWURL_SPARK)).alias("url"), "doc_id"
+    )
+    keepers = url.groupBy("url").agg(F.min("doc_id").alias("k"))
+    url_edges = (
+        url.join(keepers, "url")
+        .where(F.col("doc_id") != F.col("k"))
+        .select(F.col("k").alias("d1"), F.col("doc_id").alias("d2"))
+    )
+    jac = dd.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=8, threshold=0.2, max_posting=None
+    ).select("d1", "d2")
+    return cl.duplicate_clusters(url_edges.unionByName(jac)).orderBy("doc_id")
