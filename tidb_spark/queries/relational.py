@@ -1796,3 +1796,46 @@ def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_wk", "week_offset")
     )
+
+
+WINDOW_EXCLUDE_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS neigh_qty,
+       COUNT(*) OVER w AS neigh_n
+FROM lineitem
+WHERE l_orderkey < 200
+WINDOW w AS (
+  PARTITION BY l_orderkey ORDER BY l_linenumber
+  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW)
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "window_exclude_current", oracle=WINDOW_EXCLUDE_ORACLE, tags=("window",)
+)
+def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2011 EXCLUDE CURRENT ROW frames — executed extension (neither
+    Spark nor the reference executes EXCLUDE; DuckDB does, so the oracle
+    runs the REAL clause).  Emulation: aggregate the full frame, then
+    subtract the current row's contribution — exact for decomposable
+    aggregates (SUM/COUNT here; decimal accumulation keeps the
+    subtraction bit-exact).  Same single window sort as the plain frame;
+    no extra shuffle."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(-2, 2)
+    )
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    neigh_n = F.count(F.lit(1)).over(w) - F.lit(1)
+    # An emptied frame yields SUM = NULL (standard semantics), not 0.
+    neigh_qty = F.when(neigh_n > 0, (F.sum(q).over(w) - q).cast("double"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        neigh_qty.alias("neigh_qty"),
+        neigh_n.cast("long").alias("neigh_n"),
+    ).orderBy("l_orderkey", "l_linenumber")
