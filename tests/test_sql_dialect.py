@@ -1859,3 +1859,70 @@ def test_select_into_user_vars(engine):
     # Literal containing ' INTO @v' is just a string.
     out = engine.sql("SELECT 'go INTO @v' AS s").collect()
     assert out[0].s == "go INTO @v"
+
+
+def test_quantified_subquery_comparisons(engine):
+    """x <op> ALL|ANY|SOME (SELECT ...) — Spark's parser rejects the
+    form; the reference decorrelates it (expression_rewriter.go
+    handleCompareSubquery).  The lowering must honor MySQL's three-valued
+    semantics: empty-set ALL is TRUE / ANY is FALSE, NULLs in the set
+    make undecided comparisons NULL, and = ANY / <> ALL are IN / NOT IN."""
+    # Basic ordering quantifiers over real data.
+    out = engine.sql(
+        "SELECT n_name FROM nation WHERE n_nationkey >= ALL "
+        "(SELECT n_nationkey FROM nation)"
+    ).collect()
+    assert [r.n_name for r in out] == ["NATION_24"]
+    out = engine.sql(
+        "SELECT COUNT(*) AS n FROM nation WHERE n_nationkey > ANY "
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey = 0)"
+    ).collect()
+    # strictly greater than the smallest region-0 nation key
+    mn = engine.sql(
+        "SELECT MIN(n_nationkey) AS m FROM nation WHERE n_regionkey = 0"
+    ).collect()[0].m
+    expect = engine.sql(
+        f"SELECT COUNT(*) AS n FROM nation WHERE n_nationkey > {mn}"
+    ).collect()[0].n
+    assert out[0].n == expect
+    # Empty set: ALL -> TRUE for every row, ANY -> FALSE.
+    assert len(engine.sql(
+        "SELECT 1 FROM nation WHERE n_nationkey > ALL "
+        "(SELECT n_nationkey FROM nation WHERE n_nationkey < 0)"
+    ).collect()) == 25
+    assert engine.sql(
+        "SELECT 1 FROM nation WHERE n_nationkey > ANY "
+        "(SELECT n_nationkey FROM nation WHERE n_nationkey < 0)"
+    ).collect() == []
+    # NULL in the set: undecided comparisons are NULL (filtered out),
+    # decided-FALSE stays FALSE.
+    out = engine.sql(
+        "SELECT x FROM (SELECT 5 AS x) WHERE x > ALL "
+        "(SELECT CASE WHEN y = 1 THEN NULL ELSE y END FROM "
+        "(SELECT 1 AS y UNION ALL SELECT 3 AS y))"
+    ).collect()
+    assert out == []  # 5 > 3 holds but the NULL leaves ALL undecided
+    out = engine.sql(
+        "SELECT x FROM (SELECT 2 AS x) WHERE x > ALL "
+        "(SELECT CASE WHEN y = 1 THEN NULL ELSE y END FROM "
+        "(SELECT 1 AS y UNION ALL SELECT 3 AS y))"
+    ).collect()
+    assert out == []  # decided FALSE by 3
+    # = ANY == IN; <> ALL == NOT IN; SOME == ANY.
+    assert len(engine.sql(
+        "SELECT 1 FROM nation WHERE n_nationkey = ANY "
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey = 1)"
+    ).collect()) == 5
+    assert len(engine.sql(
+        "SELECT 1 FROM nation WHERE n_nationkey <> ALL "
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey = 1)"
+    ).collect()) == 20
+    assert len(engine.sql(
+        "SELECT 1 FROM nation WHERE n_nationkey >= SOME "
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey = 1)"
+    ).collect()) > 0
+    # UNION ALL ( / MATCH ALL ( must not trigger the rewrite.
+    out = engine.sql(
+        "SELECT COUNT(*) AS n FROM (SELECT 1 UNION ALL (SELECT 2))"
+    ).collect()
+    assert out[0].n == 2

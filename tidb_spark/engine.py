@@ -1410,6 +1410,13 @@ class Engine:
             from tidb_spark.sqlshim import json_table as _jt
 
             query = _jt.lower(query)
+        if re.search(
+            r"(?i)\b(ALL|ANY|SOME)\s*\(\s*SELECT\b",
+            merge_clause._STRING_RE.sub("''", query),
+        ):
+            from tidb_spark.sqlshim import quantified as _qt
+
+            query = _qt.lower(query)
         query = self._inject_hints(query, hints)
         parsed = mc.find_and_parse(query)
         if parsed is not None:

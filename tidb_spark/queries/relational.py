@@ -1839,3 +1839,35 @@ def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         neigh_qty.alias("neigh_qty"),
         neigh_n.cast("long").alias("neigh_n"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+# Quantified subquery comparisons — the reference decorrelates them
+# (planner/core/expression_rewriter.go handleCompareSubquery); Spark's
+# parser rejects the syntax, so sqlshim/quantified.py lowers them onto
+# scalar-subquery aggregates with MySQL's three-valued NULL semantics.
+# DuckDB executes the quantifiers natively — the oracle IS the statement.
+
+SUBQ_QUANTIFIED_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > ALL (
+        SELECT o_totalprice FROM orders WHERE o_custkey = 1)
+  AND o_orderkey < ANY (
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+ORDER BY o_orderkey
+LIMIT 100
+"""
+
+
+@register(
+    "subq_quantified", oracle=SUBQ_QUANTIFIED_SQL, tags=("subquery",)
+)
+def subq_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """> ALL and < ANY quantifiers in one predicate, lowered to COUNT/
+    MIN/MAX scalar subqueries that Catalyst dedupes (ReusedSubquery) —
+    each subquery executes once, as a broadcast scalar, regardless of
+    fact-side scale."""
+    from tidb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.sql(SUBQ_QUANTIFIED_SQL)
