@@ -1926,3 +1926,64 @@ def test_quantified_subquery_comparisons(engine):
         "SELECT COUNT(*) AS n FROM (SELECT 1 UNION ALL (SELECT 2))"
     ).collect()
     assert out[0].n == 2
+
+
+def test_quantified_three_valued_logic_exhaustive(engine):
+    """Exhaustive 3VL conformance for quantified comparisons: every
+    (set shape x lhs x operator x quantifier) combination — 288 cells —
+    must match the MySQL three-valued reference semantics computed in
+    Python.  Each set shape runs as ONE engine query with 48 predicate
+    columns, so the sweep is 6 plans, not 288."""
+    import operator as _op
+
+    OPS = {">": _op.gt, ">=": _op.ge, "<": _op.lt, "<=": _op.le,
+           "=": _op.eq, "<>": _op.ne}
+
+    def ref(x, S, op, quant):
+        def cmp3(s):
+            if x is None or s is None:
+                return None
+            return OPS[op](x, s)
+        vals = [cmp3(s) for s in S]
+        if quant == "ALL":
+            if not vals:
+                return True
+            if any(v is False for v in vals):
+                return False
+            if any(v is None for v in vals):
+                return None
+            return True
+        if not vals:
+            return False
+        if any(v is True for v in vals):
+            return True
+        if any(v is None for v in vals):
+            return None
+        return False
+
+    SETS = [[], [1], [None], [1, 3], [None, 3], [None, 1, 3]]
+    XS = [None, 0, 2, 4]
+
+    def lit(v):
+        return "CAST(NULL AS INT)" if v is None else str(v)
+
+    for S in SETS:
+        if S:
+            rows = ", ".join(f"({lit(s)})" for s in S)
+            sub = f"SELECT y FROM VALUES {rows} AS v(y)"
+        else:
+            sub = "SELECT y FROM (SELECT 1 AS y) WHERE 1 = 0"
+        cols, want = [], []
+        for xi, x in enumerate(XS):
+            for oi, op in enumerate(OPS):
+                for quant in ("ALL", "ANY"):
+                    cols.append(
+                        f"({lit(x)}) {op} {quant} ({sub}) "
+                        f"AS c{len(cols)}"
+                    )
+                    want.append(ref(x, S, op, quant))
+        row = engine.sql("SELECT " + ", ".join(cols)).collect()[0]
+        got = [row[i] for i in range(len(cols))]
+        assert got == want, (S, [
+            (i, g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
+        ])

@@ -119,10 +119,29 @@ def _build(op: str, quant: str, lhs: str, subq: str) -> str:
     null_bool = "CAST(NULL AS BOOLEAN)"
     if op in ("=", "<>", "!="):
         eq = op == "="
-        if eq and quant == "ANY":
-            return f"(({lhs}) IN ({subq}))"
-        if not eq and quant == "ALL":
-            return f"(({lhs}) NOT IN ({subq}))"
+        if (eq and quant == "ANY") or (not eq and quant == "ALL"):
+            # IN / NOT IN semantics — but NOT via Spark's InSubquery,
+            # whose value-position result is FALSE where the standard
+            # (and MySQL) say NULL when only NULLs could match.
+            n2 = next(_ALIAS_N)
+            eqcnt = (
+                f"(SELECT COUNT(*) FROM ({subq}) __qeq{n2}(__qc) "
+                f"WHERE __qc = ({lhs}))"
+            )
+            if eq:  # = ANY
+                return (
+                    f"(CASE WHEN {cnt} = 0 THEN FALSE "
+                    f"WHEN ({lhs}) IS NULL THEN {null_bool} "
+                    f"WHEN {eqcnt} > 0 THEN TRUE "
+                    f"WHEN {nn} < {cnt} THEN {null_bool} ELSE FALSE END)"
+                )
+            # <> ALL
+            return (
+                f"(CASE WHEN {cnt} = 0 THEN TRUE "
+                f"WHEN ({lhs}) IS NULL THEN {null_bool} "
+                f"WHEN {eqcnt} > 0 THEN FALSE "
+                f"WHEN {nn} < {cnt} THEN {null_bool} ELSE TRUE END)"
+            )
         mn, mx = wrap("MIN(__qc)"), wrap("MAX(__qc)")
         differs = f"({mn} <> ({lhs}) OR {mx} <> ({lhs}))"
         if eq:  # = ALL
