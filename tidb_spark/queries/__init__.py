@@ -63,12 +63,12 @@ _LOADED = False
 # everything not listed keeps its natural (import) order after slot 50.
 _PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round 7 window (50 slots the driver verifies) ---
-    # Built by replaying CORRECTNESS_r0{1..6}.json: 39 never-checked
+    # Built by replaying CORRECTNESS_r0{1..6}.json: 40 never-checked
     # r7 additions, then the 9 queries whose plans r7's fixes changed
     # (engine _ci GROUP BY fold rewritten per-set-op-branch; cte replan
     # hook; MATCH splice dotted-item fix; shared canonical undirected
-    # edge frame for triangles/link-prediction), then 2 of the 39 rows
-    # whose latest green driver check is r4 (the stalest tier; the 37
+    # edge frame for triangles/link-prediction), then 1 of the 39 rows
+    # whose latest green driver check is r4 (the stalest tier; the 38
     # bumped rows lead the r8 window — see the r8 plan note below).
     # --- new in r7 (never driver-checked) ---
     "dedup_substring",
@@ -110,6 +110,7 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_ensemble_cluster",
     "window_exclude_current",
     "subq_quantified",
+    "graph_kcore",
     # --- r7 plan changes must re-verify ---
     "mysqlsql_collation_groupby",
     "mysqlsql_collation_ci",
@@ -120,11 +121,10 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "mysqlsql_match_1hop",
     "dedup_minhash_lsh",
     "graph_triangles",
-    # --- 2 of the 39 r4-latest rows ---
-    "multimodal_frames",
+    # --- 1 of the 39 r4-latest rows ---
     "text_pii_scrub",
-    # (r8 rotation plan: the 37 r4-latest rows bumped from this window —
-    # join_inner_nonequi, join_left_outer, setop_union_distinct, setop_except, dedup_decontaminate, tpch_q4, tpch_q5, tpch_q7, tpch_q8, tpch_q10, tpch_q11, tpch_q13, window_rank_family, window_rows_frame,
+    # (r8 rotation plan: the 38 r4-latest rows bumped from this window —
+    # join_inner_nonequi, join_left_outer, setop_union_distinct, setop_except, dedup_decontaminate, multimodal_frames, tpch_q4, tpch_q5, tpch_q7, tpch_q8, tpch_q10, tpch_q11, tpch_q13, window_rank_family, window_rows_frame,
     # agg_group_concat, agg_count_distinct, agg_approx_sketches,
     # mysqlsql_prepare, text_top_tokens, text_pipeline_e2e,
     # text_seq_packing, agg_grouping_sets, dedup_ngram_jaccard,

@@ -894,3 +894,103 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this reverts to a shuffled anti-join on the same keys.
     nonadj = cand.join(F.broadcast(und), ["a", "b"], "left_anti")
     return nonadj.orderBy(F.col("common_cnt").desc(), "a", "b").limit(20)
+
+
+# k-core (k=12) — executed extension; see graph/core.py.  The oracle
+# unrolls 8 MATERIALIZED peel rounds (DuckDB would inline each
+# round's three self-references exponentially otherwise; measured
+# fixpoint: 6 rounds at sf0.001,
+# 5 at sf0.01 — extra rounds are no-ops once converged), while the Spark
+# side runs the true fixpoint loop.
+
+KCORE_ORACLE = """WITH e0 AS (
+  SELECT DISTINCT a.o_custkey AS src, b.o_custkey AS dst
+  FROM orders a JOIN orders b ON a.o_orderkey = b.o_orderkey - 1
+  WHERE a.o_custkey <> b.o_custkey
+),
+r0 AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0 GROUP BY 1, 2
+),
+k1 AS MATERIALIZED (
+  SELECT v FROM (SELECT a AS v FROM r0 UNION ALL SELECT b FROM r0)
+  GROUP BY v HAVING COUNT(*) >= 12
+),
+r1 AS MATERIALIZED (
+  SELECT e.a, e.b FROM r0 e
+  JOIN k1 ka ON e.a = ka.v JOIN k1 kb ON e.b = kb.v
+),
+k2 AS MATERIALIZED (
+  SELECT v FROM (SELECT a AS v FROM r1 UNION ALL SELECT b FROM r1)
+  GROUP BY v HAVING COUNT(*) >= 12
+),
+r2 AS MATERIALIZED (
+  SELECT e.a, e.b FROM r1 e
+  JOIN k2 ka ON e.a = ka.v JOIN k2 kb ON e.b = kb.v
+),
+k3 AS MATERIALIZED (
+  SELECT v FROM (SELECT a AS v FROM r2 UNION ALL SELECT b FROM r2)
+  GROUP BY v HAVING COUNT(*) >= 12
+),
+r3 AS MATERIALIZED (
+  SELECT e.a, e.b FROM r2 e
+  JOIN k3 ka ON e.a = ka.v JOIN k3 kb ON e.b = kb.v
+),
+k4 AS MATERIALIZED (
+  SELECT v FROM (SELECT a AS v FROM r3 UNION ALL SELECT b FROM r3)
+  GROUP BY v HAVING COUNT(*) >= 12
+),
+r4 AS MATERIALIZED (
+  SELECT e.a, e.b FROM r3 e
+  JOIN k4 ka ON e.a = ka.v JOIN k4 kb ON e.b = kb.v
+),
+k5 AS MATERIALIZED (
+  SELECT v FROM (SELECT a AS v FROM r4 UNION ALL SELECT b FROM r4)
+  GROUP BY v HAVING COUNT(*) >= 12
+),
+r5 AS MATERIALIZED (
+  SELECT e.a, e.b FROM r4 e
+  JOIN k5 ka ON e.a = ka.v JOIN k5 kb ON e.b = kb.v
+),
+k6 AS MATERIALIZED (
+  SELECT v FROM (SELECT a AS v FROM r5 UNION ALL SELECT b FROM r5)
+  GROUP BY v HAVING COUNT(*) >= 12
+),
+r6 AS MATERIALIZED (
+  SELECT e.a, e.b FROM r5 e
+  JOIN k6 ka ON e.a = ka.v JOIN k6 kb ON e.b = kb.v
+),
+k7 AS MATERIALIZED (
+  SELECT v FROM (SELECT a AS v FROM r6 UNION ALL SELECT b FROM r6)
+  GROUP BY v HAVING COUNT(*) >= 12
+),
+r7 AS MATERIALIZED (
+  SELECT e.a, e.b FROM r6 e
+  JOIN k7 ka ON e.a = ka.v JOIN k7 kb ON e.b = kb.v
+),
+k8 AS MATERIALIZED (
+  SELECT v FROM (SELECT a AS v FROM r7 UNION ALL SELECT b FROM r7)
+  GROUP BY v HAVING COUNT(*) >= 12
+),
+r8 AS MATERIALIZED (
+  SELECT e.a, e.b FROM r7 e
+  JOIN k8 ka ON e.a = ka.v JOIN k8 kb ON e.b = kb.v
+)
+SELECT v, COUNT(*) AS core_degree
+FROM (SELECT a AS v FROM r8 UNION ALL SELECT b AS v FROM r8)
+GROUP BY v ORDER BY v
+"""
+
+
+@register("graph_kcore", oracle=KCORE_ORACLE, tags=("graph",))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-core of the knows graph: iterative degree peel until every
+    remaining vertex has >= 12 neighbors; returns per-vertex in-core
+    degree.  One degree aggregate + two vertex-keyed anti-joins per
+    round, edges checkpointed so round plans stay constant-shape
+    (graph/core.py)."""
+    from tidb_spark.graph.core import k_core
+
+    g = _graph(spark, sf_dir)
+    und = _und_edges(spark, sf_dir, g)
+    return k_core(und, 12).orderBy("v")
+
