@@ -1987,3 +1987,49 @@ def test_quantified_three_valued_logic_exhaustive(engine):
         assert got == want, (S, [
             (i, g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
         ])
+
+
+def test_quantified_in_having_and_select_list(engine):
+    """Quantified comparisons compose in HAVING and the SELECT list (the
+    rewrite is position-independent); JSON_TABLE accepts DECIMAL-typed
+    PATH columns; three-column ZORDER parses and preserves content."""
+    # SELECT-list position returns the boolean itself.
+    out = engine.sql(
+        "SELECT n_nationkey >= ALL (SELECT n_nationkey FROM nation) AS top "
+        "FROM nation WHERE n_nationkey IN (0, 24) ORDER BY n_nationkey"
+    ).collect()
+    assert [r.top for r in out] == [False, True]
+    # HAVING position.
+    out = engine.sql(
+        "SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey "
+        "HAVING COUNT(*) >= ALL (SELECT COUNT(*) FROM nation GROUP BY n_regionkey) "
+        "ORDER BY n_regionkey"
+    ).collect()
+    assert len(out) == 5 and all(r.n == 5 for r in out)  # all regions tie
+    # JSON_TABLE DECIMAL column type.
+    out = engine.sql(
+        "SELECT jt.d FROM (SELECT '[{\"d\": \"12.50\"}]' AS j) s, "
+        "JSON_TABLE(s.j, '$[*]' COLUMNS (d DECIMAL(6,2) PATH '$.d')) AS jt"
+    ).collect()
+    assert str(out[0].d) == "12.50"
+
+
+def test_optimize_zorder_three_columns(engine, spark, tmp_path):
+    """ZORDER over three columns: content unchanged, statement accepted."""
+    from pyspark.sql import functions as F
+
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS z3")
+    eng.sql("CREATE TABLE z3 (id BIGINT, x BIGINT, y BIGINT, w BIGINT)")
+    spark.range(1024).select(
+        F.col("id"),
+        (F.col("id") % 16).alias("x"),
+        ((F.col("id") * 7) % 16).alias("y"),
+        ((F.col("id") * 13) % 16).alias("w"),
+    ).createOrReplaceTempView("z3src")
+    eng.sql("INSERT INTO z3 SELECT * FROM z3src")
+    before = eng.sql("SELECT SUM(id) AS s FROM z3").collect()[0].s
+    eng.sql("OPTIMIZE z3 ZORDER BY (x, y, w)")
+    after = eng.sql("SELECT SUM(id) AS s, COUNT(*) AS n FROM z3").collect()[0]
+    assert (after.s, after.n) == (before, 1024)
+    eng.sql("DROP TABLE IF EXISTS z3")
