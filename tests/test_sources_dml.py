@@ -510,3 +510,44 @@ def test_optimize_zorder_clusters_files(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown column"):
         eng.sql("OPTIMIZE zt ZORDER BY (nope)")
     eng.sql("DROP TABLE IF EXISTS zt")
+
+
+def test_optimize_zorder_four_columns_sign_bit(spark, tmp_path):
+    """Four-column ZORDER with the default bits=16 used to place the top
+    interleaved bit at position 63 (the long sign bit); bits is now
+    clamped to 63 // k so the z-value stays non-negative and range
+    partitioning keeps a single monotone order.  Verify the max-corner
+    row clusters with other high-value rows (last file), not at the
+    negative end (first file)."""
+    from pyspark.sql import functions as F
+
+    from tidb_spark.engine import Engine
+
+    eng = Engine(spark, TEST_SF_DIR, workspace=str(tmp_path / "z4ws"))
+    eng.sql("DROP TABLE IF EXISTS z4")
+    eng.sql("CREATE TABLE z4 (id BIGINT, a BIGINT, b BIGINT, c BIGINT, d BIGINT)")
+    spark.range(4096).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("a"),
+        ((F.col("id") * 7919) % 64).alias("b"),
+        ((F.col("id") * 104729) % 64).alias("c"),
+        ((F.col("id") * 1299709) % 64).alias("d"),
+    ).createOrReplaceTempView("z4src")
+    eng.sql("INSERT INTO z4 SELECT * FROM z4src")
+    eng.sql("OPTIMIZE z4 ZORDER BY (a, b, c, d)")
+    mt = eng.managed["z4"]
+    per_file = (
+        mt.df()
+        .select("a", F.expr("input_file_name()").alias("f"))
+        .groupBy("f")
+        .agg(F.min("a").alias("amn"), F.max("a").alias("amx"))
+        .collect()
+    )
+    assert len(per_file) >= 8
+    # Column `a` owns the MOST significant interleaved bits, so with a
+    # monotone (non-sign-flipped) z-order its per-file ranges must tile:
+    # mean span far below the global 0..63 range.  A sign-bit flip mixes
+    # a-hi and a-lo rows into the straddle files and inflates this.
+    spans = [r.amx - r.amn for r in per_file]
+    assert sum(spans) / len(spans) <= 24, sorted(spans)
+    eng.sql("DROP TABLE IF EXISTS z4")

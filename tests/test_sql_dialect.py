@@ -1633,6 +1633,22 @@ def test_json_table_lowering_and_rejections(engine):
         "JSON_TABLE(s.j, '$[*]' COLUMNS (x INT PATH '$.missing')) AS jt"
     ).collect()
     assert [r.x for r in out] == [None]
+    # MySQL parity: empty row-path array / NULL document -> ZERO rows,
+    # never a spurious all-NULL row (r7 advice fix).
+    for doc in ("'[]'", "CAST(NULL AS STRING)", "'{\"other\":1}'"):
+        out = engine.sql(
+            f"SELECT jt.x FROM (SELECT {doc} AS j) s, "
+            "JSON_TABLE(s.j, '$[*]' COLUMNS (x INT PATH '$')) AS jt"
+        ).collect()
+        assert out == [], doc
+    # Arrays of JSON strings: from_json unquotes string elements, so
+    # PATH '$' must fall back to the raw element (r7 advice fix).
+    out = engine.sql(
+        "SELECT jt.v FROM (SELECT '[\"a\",\"b\"]' AS j) s, "
+        "JSON_TABLE(s.j, '$[*]' COLUMNS (v VARCHAR(5) PATH '$')) AS jt "
+        "ORDER BY jt.v"
+    ).collect()
+    assert [r.v for r in out] == ["a", "b"]
     # Loud rejections.
     for bad, msg in [
         (
@@ -1640,9 +1656,16 @@ def test_json_table_lowering_and_rejections(engine):
             "row path",
         ),
         (
+            "JSON_TABLE(s.j, '$[*]' COLUMNS ("
+            "NESTED PATH '$.b[*]' COLUMNS (y INT PATH '$'), "
+            "NESTED PATH '$.c[*]' COLUMNS (z INT PATH '$'))) AS jt",
+            "sibling NESTED",
+        ),
+        (
             "JSON_TABLE(s.j, '$[*]' COLUMNS (NESTED PATH '$.b[*]' "
-            "COLUMNS (y INT PATH '$'))) AS jt",
-            "NESTED",
+            "COLUMNS (NESTED PATH '$.c[*]' COLUMNS (y INT PATH '$')))) "
+            "AS jt",
+            "NESTED within NESTED",
         ),
         (
             "JSON_TABLE(s.j, '$[*]' COLUMNS (x INT EXISTS PATH '$.a')) AS jt",
@@ -1656,6 +1679,33 @@ def test_json_table_lowering_and_rejections(engine):
     ]:
         with pytest.raises(ValueError, match=msg):
             engine.sql(f"SELECT 1 FROM (SELECT '[1]' AS j) s, {bad}")
+
+
+def test_json_table_nested_path(engine):
+    """One level of NESTED PATH: inner array rows join their parent,
+    empty/missing inner arrays keep the parent row with NULL nested
+    columns (MySQL outer semantics), and nested FOR ORDINALITY restarts
+    per parent row."""
+    out = engine.sql(
+        "SELECT jt.g, jt.nrn, jt.v FROM (SELECT "
+        "'[{\"g\":1,\"xs\":[10,20]},{\"g\":2,\"xs\":[]},{\"g\":3}]' AS j"
+        ") s, JSON_TABLE(s.j, '$[*]' COLUMNS ("
+        "g INT PATH '$.g', "
+        "NESTED PATH '$.xs[*]' COLUMNS ("
+        "nrn FOR ORDINALITY, v BIGINT PATH '$'))) AS jt "
+        "ORDER BY jt.g, jt.nrn"
+    ).collect()
+    assert [(r.g, r.nrn, r.v) for r in out] == [
+        (1, 1, 10), (1, 2, 20), (2, None, None), (3, None, None),
+    ]
+    # Column order follows declaration order, nested spliced in place.
+    cols = engine.sql(
+        "SELECT jt.* FROM (SELECT '[{\"g\":1,\"xs\":[5]}]' AS j) s, "
+        "JSON_TABLE(s.j, '$[*]' COLUMNS (rn FOR ORDINALITY, "
+        "NESTED PATH '$.xs[*]' COLUMNS (v INT PATH '$'), "
+        "g INT PATH '$.g')) AS jt"
+    ).columns
+    assert cols == ["rn", "v", "g"]
     # A string literal mentioning JSON_TABLE( must NOT trigger lowering.
     out = engine.sql("SELECT 'use JSON_TABLE(x)' AS note").collect()
     assert out[0].note == "use JSON_TABLE(x)"
@@ -1742,6 +1792,21 @@ def test_match_against_fulltext(engine):
         "FROM (SELECT CAST(NULL AS STRING) AS s)"
     ).collect()
     assert out[0].rel == 0.0
+    # Bare predicate in HAVING position coerces to boolean (r7 advice
+    # fix: HAVING was missing from the boolean-position token list).
+    out = engine.sql(
+        "SELECT r_name, COUNT(*) AS n FROM region GROUP BY r_name "
+        "HAVING MATCH(r_name) AGAINST('ASIA') ORDER BY r_name"
+    ).collect()
+    assert [r.r_name for r in out] == ["ASIA"]
+    # THEN is a VALUE position — the relevance DOUBLE must come through
+    # un-coerced (MySQL returns the score, not a boolean).
+    out = engine.sql(
+        "SELECT CASE WHEN r_regionkey >= 0 THEN "
+        "MATCH(r_name) AGAINST('ASIA') ELSE 0.0 END AS rel "
+        "FROM region WHERE r_name = 'ASIA'"
+    ).collect()
+    assert out[0].rel > 0.0
 
 
 def test_tablesample_regions(engine, spark, tmp_path):

@@ -514,8 +514,12 @@ class ManagedTable:
             *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
             *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)],
         ).collect()[0]
-        top = (1 << bits) - 1
         k = len(cols)
+        # The interleave must never reach bit 63 (the long sign bit): with
+        # k columns the top interleaved position is (bits-1)*k + (k-1), so
+        # clamp bits to 63 // k (e.g. 4 cols -> 15 bits, top position 62).
+        bits = min(bits, 63 // k)
+        top = (1 << bits) - 1
         z = F.lit(0).cast("long")
         for j, c in enumerate(cols):
             mn = float(stats[f"mn_{j}"])

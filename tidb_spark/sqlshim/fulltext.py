@@ -241,7 +241,13 @@ def lower(sql: str) -> str:
         # condition: preceded by a boolean keyword and not followed by an
         # operator that would consume the DOUBLE.
         before = sql[: m.start()].rstrip()
-        prev_tok = re.search(r"(?is)(\bWHERE|\bAND|\bOR|\bNOT|\bWHEN|\bON|\()\s*$", before)
+        # THEN/ELSE are deliberately absent: CASE branches are VALUE
+        # positions in MySQL (the relevance DOUBLE is the branch result),
+        # so coercing there would silently change results.
+        prev_tok = re.search(
+            r"(?is)(\bWHERE|\bAND|\bOR|\bNOT|\bWHEN|\bON|\bHAVING|\()\s*$",
+            before,
+        )
         if prev_tok and prev_tok.group(1) == "(":
             fm = re.search(r"(\w+)\s*\($", before)
             if fm and fm.group(1).upper() not in (

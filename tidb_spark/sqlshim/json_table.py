@@ -13,27 +13,39 @@ Lowering:
         a INT PATH '$.a',
         rn FOR ORDINALITY)) AS jt
 
-becomes a correlated LATERAL derived table over ``posexplode_outer`` —
+becomes a correlated LATERAL derived table over ``posexplode`` —
 Catalyst plans it as a generator join, one pass, no UDFs:
 
     FROM t, LATERAL (
       SELECT CAST(get_json_object(__e, '$.a') AS INT) AS a,
              CAST(__pos + 1 AS BIGINT) AS rn
-      FROM (SELECT posexplode_outer(from_json(
+      FROM (SELECT posexplode(from_json(
               get_json_object(t.j, '$.items'), 'array<string>'))
             AS (__pos, __e))
     ) AS jt
 
-``from_json(col, 'array<string>')`` splits a JSON array into raw element
-strings whatever the element type (object/array/scalar), so each PATH is
-evaluated by ``get_json_object`` against the element — full JSON-path
-support per column, one JSON parse per element.
+``posexplode`` (not ``_outer``) matches MySQL: an empty row-path array,
+a missing row path, or a NULL document produce ZERO rows, not one
+all-NULL row.
 
-Supported column forms: ``name TYPE PATH '<json path>'`` and ``name FOR
-ORDINALITY``.  NESTED PATH / EXISTS PATH / DEFAULT ... ON EMPTY|ERROR
-raise (loud parity error, never silent wrong answers).  The row path
-must be ``'$[*]'`` or ``'$<object path>[*]'`` — element iteration, which
-is what JSON_TABLE is for; a non-``[*]`` row path raises.
+``from_json(col, 'array<string>')`` splits a JSON array into raw element
+strings; object/array elements keep their JSON text, but STRING elements
+are unquoted (``'["a","b"]'`` yields ``a``, ``b`` — no longer valid JSON
+documents).  Deeper PATHs only match object/array elements, where
+``get_json_object`` still works; for ``PATH '$'`` the lowering emits
+``coalesce(get_json_object(__e, '$'), __e)`` so scalar elements come
+through verbatim instead of silently going NULL.
+
+Supported column forms: ``name TYPE PATH '<json path>'``, ``name FOR
+ORDINALITY``, and ONE level of ``NESTED [PATH] '<path>[*]' COLUMNS
+(...)`` — lowered to a ``LATERAL VIEW OUTER posexplode`` over the inner
+array, which gives exactly MySQL's NESTED semantics (parent rows with an
+empty/missing inner array keep one row with NULL nested columns; nested
+FOR ORDINALITY restarts per parent row).  Multiple sibling NESTED paths,
+NESTED-within-NESTED, EXISTS PATH and DEFAULT ... ON EMPTY|ERROR raise
+(loud parity error, never silent wrong answers).  The row path must be
+``'$[*]'`` or ``'$<object path>[*]'`` — element iteration, which is what
+JSON_TABLE is for; a non-``[*]`` row path raises.
 """
 
 from __future__ import annotations
@@ -121,21 +133,81 @@ def _balanced_span(query: str, open_at: int) -> int:
     raise ValueError("JSON_TABLE: unbalanced parentheses")
 
 
-def _lower_columns(cols_src: str) -> list[str]:
+def _value_expr(path_literal: str, cast_t: str, elem: str) -> str:
+    """PATH evaluation against one exploded element.
+
+    ``from_json(..., 'array<string>')`` unquotes STRING elements, so for
+    ``PATH '$'`` the element itself may no longer be a valid JSON
+    document — fall back to the raw element text (scalar passthrough).
+    Deeper paths only ever match object/array elements, whose JSON text
+    survives intact.
+    """
+    if path_literal[1:-1] == "$":
+        return (
+            f"CAST(coalesce(get_json_object({elem}, '$'), {elem}) "
+            f"AS {cast_t})"
+        )
+    return f"CAST(get_json_object({elem}, {path_literal}) AS {cast_t})"
+
+
+def _lower_columns(
+    cols_src: str, *, elem: str = "__e", pos: str = "__pos",
+    allow_nested: bool = True,
+) -> tuple[list[str], str | None]:
+    """Lower a COLUMNS(...) body to select-list expressions.
+
+    Returns ``(exprs, nested_root)`` where ``nested_root`` is the inner
+    array's object path (relative to the parent element) when the clause
+    contains a NESTED PATH, else ``None``.  Nested column expressions are
+    spliced in declaration order and reference ``__e2`` / ``__pos2``.
+    """
     exprs: list[str] = []
+    nested_root: str | None = None
     for item in _split_top_level(cols_src):
         item = item.strip()
         if not item:
             continue
-        if re.match(r"(?is)^NESTED\b", item):
-            raise ValueError(
-                "JSON_TABLE: NESTED PATH columns are not supported "
-                "(flatten with multiple JSON_TABLE calls or explode the "
-                "inner array in a second pass)"
+        nm = re.match(
+            r"(?is)^NESTED\s+(?:PATH\s+)?(?P<path>'(?:[^'\\]|\\.)*')"
+            r"\s+COLUMNS\s*\(",
+            item,
+        )
+        if nm:
+            if not allow_nested:
+                raise ValueError(
+                    "JSON_TABLE: NESTED within NESTED is not supported "
+                    "(one nesting level only)"
+                )
+            if nested_root is not None:
+                raise ValueError(
+                    "JSON_TABLE: multiple sibling NESTED paths are not "
+                    "supported (MySQL unions them with cross-NULLs; use "
+                    "separate JSON_TABLE calls)"
+                )
+            npath = nm.group("path")[1:-1]
+            if not npath.endswith("[*]"):
+                raise ValueError(
+                    "JSON_TABLE: NESTED path must iterate an array "
+                    "('...[*]')"
+                )
+            nested_root = npath[:-3]
+            inner_open = item.index("(", nm.end() - 1)
+            inner_end = _balanced_span(item, inner_open)
+            if item[inner_end:].strip():
+                raise ValueError(
+                    "JSON_TABLE: trailing tokens after NESTED COLUMNS(...)"
+                )
+            inner_exprs, _ = _lower_columns(
+                item[inner_open + 1 : inner_end - 1],
+                elem="__e2", pos="__pos2", allow_nested=False,
             )
+            exprs.extend(inner_exprs)
+            continue
+        if re.match(r"(?is)^NESTED\b", item):
+            raise ValueError(f"JSON_TABLE: cannot parse NESTED item {item!r}")
         m = re.match(r"(?is)^`?(\w+)`?\s+FOR\s+ORDINALITY$", item)
         if m:
-            exprs.append(f"CAST(__pos + 1 AS BIGINT) AS {m.group(1)}")
+            exprs.append(f"CAST({pos} + 1 AS BIGINT) AS {m.group(1)}")
             continue
         m = re.match(
             r"(?is)^`?(?P<name>\w+)`?\s+(?P<type>[A-Za-z]+(?:\s*\([^)]*\))?"
@@ -155,12 +227,12 @@ def _lower_columns(cols_src: str) -> list[str]:
             )
         cast_t = _spark_type(m.group("type"))
         exprs.append(
-            f"CAST(get_json_object(__e, {m.group('path')}) AS {cast_t}) "
+            f"{_value_expr(m.group('path'), cast_t, elem)} "
             f"AS {m.group('name')}"
         )
     if not exprs:
         raise ValueError("JSON_TABLE: empty COLUMNS clause")
-    return exprs
+    return exprs, nested_root
 
 
 def lower(query: str) -> str:
@@ -203,7 +275,9 @@ def lower(query: str) -> str:
             arr_src = src_expr
         else:
             arr_src = f"get_json_object({src_expr}, '{root}')"
-        col_exprs = _lower_columns(parts[1][cols_open + 1 : cols_end - 1])
+        col_exprs, nested_root = _lower_columns(
+            parts[1][cols_open + 1 : cols_end - 1]
+        )
 
         am = re.match(r"(?is)\s*(?:AS\s+)?`?(\w+)`?", query[end:])
         if not am:
@@ -211,12 +285,27 @@ def lower(query: str) -> str:
         alias = am.group(1)
         after = end + am.end()
 
-        replacement = (
-            "LATERAL (SELECT "
-            + ", ".join(col_exprs)
-            + " FROM (SELECT posexplode_outer(from_json("
+        outer_from = (
+            "(SELECT posexplode(from_json("
             + arr_src
-            + ", 'array<string>')) AS (__pos, __e))) AS "
-            + alias
+            + ", 'array<string>')) AS (__pos, __e))"
         )
+        if nested_root is None:
+            body = "SELECT " + ", ".join(col_exprs) + " FROM " + outer_from
+        else:
+            if nested_root in ("$", ""):
+                inner_src = "__e"
+            else:
+                inner_src = f"get_json_object(__e, '{nested_root}')"
+            # LATERAL VIEW OUTER keeps one all-NULL inner row when the
+            # nested array is empty/missing — exactly MySQL's NESTED
+            # semantics (outer-join, ordinality restarting per parent).
+            body = (
+                "SELECT " + ", ".join(col_exprs)
+                + " FROM " + outer_from + " __jt0"
+                + " LATERAL VIEW OUTER posexplode(from_json("
+                + inner_src
+                + ", 'array<string>')) __njt AS __pos2, __e2"
+            )
+        replacement = "LATERAL (" + body + ") AS " + alias
         query = query[: m.start()] + replacement + query[after:]
