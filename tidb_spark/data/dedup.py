@@ -306,14 +306,16 @@ def minhash_lsh_pairs(
     dropped from THAT band only — such buckets carry near-zero
     discrimination (everything matches everything), and genuinely similar
     pairs still collide in their other b-1 bands."""
+    from pyspark.sql import Window
+
     rows = num_hashes // bands
     # The corpus-wide posting is never materialized: min() is duplicate-
     # insensitive, so the signature agg consumes the non-distinct posting
     # pipelined (explode → map-side-combined min shuffle of docs × H longs).
-    # Only the signature frame persists — it feeds both sides of the band
-    # self-join and is tiny (docs × num_hashes longs).  Verification
-    # shingle sets are built later for candidate docs only, so the big
-    # (doc, g) dedup shuffle of the old formulation never happens.
+    # Only the signature frame persists — it is tiny (docs × num_hashes
+    # longs) and anchors both band-join sides to one computation.
+    # Verification shingle sets are built later for candidate docs only, so
+    # the big (doc, g) dedup shuffle of the old formulation never happens.
     sig = minhash_signatures(
         df, text_col, id_col, k=k, num_hashes=num_hashes
     ).persist()
@@ -337,20 +339,28 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc", "band.band_id", "band.band_hash")
+    # Bucket-size gate as a count-over-window on the SAME (band_id,
+    # band_hash) partitioning the self-join needs next — the gate rides the
+    # join's own exchange instead of adding an aggregate + semi-join lane
+    # (r8: replaced the agg/anti-join gate; one fewer stage wave, and the
+    # identical exchange under both join sides is reused, which also made
+    # the former sig.persist() redundant).  Two bounds in one pass:
+    # singleton buckets (the vast majority — a unique band signature)
+    # cannot form a pair, so ``>= 2`` drops them before the self-join ever
+    # processes them; oversized buckets (empty/boilerplate texts at corpus
+    # scale: B docs sharing one band signature contribute B² candidate
+    # rows) fall out before they can go quadratic.
+    keep_cond = F.col("__bsz") >= 2
     if max_bucket is not None:
-        # Map-side-combined count on the same key the join shuffles on;
-        # oversized buckets fall out before they can go quadratic.
-        oversized = (
-            banded.groupBy("band_id", "band_hash")
-            .agg(F.count(F.lit(1)).alias("__bsz"))
-            .where(F.col("__bsz") > max_bucket)
-            .select("band_id", "band_hash")
-        )
-        banded = banded.join(
-            oversized, on=["band_id", "band_hash"], how="left_anti"
-        )
-    a = banded.select(F.col("doc").alias("d1"), "band_id", "band_hash")
-    b = banded.select(F.col("doc").alias("d2"), "band_id", "band_hash")
+        keep_cond &= F.col("__bsz") <= max_bucket
+    wd = Window.partitionBy("band_id", "band_hash")
+    gated = (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(wd))
+        .where(keep_cond)
+        .select("doc", "band_id", "band_hash")
+    )
+    a = gated.select(F.col("doc").alias("d1"), "band_id", "band_hash")
+    b = gated.select(F.col("doc").alias("d2"), "band_id", "band_hash")
     cand = (
         a.join(b, on=["band_id", "band_hash"])
         .where(F.col("d1") < F.col("d2"))
@@ -365,10 +375,8 @@ def minhash_lsh_pairs(
     # corpus and a lookup of a few thousand texts (AQE broadcasts the
     # candidate-id side once runtime stats show it's small).
     cand = cand.persist()
-    in_cand = (
-        cand.select(F.col("d1").alias("doc"))
-        .union(cand.select(F.col("d2").alias("doc")))
-        .distinct()
+    in_cand = cand.select(F.col("d1").alias("doc")).union(
+        cand.select(F.col("d2").alias("doc"))
     )
     sub = df.join(
         in_cand.withColumnRenamed("doc", "__cand_id"),

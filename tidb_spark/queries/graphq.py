@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from tidb_spark.catalog import load_table
 from tidb_spark.graph.match import match, union_paths
 from tidb_spark.graph.model import default_graph
+from tidb_spark.operators.rounds import BROADCAST_MAX_ROWS as _BROADCAST_MAX_ROWS
 from tidb_spark.graph.shortest import (
     bfs_meet_min_dists,
     canonical_min_paths,
@@ -888,11 +889,26 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common_cnt"))
     )
-    # |und| is |E| rows of two longs — broadcast the adjacency filter so
-    # the anti-join happens map-side on the candidate stream (no sort,
-    # no exchange).  At 100 TB the edge set outgrows a broadcast and
-    # this reverts to a shuffled anti-join on the same keys.
-    nonadj = cand.join(F.broadcast(und), ["a", "b"], "left_anti")
+    # |und| is |E| rows of two longs — when that fits a broadcast, hint
+    # it so the anti-join happens map-side on the candidate stream (no
+    # sort, no exchange).  The hint is THRESHOLDED on an exact row count
+    # (und is session-checkpointed, so this probe is a cheap cached
+    # scan): an unconditional hint is honored even when the edge set
+    # outgrows the broadcast limit and would abort/OOM at 100 TB, so
+    # past the cap we pass the frame un-hinted and the planner picks a
+    # shuffled left-anti on the same keys.  Same pattern as the BFS
+    # frontier broadcasts (graph/shortest.py) and rounds.py's
+    # BROADCAST_MAX_ROWS.  Conf knob (tests force the shuffled path):
+    # spark.tidb_spark.graph.broadcastMaxRows.
+    max_rows = int(
+        spark.conf.get(
+            "spark.tidb_spark.graph.broadcastMaxRows",
+            str(_BROADCAST_MAX_ROWS),
+        )
+    )
+    und_rows = _shared(spark, ("und_rows", sf_dir), und.count)
+    adj = F.broadcast(und) if und_rows <= max_rows else und
+    nonadj = cand.join(adj, ["a", "b"], "left_anti")
     return nonadj.orderBy(F.col("common_cnt").desc(), "a", "b").limit(20)
 
 
