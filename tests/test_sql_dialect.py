@@ -1278,8 +1278,9 @@ def test_collation_dispatch_rejects_unsupported(engine):
     """VERDICT r5 #2a: a declared collation outside the reference's
     newCollatorMap (util/collate/collate.go:355) must raise loudly at
     CREATE time — never silently alias to another collation's
-    semantics (gbk_chinese_ci, pinyin, utf8mb4_0900_ai_ci...)."""
-    for bad in ("gbk_chinese_ci", "utf8mb4_zh_pinyin_tidb_as_cs",
+    semantics (pinyin, utf8mb4_0900_ai_ci...).  gbk_chinese_ci moved to
+    the supported map in r8 (functions/collation_gbk.py)."""
+    for bad in ("utf8mb4_zh_pinyin_tidb_as_cs", "gbk_bin",
                 "utf8mb4_0900_ai_ci", "latin1_swedish_ci"):
         with pytest.raises(NotImplementedError, match="not supported"):
             engine.sql(
@@ -1319,6 +1320,81 @@ def test_unicode_ci_vs_general_ci_divergence(engine):
         assert hit == {3}, t
     engine.sql("DROP TABLE d_gen")
     engine.sql("DROP TABLE d_uni")
+
+
+def test_gbk_chinese_ci_weights_match_reference_table(engine):
+    """functions/collation_gbk.py vs the reference's 65536-entry table
+    (util/collate/gbk_chinese_ci_data.go) — exhaustive, every BMP
+    codepoint, plus the supplementary-plane 0x3F rule.  Skipped when the
+    reference checkout is absent."""
+    import os
+    import re as _re
+
+    ref = "/root/reference/util/collate/gbk_chinese_ci_data.go"
+    if not os.path.exists(ref):
+        pytest.skip("reference checkout not available")
+    from tidb_spark.functions.collation_gbk import gbk_ci_weight
+
+    src = open(ref).read()
+    body = src[src.index("gbkChineseCISortKeyTable"):]
+    nums = _re.findall(
+        r"0x[0-9A-Fa-f]+", body[body.index("{"): body.rindex("}")]
+    )
+    table = [int(x, 16) for x in nums]
+    assert len(table) == 0x10000
+    bad = [r for r in range(0x10000) if gbk_ci_weight(r) != table[r]]
+    assert not bad, [hex(b) for b in bad[:10]]
+    assert gbk_ci_weight(0x1F600) == 0x3F  # supplementary -> '?'
+
+
+def test_gbk_chinese_ci_collation(engine):
+    """gbk_chinese_ci end-to-end (util/collate/gbk_chinese_ci.go):
+    pinyin-major hanzi ORDER BY, ASCII case fold, the '~'=Y table quirk,
+    non-GBK runes weighing 0x3F ('?'), PAD SPACE equality, LIKE NO PAD,
+    and GROUP BY folding."""
+    engine.sql("DROP TABLE IF EXISTS gbk_t")
+    engine.sql(
+        "CREATE TABLE gbk_t (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(20) COLLATE gbk_chinese_ci)"
+    )
+    engine.sql(
+        "INSERT INTO gbk_t VALUES (1, '中国'), (2, '八方'), (3, '啊'), "
+        "(4, 'BEIJING'), (5, 'beijing'), (6, '大'), (7, '擦拭'), "
+        "(8, '中國'), (9, '?!'), (10, '😀!'), (11, '~x'), (12, 'yx')"
+    )
+    # Pinyin-major order; ASCII (incl. '?'=0x3F) before hanzi; the
+    # '~'->0x59 quirk makes '~x' sort exactly with 'Yx'.
+    out = engine.sql("SELECT k FROM gbk_t ORDER BY name, k").collect()
+    assert [r.k for r in out] == [9, 10, 4, 5, 11, 12, 3, 2, 7, 6, 1, 8], [
+        r.k for r in out
+    ]
+    # Equalities: case fold, non-GBK -> '?', '~' = 'y'.
+    hits = {r.k for r in engine.sql(
+        "SELECT k FROM gbk_t WHERE name = 'Beijing'").collect()}
+    assert hits == {4, 5}
+    hits = {r.k for r in engine.sql(
+        "SELECT k FROM gbk_t WHERE name = '?!'").collect()}
+    assert hits == {9, 10}, "U+1F600 weighs 0x3F == '?'"
+    hits = {r.k for r in engine.sql(
+        "SELECT k FROM gbk_t WHERE name = 'YX'").collect()}
+    assert hits == {11, 12}, "'~' sorts equal to 'Y' in MySQL's table"
+    # PAD SPACE: trailing blanks ignored by =, honored by LIKE.
+    hits = {r.k for r in engine.sql(
+        "SELECT k FROM gbk_t WHERE name = '中国  '").collect()}
+    assert hits == {1}
+    hits = {r.k for r in engine.sql(
+        "SELECT k FROM gbk_t WHERE name LIKE '中国  '").collect()}
+    assert hits == set()
+    # GROUP BY folds to one group per collation key.
+    groups = engine.sql(
+        "SELECT min(name) AS rep, COUNT(*) AS n FROM gbk_t "
+        "GROUP BY name ORDER BY name"
+    ).collect()
+    assert [(g.rep, g.n) for g in groups][:3] == [
+        ("?!", 2), ("BEIJING", 2), ("yx", 2)
+    ]
+    assert len(groups) == 9
+    engine.sql("DROP TABLE gbk_t")
 
 
 def test_ci_mixed_collation_join_raises(engine):

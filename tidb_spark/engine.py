@@ -166,6 +166,7 @@ _COLLATION_KINDS = {
     "utf8mb4_general_ci": "general",
     "utf8_unicode_ci": "unicode",
     "utf8mb4_unicode_ci": "unicode",
+    "gbk_chinese_ci": "gbk",
     "ascii_bin": "bin",
     "latin1_bin": "bin",
     "utf8_bin": "bin",
@@ -1776,6 +1777,11 @@ class Engine:
         - ``unicode``: exact utf8mb4_unicode_ci UCA 4.0.0 primary
           weights (functions/collation_unicode.py — expansions ß='ss',
           ignorable marks, kana fold);
+        - ``gbk``: exact gbk_chinese_ci sort keys — MySQL's hand-curated
+          pinyin-major table (functions/collation_gbk.py, verified
+          against the reference's gbk_chinese_ci_data.go for all 65536
+          entries; the 21k-pair translate is inlined, not a SQL macro,
+          because Spark 4.1 rejects SQL UDFs inside Sort);
         - ``bin``: PAD SPACE only (binPaddingCollator — rtrim).
 
         Rewritten contexts: ``col <op> 'literal'`` (and reversed), ``col
@@ -1935,6 +1941,7 @@ class Engine:
 
         def _key(kind: str, operand: str, pad: bool = True) -> str:
             from tidb_spark.functions.collation import general_ci_key_sql
+            from tidb_spark.functions.collation_gbk import gbk_ci_key_sql
             from tidb_spark.functions.collation_unicode import (
                 unicode_ci_key_sql,
             )
@@ -1943,6 +1950,8 @@ class Engine:
                 return general_ci_key_sql(operand, pad=pad)
             if kind == "unicode":
                 return unicode_ci_key_sql(operand, pad=pad)
+            if kind == "gbk":
+                return gbk_ci_key_sql(operand, pad=pad)
             return f"rtrim({operand})" if pad else operand  # bin
 
         ph = r"\x00\d+\x00"

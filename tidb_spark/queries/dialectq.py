@@ -656,6 +656,66 @@ def mysqlsql_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# gbk_chinese_ci — MySQL's hand-curated pinyin-major sort table
+# (util/collate/gbk_chinese_ci.go + gbk_chinese_ci_data.go; the engine's
+# functions/collation_gbk.py reproduces all 65536 entries, pytest-pinned).
+# The oracle encodes the documented group ranks explicitly: '?'-weighted
+# runes (incl. non-GBK like U+1F600) < ASCII letters < hanzi by pinyin
+# (啊 a < 八 ba < 中 zhong), 国 before 國 within the 中-prefix pair.
+
+COLLATION_GBK_ORACLE = """
+WITH src AS (
+  SELECT n_nationkey AS k,
+         CASE n_nationkey % 8
+           WHEN 0 THEN '中国' WHEN 1 THEN '中國' WHEN 2 THEN '八方'
+           WHEN 3 THEN 'BEIJING' WHEN 4 THEN 'beijing ' WHEN 5 THEN '啊'
+           WHEN 6 THEN '?!' ELSE '😀!' END AS name,
+         CASE n_nationkey % 8
+           WHEN 0 THEN 5 WHEN 1 THEN 6 WHEN 2 THEN 4
+           WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3
+           WHEN 6 THEN 1 ELSE 1 END AS grp
+  FROM nation
+)
+SELECT min(name) AS name, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(k) AS BIGINT) AS ksum
+FROM src GROUP BY grp ORDER BY grp
+"""
+
+
+@register(
+    "mysqlsql_collation_gbk",
+    oracle=COLLATION_GBK_ORACLE,
+    tags=("dialect", "collation"),
+)
+def mysqlsql_collation_gbk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gbk_chinese_ci GROUP BY + ORDER BY: hanzi group by pinyin rank
+    (the hand-curated MySQL table — NOT GBK code order, which inverts it
+    for 9931 of 21791 runes), case-folded ASCII, PAD SPACE trailing
+    blanks, and non-GBK runes collapsing to the 0x3F weight so '😀!'
+    groups with '?!'.  The engine folds GROUP BY through the gbk key and
+    sorts by it; the oracle spells the expected ranks analytically."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS ci_gbk")
+    eng.sql(
+        "CREATE TABLE ci_gbk (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(20) COLLATE gbk_chinese_ci)"
+    )
+    eng.sql(
+        "INSERT INTO ci_gbk SELECT n_nationkey, "
+        "CASE n_nationkey % 8 "
+        "WHEN 0 THEN '中国' WHEN 1 THEN '中國' WHEN 2 THEN '八方' "
+        "WHEN 3 THEN 'BEIJING' WHEN 4 THEN 'beijing ' WHEN 5 THEN '啊' "
+        "WHEN 6 THEN '?!' ELSE '😀!' END "
+        "FROM nation"
+    )
+    out = eng.sql(
+        "SELECT name, COUNT(*) AS cnt, SUM(k) AS ksum FROM ci_gbk "
+        "GROUP BY name ORDER BY name"
+    )
+    eng.sql("DROP TABLE IF EXISTS ci_gbk")
+    return out
+
+
 # MySQL 8 named-window clause (WINDOW w AS (...), parser.y WindowClause) —
 # flows through the shim to Spark SQL's native named-window support; both
 # OVER w references share the one window definition (and one sort).
@@ -764,6 +824,44 @@ def mysqlsql_json_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn FOR ORDINALITY)) AS jt "
         "WHERE jt.q % 3 <> 1 "
         "ORDER BY s.k, jt.rn"
+    )
+
+
+JSON_TABLE_NESTED_ORACLE = """
+WITH src AS (SELECT n_nationkey AS k FROM nation)
+SELECT k, g, nrn, x FROM (
+  SELECT k, 1 AS g, CAST(1 AS BIGINT) AS nrn, CAST(k AS BIGINT) AS x FROM src
+  UNION ALL
+  SELECT k, 1 AS g, CAST(2 AS BIGINT) AS nrn, CAST(k + 10 AS BIGINT) AS x FROM src
+  UNION ALL
+  SELECT k, 2 AS g, CAST(NULL AS BIGINT) AS nrn, CAST(NULL AS BIGINT) AS x FROM src
+)
+ORDER BY k, g, nrn
+"""
+
+
+@register(
+    "mysqlsql_json_table_nested",
+    oracle=JSON_TABLE_NESTED_ORACLE,
+    tags=("dialect", "json"),
+)
+def mysqlsql_json_table_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON_TABLE with one NESTED PATH level (r8): parent column + inner
+    array explode with per-parent FOR ORDINALITY; a parent whose nested
+    array is empty keeps one row with NULL nested columns (MySQL outer
+    semantics — the lowering's LATERAL VIEW OUTER posexplode).  The
+    oracle builds the identical rowset analytically."""
+    eng = _engine(spark, sf_dir)
+    return eng.sql(
+        "WITH src AS (SELECT n_nationkey AS k, "
+        "CONCAT('{\"gs\":[{\"g\":1,\"xs\":[', n_nationkey, ',', "
+        "n_nationkey + 10, ']},{\"g\":2,\"xs\":[]}]}') AS j FROM nation) "
+        "SELECT s.k, jt.g, jt.nrn, jt.x FROM src s, "
+        "JSON_TABLE(s.j, '$.gs[*]' COLUMNS ("
+        "g INT PATH '$.g', "
+        "NESTED PATH '$.xs[*]' COLUMNS ("
+        "nrn FOR ORDINALITY, x BIGINT PATH '$'))) AS jt "
+        "ORDER BY s.k, jt.g, jt.nrn"
     )
 
 
