@@ -62,82 +62,78 @@ _LOADED = False
 # representative per SURVEY §2 family so every family gets driver rows;
 # everything not listed keeps its natural (import) order after slot 50.
 _PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 7 window (50 slots the driver verifies) ---
-    # Built by replaying CORRECTNESS_r0{1..6}.json: 40 never-checked
-    # r7 additions, then the 9 queries whose plans r7's fixes changed
-    # (engine _ci GROUP BY fold rewritten per-set-op-branch; cte replan
-    # hook; MATCH splice dotted-item fix; shared canonical undirected
-    # edge frame for triangles/link-prediction), then 1 of the 39 rows
-    # whose latest green driver check is r4 (the stalest tier; the 38
-    # bumped rows lead the r8 window — see the r8 plan note below).
-    # --- new in r7 (never driver-checked) ---
-    "dedup_substring",
-    "text_bm25_topk",
-    "dedup_bloom_decontam",
-    "join_asof",
-    "agg_histogram",
-    "text_tfidf_topterms",
-    "text_chunking",
-    "data_mixture",
-    "embedding_kmeans",
-    "join_range",
-    "ts_sessionize",
-    "ts_rollup_gapfill",
-    "agg_mode",
-    "join_skew_salted",
-    "dedup_containment",
-    "text_unigram_rarity",
-    "graph_common_neighbors",
-    "stream_cascade_rollup",
-    "dedup_semantic_kmeans",
-    "ts_ewma",
-    "mysqlsql_window_named",
-    "mysqlsql_lateral",
-    "mysqlsql_json_table",
-    "mysqlsql_with_rollup",
-    "mysqlsql_fulltext_match",
-    "sample_weighted",
-    "dedup_url_canonical",
-    "stream_left_outer_join",
-    "ts_funnel",
-    "text_nb_filter",
-    "sim_pq_topk",
-    "mysqlsql_recursive_union",
-    "dedup_edit_verify",
-    "text_boilerplate_strip",
-    "ts_retention_cohort",
-    "sample_split",
-    "dedup_ensemble_cluster",
-    "window_exclude_current",
-    "subq_quantified",
-    "graph_kcore",
-    # --- r7 plan changes must re-verify ---
-    "mysqlsql_collation_groupby",
-    "mysqlsql_collation_ci",
-    "mysqlsql_collation_unicode",
-    "mysqlsql_collation_unicode_uca",
-    "cte_recursive",
-    "mysqlsql_match_multipath",
-    "mysqlsql_match_1hop",
+    # --- round 8 window (50 slots the driver verifies) ---
+    # Built by replaying CORRECTNESS_r0{1..7}.json: the 38 rows whose
+    # latest green driver check is r4 (the stalest tier — after this
+    # rotation no query's latest check predates r5), then the 2 queries
+    # added after the r7 close (never driver-checked), then the 4
+    # queries whose plans the post-r7 fix commits changed (LSH banding
+    # rewrite, common-neighbors broadcast threshold, JSON_TABLE
+    # empty/NULL-doc + string-array lowering, fulltext HAVING
+    # coercion), then r8 additions / r8 plan changes as they land.
+    # --- the 38 r4-latest rows (stalest tier) ---
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    "join_inner_nonequi",
+    "join_left_outer",
+    "join_right_outer",
+    "join_cross",
+    "setop_union_distinct",
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "window_rank_family",
+    "window_lead_lag",
+    "window_rows_frame",
+    "window_partition_agg",
+    "distinct_op",
+    "agg_group_concat",
+    "agg_bit_ops",
+    "agg_var_stddev",
+    "agg_count_distinct",
+    "agg_minmax_first",
+    "agg_approx_sketches",
+    "agg_grouping_sets",
+    "dedup_ngram_jaccard",
+    "multimodal_frames",
+    "dedup_decontaminate",
+    "sample_stratified",
+    "text_seq_packing",
+    "text_pipeline_e2e",
+    "text_top_tokens",
+    "mysqlsql_prepare",
+    # --- added after the r7 close (never driver-checked) ---
+    "mysqlsql_collation_gbk",
+    "mysqlsql_json_table_nested",
+    # --- post-r7 plan changes must re-verify ---
     "dedup_minhash_lsh",
-    "graph_triangles",
-    # --- 1 of the 39 r4-latest rows ---
-    "text_pii_scrub",
-    # (r8 rotation plan: the 38 r4-latest rows bumped from this window —
-    # join_inner_nonequi, join_left_outer, setop_union_distinct, setop_except, dedup_decontaminate, multimodal_frames, tpch_q4, tpch_q5, tpch_q7, tpch_q8, tpch_q10, tpch_q11, tpch_q13, window_rank_family, window_rows_frame,
-    # agg_group_concat, agg_count_distinct, agg_approx_sketches,
-    # mysqlsql_prepare, text_top_tokens, text_pipeline_e2e,
-    # text_seq_packing, agg_grouping_sets, dedup_ngram_jaccard,
-    # sample_stratified, join_cross, setop_union_all,
-    # window_partition_agg, setop_intersect, window_lead_lag, distinct_op,
-    # agg_var_stddev, agg_minmax_first, agg_bit_ops, tpch_q19, tpch_q20,
-    # tpch_q22, join_right_outer — then the 43 r5-latest rows: tpch_q1/2/6/9/12/14-18/21,
-    # subq_* ×4, func_* ×6 tail, dedup_exact/cluster, point gets,
-    # text_* r5 tier, sample_diversity, window_groups_frame,
-    # setop_except_all, agg_percentile/json, embedding_neardup,
-    # sim_topk_quantized, multimodal_meta, mysqlsql_group_concat/
-    # json_mutate.  Regenerate from the CORRECTNESS files, not this
-    # comment.)
+    "graph_common_neighbors",
+    "mysqlsql_json_table",
+    "mysqlsql_fulltext_match",
+    # --- r8 additions / r8 plan changes (swap in as they land) ---
+    "graph_kcore",
+    "tpch_q1",
+    "tpch_q6",
+    "tpch_q9",
+    "subq_scalar",
+    "func_string",
+    # (r9 rotation plan: the 40 r5-latest rows bumped next —
+    # tpch_q1/2/6/9/12/14/15/16/17/18/21 (minus any verified here),
+    # setop_except_all, window_groups_frame, agg_percentile/json,
+    # point_get, batch_point_get, subq_scalar/correlated/exists_bool/
+    # in_notin, func_* ×6, dedup_exact/cluster, embedding_neardup,
+    # sim_topk_quantized, text_stats/lang_id/fingerprint/quality/
+    # repetition, multimodal_meta, sample_diversity,
+    # mysqlsql_group_concat/json_mutate.  Regenerate from the
+    # CORRECTNESS files, not this comment.)
 )
 
 
