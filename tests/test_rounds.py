@@ -64,3 +64,33 @@ def test_run_rounds_no_replan_without_hook():
     rounds = run_rounds(_Fake(2), 10, build)
     assert [r.rows for r in rounds] == [2, 5, 3]
     assert builds == [(1, 0), (2, 2), (3, 5), (4, 3)]
+
+
+def test_k_core_basic_and_fallback(spark, monkeypatch):
+    """k=2 core of a 4-clique with two pendant chains: the clique survives
+    with in-core degree 3, everything on the chains peels off.  Run once
+    through the literal-batch path and once with _COLLECT_MAX forced to 0
+    so every round takes the mass-removal shuffle fallback — identical
+    results."""
+    from pyspark.sql import functions as F
+
+    from tidb_spark.graph import core as gc
+
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, ["a", "b"])
+
+    expect = {(i, 3) for i in range(4)}
+    got = {
+        (r.v, r.core_degree) for r in gc.k_core(edges, 2).collect()
+    }
+    assert got == expect
+
+    monkeypatch.setattr(gc, "_COLLECT_MAX", 0)
+    got_fb = {
+        (r.v, r.core_degree) for r in gc.k_core(edges, 2).collect()
+    }
+    assert got_fb == expect
+
+    # no 99-core exists -> empty frame, not an error
+    assert gc.k_core(edges, 99).count() == 0

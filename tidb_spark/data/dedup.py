@@ -306,20 +306,14 @@ def minhash_lsh_pairs(
     dropped from THAT band only — such buckets carry near-zero
     discrimination (everything matches everything), and genuinely similar
     pairs still collide in their other b-1 bands."""
-    from pyspark.sql import Window
-
     rows = num_hashes // bands
     # The corpus-wide posting is never materialized: min() is duplicate-
     # insensitive, so the signature agg consumes the non-distinct posting
     # pipelined (explode → map-side-combined min shuffle of docs × H longs).
-    # Only the signature frame persists — it is tiny (docs × num_hashes
-    # longs) and anchors both band-join sides to one computation.
     # Verification shingle sets are built later for candidate docs only, so
     # the big (doc, g) dedup shuffle of the old formulation never happens.
-    sig = minhash_signatures(
-        df, text_col, id_col, k=k, num_hashes=num_hashes
-    ).persist()
-    # Band join carries ONLY (doc, band_id, band_hash) — never shingle
+    sig = minhash_signatures(df, text_col, id_col, k=k, num_hashes=num_hashes)
+    # Band rows carry ONLY (doc, band_id, band_hash) — never shingle
     # payloads.  Shingle sets are built just for docs that appear in a
     # candidate pair (semi-join-restricted collect_set) and joined once per
     # unique pair.
@@ -339,32 +333,33 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc", "band.band_id", "band.band_hash")
-    # Bucket-size gate as a count-over-window on the SAME (band_id,
-    # band_hash) partitioning the self-join needs next — the gate rides the
-    # join's own exchange instead of adding an aggregate + semi-join lane
-    # (r8: replaced the agg/anti-join gate; one fewer stage wave, and the
-    # identical exchange under both join sides is reused, which also made
-    # the former sig.persist() redundant).  Two bounds in one pass:
-    # singleton buckets (the vast majority — a unique band signature)
-    # cannot form a pair, so ``>= 2`` drops them before the self-join ever
-    # processes them; oversized buckets (empty/boilerplate texts at corpus
-    # scale: B docs sharing one band signature contribute B² candidate
-    # rows) fall out before they can go quadratic.
-    keep_cond = F.col("__bsz") >= 2
+    # Pair generation as ONE shuffle: bucket docs with a map-side-combined
+    # collect_set, gate bucket size, then stream the i<j pair grid out of
+    # the sorted array (r8: replaced the count-over-window + self-join —
+    # same B² candidate volume, two fewer exchanges and no join build
+    # side, 39 → ~30 exchanges corpus-wide for this query).  The two size
+    # bounds: singleton buckets (the vast majority — a unique band
+    # signature) cannot form a pair; oversized buckets (empty/boilerplate
+    # texts at corpus scale: B docs sharing one band signature contribute
+    # B² candidate rows) are dropped from THAT band before they go
+    # quadratic.  Memory stays O(bucket): posexplode streams one (i, d1)
+    # row at a time and the inner explode of the per-row tail slice is
+    # pipelined inside the same codegen stage — the B²/2 pair grid is
+    # never materialized as a single array.
+    size_cond = F.size("ds") >= 2
     if max_bucket is not None:
-        keep_cond &= F.col("__bsz") <= max_bucket
-    wd = Window.partitionBy("band_id", "band_hash")
-    gated = (
-        banded.withColumn("__bsz", F.count(F.lit(1)).over(wd))
-        .where(keep_cond)
-        .select("doc", "band_id", "band_hash")
+        size_cond &= F.size("ds") <= max_bucket
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc")).alias("ds"))
+        .where(size_cond)
     )
-    a = gated.select(F.col("doc").alias("d1"), "band_id", "band_hash")
-    b = gated.select(F.col("doc").alias("d2"), "band_id", "band_hash")
     cand = (
-        a.join(b, on=["band_id", "band_hash"])
-        .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
+        buckets.select(F.posexplode("ds").alias("i", "d1"), "ds")
+        .select(
+            "d1",
+            F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("d2"),
+        )
         .distinct()
     )
     if verify_threshold is None:

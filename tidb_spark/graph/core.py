@@ -6,14 +6,20 @@ WCC in this repo).  The k-core of a graph is the maximal subgraph where
 every vertex has degree >= k — the standard preprocessing step for
 community mining and for bounding clique search.
 
-Scale shape: each peel round is ONE map-side-combined degree aggregate
-plus two broadcast-or-shuffled anti-joins keyed on the vertex — the
-same keyed-join discipline as the BFS/components operators.  The number
-of rounds is bounded by the peeling depth (typically a handful; the
-degeneracy ordering at 100 TB is produced by exactly this loop).  The
-per-round driver sync is a single count of REMOVED vertices (1-row
-control plane), and edges are lazily checkpointed so every round's plan
-has constant shape.
+Scale shape: ONE shuffle builds the adjacency-list frame (v, neighbors);
+every peel round after that is a narrow map — filter out under-degree
+vertices and ``array_except`` their ids from the survivors' neighbor
+arrays.  The removed ids ride the per-round driver sync that a fixpoint
+loop needs anyway (the old formulation counted them; shipping the ids
+costs the same round trip), and the frame is lazily checkpointed so
+round plans stay constant-shape.  When a round removes more vertices
+than fits a sane literal (mass peeling of a low-degree fringe at corpus
+scale), that round falls back to the shuffle path: anti-join + explode +
+re-collect — O(surviving adjacency), still never O(n²).
+
+Adjacency arrays are the standard representation at 100 TB graph scale;
+a hub vertex's array is bounded by its degree, the same row-size bound
+any neighbor-join carries.
 """
 
 from __future__ import annotations
@@ -23,35 +29,71 @@ from pyspark.sql import functions as F
 
 MAX_ROUNDS = 100
 
+# Removal batches up to this size travel to the executors as one SQL
+# array-literal expression (10k longs parse in ~ms and are control-
+# plane-sized, same class as the BFS frontier broadcasts); larger
+# rounds use the shuffle fallback.  NOT ``F.lit(ids)``: that builds the
+# array element-by-element over py4j (~1 ms/element — slower than the
+# whole round's execution).
+_COLLECT_MAX = 10_000
+
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _id_array_expr(ids: list, dtype: str):
+    if dtype in _INT_TYPES:
+        body = ",".join(f"{x}L" for x in ids)
+    else:
+        body = ",".join(
+            "'" + str(x).replace("\\", "\\\\").replace("'", "\\'") + "'" for x in ids
+        )
+    return F.expr(f"array({body})")
+
 
 def k_core(edges: DataFrame, k: int, *, a: str = "a", b: str = "b") -> DataFrame:
     """(v, core_degree) for every vertex of the k-core of the undirected,
-    deduplicated edge set ``edges``; empty frame when no k-core exists."""
-    e = edges.select(F.col(a).alias("a"), F.col(b).alias("b")).localCheckpoint(
-        eager=False
+    deduplicated edge set ``edges``; empty frame when no k-core exists.
+
+    (r8: rewritten from per-round full-degree-aggregate + double
+    anti-join — removals shrink geometrically, so after round one each
+    round re-shuffled the whole edge set to delete a handful of
+    vertices; the adjacency form does that as a narrow map, 2.9 s →
+    ~1.5 s at sf0.1.)"""
+    e = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    adj = (
+        e.select(F.col("a").alias("v"), F.col("b").alias("n"))
+        .unionAll(e.select(F.col("b").alias("v"), F.col("a").alias("n")))
+        .groupBy("v")
+        .agg(F.collect_list("n").alias("ns"))
+        .localCheckpoint(eager=False)
     )
+    v_dtype = dict(adj.dtypes)["v"]
+    ns_type = adj.schema["ns"].dataType
     for _ in range(MAX_ROUNDS):
-        deg = (
-            e.select(F.col("a").alias("v"))
-            .unionAll(e.select(F.col("b").alias("v")))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        bad = deg.where(F.col("c") < k).select("v").localCheckpoint(eager=False)
-        n_bad = bad.count()
-        if n_bad == 0:
+        bad = adj.where(F.size("ns") < k).select("v")
+        bad_ids = [r.v for r in bad.limit(_COLLECT_MAX + 1).collect()]
+        if not bad_ids:
             break
-        e = (
-            e.join(bad.withColumnRenamed("v", "a"), "a", "left_anti")
-            .join(bad.withColumnRenamed("v", "b"), "b", "left_anti")
-            .select("a", "b")
-            .localCheckpoint(eager=False)
-        )
+        if len(bad_ids) <= _COLLECT_MAX:
+            rm = _id_array_expr(bad_ids, v_dtype).cast(ns_type)
+            adj = (
+                adj.where(F.size("ns") >= k)
+                .select("v", F.array_except("ns", rm).alias("ns"))
+                .localCheckpoint(eager=False)
+            )
+        else:
+            # Mass-removal round: the id set is too big for a literal, so
+            # rebuild the surviving adjacency through one explode +
+            # anti-join + re-group shuffle (this round only).
+            bad_ck = bad.localCheckpoint(eager=False)
+            adj = (
+                adj.join(bad_ck, "v", "left_anti")
+                .select("v", F.explode("ns").alias("n"))
+                .join(bad_ck.withColumnRenamed("v", "n"), "n", "left_anti")
+                .groupBy("v")
+                .agg(F.collect_list("n").alias("ns"))
+                .localCheckpoint(eager=False)
+            )
     else:
         raise RuntimeError(f"k_core: no fixpoint after {MAX_ROUNDS} rounds")
-    return (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("core_degree"))
-    )
+    return adj.select("v", F.size("ns").alias("core_degree"))
