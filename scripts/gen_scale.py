@@ -10,9 +10,10 @@ keys are perturbed per replica so dedup/similarity families see realistic
 near-dup structure (each doc has 9 high-similarity siblings) rather than
 degenerate exact clones.
 
-Usage: python scripts/gen_scale.py [out_dir]   (default /root/repo/.scale/sf1)
-Writes one parquet per table; ~0.5 GB total.  The output dir is
-gitignored.
+Usage: python scripts/gen_scale.py [out_dir] [replicas]
+(default /root/repo/.scale/sf1, 10 replicas; 30 replicas ≙ an sf3
+sibling for the second scale point).  Writes one parquet per table;
+~0.5 GB total at sf1.  The output dir is gitignored.
 """
 
 from __future__ import annotations
@@ -52,7 +53,10 @@ KEY_MAX_SQL = {
 
 
 def main() -> int:
+    global REPLICAS
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
+    if len(sys.argv) > 2:
+        REPLICAS = int(sys.argv[2])
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     offs = {
