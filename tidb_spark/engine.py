@@ -1371,6 +1371,11 @@ class Engine:
                 )
             return self.spark.range(0).select(F.lit("OK").alias("status"))
         query = self._rewrite_infoschema(query)
+        if re.search(
+            r"(?is)\bWITH\s+QUERY\s+EXPANSION\b",
+            merge_clause._STRING_RE.sub("''", query),
+        ):
+            query = self._expand_fulltext_query(query)
         query = translate(query)
         ddl = _DDL_RE.match(query)
         if ddl:
@@ -1607,6 +1612,85 @@ class Engine:
             escaped_by=m.group("esc") or "\\",
         )
         return self.spark.range(0).select(F.lit("OK").alias("status"))
+
+    def _expand_fulltext_query(self, query: str) -> str:
+        """MATCH ... AGAINST('q' [IN NATURAL LANGUAGE MODE] WITH QUERY
+        EXPANSION) — blind relevance feedback, statement level.
+
+        The reference parses the modifier (parser/ast/dml.go
+        FulltextSearchModifier) but executes no fulltext at all; MySQL's
+        InnoDB implementation seeds a second natural-language pass with
+        terms from the best first-pass rows.  Deterministic documented
+        algorithm here: (1) first pass = natural-language score of the
+        original query over the FROM table, top 20 rows by (score DESC,
+        document text) — a bounded control-plane collect; (2) expansion
+        terms = the 10 highest-document-frequency tokens of those rows
+        ([a-z]{4,} on the lowercased text, original-query terms
+        excluded, ties alphabetical); (3) the AGAINST argument is
+        rewritten to the original query plus the expansion terms in
+        plain natural-language mode and lowering proceeds normally.
+        Restricted to statements whose FROM is a single named table —
+        anything else raises loudly."""
+        from tidb_spark.sqlshim import fulltext as _ft
+
+        destrung = merge_clause._STRING_RE.sub(
+            lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", query
+        )
+        froms = re.findall(r"(?is)\bFROM\s+(`?\w+`?)(?:\s|$)", destrung)
+        tables = {f.strip("`") for f in froms}
+        if len(tables) != 1 or re.search(r"(?is)\bJOIN\b", destrung):
+            raise ValueError(
+                "MATCH AGAINST WITH QUERY EXPANSION requires a single-table "
+                "FROM (the feedback pass samples that table)"
+            )
+        table = tables.pop()
+        pos = 0
+        while True:
+            m = _ft._MATCH_RE.search(query, pos)
+            if m is None:
+                return query
+            open_idx = query.index("(", m.end() - 1)
+            close_idx = _ft._find_closing(query, open_idx)
+            after = query[close_idx + 1 :]
+            ag = re.match(r"(?is)^\s*AGAINST\s*\(", after)
+            if not ag:
+                pos = close_idx + 1
+                continue
+            ag_open = close_idx + 1 + ag.end() - 1
+            ag_close = _ft._find_closing(query, ag_open)
+            against = query[ag_open + 1 : ag_close]
+            am = re.match(
+                r"(?is)^\s*(?P<q>'(?:[^'\\]|\\.|'')*')\s*(?P<mod>.*)$", against
+            )
+            if not am or not re.search(
+                r"(?is)\bWITH\s+QUERY\s+EXPANSION\s*$", am.group("mod")
+            ):
+                pos = ag_close + 1
+                continue
+            lit = am.group("q")  # quoted literal, reused verbatim
+            cols = query[open_idx + 1 : close_idx]
+            doc = "CONCAT_WS(' ', " + ", ".join(
+                f"COALESCE({c.strip()}, '')" for c in cols.split(",")
+            ) + ")"
+            seed = self.sql(
+                f"SELECT {doc} AS __doc, MATCH({cols}) AGAINST({lit}) AS __rel "
+                f"FROM {table} WHERE MATCH({cols}) AGAINST({lit}) "
+                f"ORDER BY __rel DESC, __doc LIMIT 20"
+            ).collect()
+            orig = lit[1:-1]
+            orig_terms = set(re.findall(r"[a-z0-9]+", orig.lower()))
+            df_count: dict[str, int] = {}
+            for r in seed:
+                # subscript, not attribute: r.__doc would name-mangle here
+                for tk in set(re.findall(r"[a-z]{4,}", (r["__doc"] or "").lower())):
+                    if tk not in orig_terms:
+                        df_count[tk] = df_count.get(tk, 0) + 1
+            top = sorted(df_count.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+            expanded = (orig + " " + " ".join(tk for tk, _ in top)).strip()
+            repl = f"AGAINST('{expanded}')"
+            start = close_idx + 1 + ag.start()
+            query = query[:start] + repl + query[ag_close + 1 :]
+            pos = start + len(repl)
 
     # -- INFORMATION_SCHEMA (executor/infoschema_reader.go — the reference
     # serves these as memtable scans; here they are small DataFrames

@@ -120,11 +120,10 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "mysqlsql_fulltext_match",
     # --- r8 additions / r8 plan changes (swap in as they land) ---
     "graph_kcore",
+    "mysqlsql_fulltext_boolean",
+    "mysqlsql_fulltext_qexp",
     "tpch_q1",
     "tpch_q6",
-    "tpch_q9",
-    "subq_scalar",
-    "func_string",
     # (r9 rotation plan: the 40 r5-latest rows bumped next —
     # tpch_q1/2/6/9/12/14/15/16/17/18/21 (minus any verified here),
     # setop_except_all, window_groups_frame, agg_percentile/json,

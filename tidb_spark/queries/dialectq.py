@@ -979,3 +979,125 @@ def mysqlsql_recursive_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     native recursion."""
     eng = _engine(spark, sf_dir)
     return eng.sql(RECURSIVE_UNION_SQL)
+
+
+# Weighted boolean fulltext (r8 executed extension): > doubles, < halves,
+# ~ flips to -0.5x, () groups distribute multiplicatively, and relevance
+# floors at 0 after gating.  MySQL documents only the DIRECTION of these
+# operators (the InnoDB factors are internal); the x2/x0.5/x-0.5 model is
+# this engine's documented choice, and the oracle pins exactly that
+# arithmetic in DuckDB.  The whole predicate is codegen'd RLIKE+CASE
+# column math - embarrassingly parallel at any scale.
+
+_FTB = {
+    "spark": r"(?i)\bspark\b",
+    "window": r"(?i)\bwindow\w*",
+    "join": r"(?i)\bjoin\b",
+    "batch": r"(?i)\bbatch\b",
+    "stream": r"(?i)\bstream\b",
+    "shuffle": r"(?i)\bshuffle\b",
+}
+
+FULLTEXT_BOOLEAN_ORACLE = rf"""
+WITH scored AS (
+  SELECT doc_id,
+    CASE WHEN regexp_matches(text, '{_FTB["spark"]}')
+      THEN GREATEST(
+          (CASE WHEN regexp_matches(text, '{_FTB["spark"]}') THEN 1 ELSE 0 END) * 1.0
+        + (CASE WHEN regexp_matches(text, '{_FTB["window"]}') THEN 1 ELSE 0 END) * 2.0
+        + (CASE WHEN regexp_matches(text, '{_FTB["join"]}') THEN 1 ELSE 0 END) * 0.5
+        + (CASE WHEN regexp_matches(text, '{_FTB["batch"]}') THEN 1 ELSE 0 END) * -0.5
+        + (CASE WHEN regexp_matches(text, '{_FTB["stream"]}') THEN 1 ELSE 0 END) * 1.0
+        + (CASE WHEN regexp_matches(text, '{_FTB["shuffle"]}') THEN 1 ELSE 0 END) * 1.0,
+        0.0)
+      ELSE 0.0 END AS rel
+  FROM documents WHERE doc_id % 3 = 0)
+SELECT doc_id, rel FROM scored WHERE rel > 0
+ORDER BY rel DESC, doc_id LIMIT 100
+"""
+
+
+@register(
+    "mysqlsql_fulltext_boolean",
+    oracle=FULLTEXT_BOOLEAN_ORACLE,
+    tags=("dialect", "text"),
+)
+def mysqlsql_fulltext_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-mode weighting operators through the MySQL surface:
+    '+spark >window* <join ~batch stream shuffle' ranks windowed spark
+    docs up, joins mildly up, batch-mentions down - the oracle mirrors
+    the documented x2/x0.5/x-0.5 factors and the 0-floor in DuckDB."""
+    eng = _engine(spark, sf_dir)
+    return eng.sql(
+        "SELECT doc_id, "
+        "MATCH(text) AGAINST('+spark >window* <join ~batch stream shuffle' "
+        "IN BOOLEAN MODE) AS rel "
+        "FROM documents "
+        "WHERE MATCH(text) AGAINST('+spark >window* <join ~batch stream shuffle' "
+        "IN BOOLEAN MODE) "
+        "AND doc_id % 3 = 0 "
+        "ORDER BY rel DESC, doc_id LIMIT 100"
+    )
+
+
+# WITH QUERY EXPANSION (r8): blind relevance feedback, two passes.  The
+# engine's documented algorithm (engine._expand_fulltext_query): top-20
+# first-pass rows by (natural-language score DESC, document text), then
+# the 10 highest-document-frequency [a-z]{4,} tokens of those rows
+# (original terms excluded, ties alphabetical) join the second-pass
+# natural-language query.  The oracle REPLAYS the whole two-pass
+# algorithm in DuckDB SQL - top-20 CTE, token df CTE, top-10 expansion
+# CTE, correlated second-pass scoring - so term selection AND final
+# scores must agree bit-for-bit.
+
+FULLTEXT_QEXP_ORACLE = r"""
+WITH seed AS (
+  SELECT text,
+    (CASE WHEN regexp_matches(text, '(?i)\bspark\b') THEN 1 ELSE 0 END
+   + CASE WHEN regexp_matches(text, '(?i)\bvector\b') THEN 1 ELSE 0 END) AS rel
+  FROM documents),
+top20 AS (
+  SELECT text FROM seed WHERE rel > 0 ORDER BY rel DESC, text LIMIT 20),
+tok AS (
+  SELECT DISTINCT text, tk
+  FROM top20, UNNEST(regexp_extract_all(lower(text), '[a-z]{4,}')) AS u(tk)),
+tf AS (
+  SELECT tk, COUNT(*) AS c FROM tok
+  WHERE tk NOT IN ('spark', 'vector') GROUP BY tk),
+expn AS (
+  SELECT tk FROM tf ORDER BY c DESC, tk LIMIT 10)
+SELECT d.doc_id,
+  CAST((CASE WHEN regexp_matches(d.text, '(?i)\bspark\b') THEN 1 ELSE 0 END)
+     + (CASE WHEN regexp_matches(d.text, '(?i)\bvector\b') THEN 1 ELSE 0 END)
+     + (SELECT COUNT(*) FROM expn e
+        WHERE regexp_matches(d.text, '(?i)\b' || e.tk || '\b'))
+    AS DOUBLE) AS rel
+FROM documents d
+WHERE doc_id % 4 = 0 AND (CASE WHEN regexp_matches(d.text, '(?i)\bspark\b') THEN 1 ELSE 0 END)
+     + (CASE WHEN regexp_matches(d.text, '(?i)\bvector\b') THEN 1 ELSE 0 END)
+     + (SELECT COUNT(*) FROM expn e
+        WHERE regexp_matches(d.text, '(?i)\b' || e.tk || '\b')) > 0
+ORDER BY rel DESC, d.doc_id LIMIT 100
+"""
+
+
+@register(
+    "mysqlsql_fulltext_qexp",
+    oracle=FULLTEXT_QEXP_ORACLE,
+    tags=("dialect", "text"),
+)
+def mysqlsql_fulltext_qexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH QUERY EXPANSION through the MySQL surface: the engine's
+    two-pass blind-feedback rewrite (top-20 seed rows -> top-10 df
+    tokens -> expanded natural-language rescore); the oracle replays
+    the identical algorithm as DuckDB CTEs, pinning both the expansion
+    term selection and the final relevance values."""
+    eng = _engine(spark, sf_dir)
+    return eng.sql(
+        "SELECT doc_id, "
+        "MATCH(text) AGAINST('spark vector' WITH QUERY EXPANSION) AS rel "
+        "FROM documents "
+        "WHERE MATCH(text) AGAINST('spark vector' WITH QUERY EXPANSION) "
+        "AND doc_id % 4 = 0 "
+        "ORDER BY rel DESC, doc_id LIMIT 100"
+    )

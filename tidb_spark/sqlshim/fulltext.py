@@ -23,9 +23,21 @@ Semantics (documented simplification — binary term frequency):
   bare terms each add 1 to the relevance of a matching row, ``term*``
   matches any completion, ``"a phrase"`` matches the words in order
   (whitespace-normalized).  A row failing a +/- constraint scores 0.
-  The unsupported boolean operators (``> < ~ ( )`` weighting/grouping)
-  raise rather than silently mis-rank.
-* WITH QUERY EXPANSION raises (needs a first-pass result corpus).
+* BOOLEAN MODE weighting/grouping (r8): ``>x`` doubles and ``<x``
+  halves x's contribution, ``~x`` flips it to −0.5× (presence lowers
+  relevance but never excludes), ``( ... )`` groups terms — prefix
+  operators on a group distribute multiplicatively over its members,
+  ``+(group)`` gates on ≥1 member present, ``-(group)`` prohibits all
+  members, and sign gates apply globally at any nesting depth.  The
+  final relevance is ``GREATEST(Σ contributions, 0)`` when every gate
+  passes, else 0.  MySQL documents only the direction of ``> < ~``
+  ("increases/decreases the contribution"), not the numbers — the
+  ×2 / ×0.5 / ×−0.5 factors are this engine's documented, oracle-pinned
+  choice.  ``@distance`` proximity still raises loudly.
+* WITH QUERY EXPANSION raises at the expression layer (needs a
+  first-pass result corpus a scalar rewrite cannot see); the engine
+  executes it statement-level via a two-pass blind-feedback rewrite —
+  see engine._expand_fulltext_query.
 
 The query string must be a literal — the same restriction MySQL places
 on the AGAINST argument.
@@ -86,52 +98,119 @@ def _match_expr(doc: str, rx: str) -> str:
     return f"{doc} RLIKE '{rx}'"
 
 
-def _parse_boolean_query(q: str) -> tuple[list[str], list[str], list[str]]:
-    """(required, prohibited, optional) term lists from a boolean query."""
-    req: list[str] = []
-    proh: list[str] = []
-    opt: list[str] = []
-    i = 0
+class _BNode:
+    """One boolean-query node: an atom (term/phrase) or a group."""
+
+    __slots__ = ("sign", "weight", "term", "children")
+
+    def __init__(self) -> None:
+        self.sign = ""  # '', '+', '-'
+        self.weight = 1.0  # × 2 per '>', × 0.5 per '<', × −0.5 per '~'
+        self.term: str | None = None
+        self.children: list[_BNode] | None = None
+
+
+def _parse_bool_nodes(q: str, i: int = 0, depth: int = 0) -> tuple[list["_BNode"], int]:
+    nodes: list[_BNode] = []
     while i < len(q):
         c = q[i]
         if c.isspace():
             i += 1
             continue
-        sign = ""
-        if c in "+-":
-            sign = c
+        if c == ")":
+            if depth == 0:
+                raise ValueError("MATCH AGAINST: unbalanced ')' in boolean query")
+            return nodes, i + 1
+        node = _BNode()
+        saw_op = False
+        while i < len(q) and q[i] in "+-><~":
+            ch = q[i]
+            saw_op = True
+            if ch in "+-":
+                if node.sign:
+                    raise ValueError(
+                        "MATCH AGAINST: conflicting +/- operators on one term"
+                    )
+                node.sign = ch
+            elif ch == ">":
+                node.weight *= 2.0
+            elif ch == "<":
+                node.weight *= 0.5
+            else:  # '~'
+                node.weight *= -0.5
             i += 1
-            if i >= len(q):
+        if i >= len(q) or q[i].isspace():
+            if saw_op:
                 raise ValueError("MATCH AGAINST: dangling +/- operator")
-            c = q[i]
-        if c in "><~()@":
+            continue
+        c = q[i]
+        if c == "@":
             raise ValueError(
-                f"MATCH AGAINST: boolean operator {c!r} is not supported "
-                "(only +, -, *, and \"phrases\")"
+                "MATCH AGAINST: the boolean operator '@' (phrase proximity) "
+                "is not supported"
             )
-        if c == '"':
+        if c == "(":
+            node.children, i = _parse_bool_nodes(q, i + 1, depth + 1)
+            if not node.children:
+                raise ValueError("MATCH AGAINST: empty () group in boolean query")
+        elif c == '"':
             end = q.find('"', i + 1)
             if end < 0:
                 raise ValueError("MATCH AGAINST: unterminated phrase quote")
-            term = q[i + 1 : end].strip()
+            node.term = q[i + 1 : end].strip()
             i = end + 1
+            if not node.term:
+                continue
         else:
             j = i
-            while j < len(q) and not q[j].isspace():
-                if q[j] in "><~()@":
+            while j < len(q) and not q[j].isspace() and q[j] not in '()"':
+                if q[j] == "@":
                     raise ValueError(
-                        f"MATCH AGAINST: boolean operator {q[j]!r} is not "
-                        "supported"
+                        "MATCH AGAINST: the boolean operator '@' (phrase "
+                        "proximity) is not supported"
                     )
                 j += 1
-            term = q[i:j]
+            node.term = q[i:j]
             i = j
-        if not term:
-            continue
-        (req if sign == "+" else proh if sign == "-" else opt).append(term)
-    if not (req or proh or opt):
-        raise ValueError("MATCH AGAINST: empty boolean query")
-    return req, proh, opt
+        nodes.append(node)
+    if depth:
+        raise ValueError("MATCH AGAINST: unbalanced '(' in boolean query")
+    return nodes, i
+
+
+def _presence_sql(node: "_BNode", doc: str) -> str:
+    """Boolean SQL: does the row contain this node (any member, for
+    groups)?"""
+    if node.term is not None:
+        return _match_expr(doc, _term_regex(node.term, False))
+    return "(" + " OR ".join(_presence_sql(ch, doc) for ch in node.children) + ")"
+
+
+def _contrib_sql(node: "_BNode", doc: str, mult: float, out: list[str]) -> None:
+    """Append this subtree's weighted score contributions ('-' subtrees
+    contribute nothing; group weights distribute multiplicatively)."""
+    if node.sign == "-":
+        return
+    w = mult * node.weight
+    if node.term is not None:
+        out.append(
+            f"(CAST({_match_expr(doc, _term_regex(node.term, False))} AS INT)"
+            f" * CAST({w!r} AS DOUBLE))"
+        )
+        return
+    for ch in node.children:
+        _contrib_sql(ch, doc, w, out)
+
+
+def _gates_sql(node: "_BNode", doc: str, out: list[str]) -> None:
+    """Collect +/- gates (global, at any nesting depth)."""
+    if node.sign == "+":
+        out.append(_presence_sql(node, doc))
+    elif node.sign == "-":
+        out.append(f"NOT ({_presence_sql(node, doc)})")
+    if node.children is not None:
+        for ch in node.children:
+            _gates_sql(ch, doc, out)
 
 
 def _lower_one(cols: list[str], against: str) -> str:
@@ -173,28 +252,29 @@ def _lower_one(cols: list[str], against: str) -> str:
         )
         return f"(CAST({hits} AS DOUBLE))"
 
-    req, proh, opt = _parse_boolean_query(query)
-    scored = req + opt
-    if scored:
-        hits = " + ".join(
-            f"CAST({_match_expr(doc, _term_regex(t, False))} AS INT)"
-            for t in scored
-        )
+    nodes, _ = _parse_bool_nodes(query)
+    if not nodes:
+        raise ValueError("MATCH AGAINST: empty boolean query")
+    contribs: list[str] = []
+    for n in nodes:
+        _contrib_sql(n, doc, 1.0, contribs)
+    if contribs:
+        # Negative ~ contributions can drag the sum below zero; MySQL's
+        # relevance is never negative, so floor at 0 (a ~-only match
+        # then scores 0 and fails the >0 predicate coercion).
+        hits = f"GREATEST({' + '.join(contribs)}, CAST(0 AS DOUBLE))"
     else:
         # Only prohibitions: every non-prohibited row matches with score 1.
-        hits = "1"
+        hits = "CAST(1 AS DOUBLE)"
     conds: list[str] = []
-    for t in req:
-        conds.append(_match_expr(doc, _term_regex(t, False)))
-    for t in proh:
-        conds.append(f"NOT ({_match_expr(doc, _term_regex(t, False))})")
+    for n in nodes:
+        _gates_sql(n, doc, conds)
     if conds:
         gate = " AND ".join(conds)
         return (
-            f"(CASE WHEN {gate} THEN CAST({hits} AS DOUBLE) "
-            f"ELSE CAST(0 AS DOUBLE) END)"
+            f"(CASE WHEN {gate} THEN {hits} ELSE CAST(0 AS DOUBLE) END)"
         )
-    return f"(CAST({hits} AS DOUBLE))"
+    return f"({hits})"
 
 
 def lower(sql: str) -> str:
