@@ -16,6 +16,7 @@ import itertools
 import os
 import re
 import tempfile
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,10 +79,24 @@ _CHECKSUM_RE = re.compile(r"(?is)^\s*ADMIN\s+CHECKSUM\s+TABLE\s+(\w+)\s*;?\s*$")
 
 # PREPARE / EXECUTE / DEALLOCATE statement forms (executor/prepared.go:1
 # PrepareExec; planner/core/common_plans.go Execute rebind).  The reference
-# caches a physical plan per prepared statement; on Spark, Catalyst re-plans
-# per EXECUTE (AQE makes per-execution planning the *better* strategy at
-# scale — literal parameters enable partition pruning a cached generic plan
-# would lose).
+# caches a PHYSICAL plan per prepared statement (planner/core/plan_cache.go
+# GetPlanFromPlanCache); the Spark-native split of that idea caches the
+# LOWERED STATEMENT TEXT instead (r8, engine plan cache below): the
+# Python-side dialect pipeline — dozens of regex/lowering passes — runs once
+# per (statement, catalog epoch), while Catalyst + AQE still re-plan every
+# execution, because at scale per-execution planning is the *better* half
+# to keep (literal parameters enable partition pruning a cached generic
+# physical plan would lose; the reference pays exactly that cost and grew
+# tidb_opt_fix_control workarounds for it).  Parameters are pinned through
+# the lowering as named ``:pN`` markers so reordering rewrites (MySQL
+# ``LIMIT ?, ?`` → ``LIMIT ? OFFSET ?`` swaps the two) and
+# subquery-duplicating rewrites (quantified ALL/ANY) stay bind-correct.
+# Statements whose lowering must SEE literal values are skipped with a
+# recorded reason, mirroring the reference's own skip-plan-cache reasons
+# (planner/core/plan_cacheable_checker.go): user @variables, MATCH …
+# AGAINST (literal-only argument), NEXTVAL/SETVAL (per-statement
+# allocation), INTO OUTFILE.  Any mutation statement bumps the catalog
+# epoch and invalidates (the reference invalidates on schema version).
 _PREPARE_RE = re.compile(
     r"(?is)^\s*PREPARE\s+`?(?P<name>\w+)`?\s+FROM\s+(?P<src>.+?)\s*;?\s*$"
 )
@@ -91,6 +106,33 @@ _EXECUTE_RE = re.compile(
 )
 _DEALLOC_RE = re.compile(
     r"(?is)^\s*(?:DEALLOCATE|DROP)\s+PREPARE\s+`?(?P<name>\w+)`?\s*;?\s*$"
+)
+
+# Read-shaped statement heads: these cannot change catalog/data/sysvar
+# state the LOWERING pipeline reads, so they leave the plan-cache epoch
+# alone.  Everything else (DDL, DML, LOAD, SET, ANALYZE, OPTIMIZE,
+# RENAME, IMPORT…) bumps it.  SELECT … INTO OUTFILE/@ writes var/file
+# state but no statement's lowering reads either (user @vars make a
+# statement uncacheable outright), so SELECT stays on the list.
+_READONLY_STMT_RE = re.compile(
+    r"(?is)^\s*(?:/\*.*?\*/\s*)*"
+    r"(?:EXPLAIN|SELECT|WITH|TABLE|VALUES|SHOW|DESC|DESCRIBE|EXECUTE"
+    r"|PREPARE|DEALLOCATE|CHECKSUM|ADMIN|USE|BEGIN|START|COMMIT|KILL"
+    r"|HELP)\b"
+)
+
+# Plan-cacheability gate (the reference's skip-plan-cache reasons,
+# planner/core/plan_cacheable_checker.go): read query heads only, and no
+# construct whose lowering must SEE literal parameter values or allocates
+# per statement.  Matched against the string-masked text.
+_CACHEABLE_HEAD_RE = re.compile(
+    r"(?is)^\s*(?:/\*.*?\*/\s*)*(?:SELECT|WITH(?!\s+RECURSIVE)|TABLE|VALUES)\b"
+)
+_CACHE_SKIP_RE = re.compile(
+    r"(?i)@"  # user/system variables read at execution time
+    r"|\bAGAINST\s*\("  # fulltext: the AGAINST argument must be a literal
+    r"|\bNEXTVAL\b|\bLASTVAL\b|\bSETVAL\b"  # per-statement allocation
+    r"|\bINTO\s+(?:OUTFILE|DUMPFILE)\b"
 )
 
 # Sequence objects (ddl/sequence.go; NEXTVAL/LASTVAL/SETVAL in the builtin
@@ -226,6 +268,27 @@ class Engine:
         self._view_cols: dict[str, list[str] | None] = {}
         # PREPARE handler -> statement text (executor/prepared.go).
         self.prepared: dict[str, str] = {}
+        # Plan cache (planner/core/plan_cache.go, re-expressed as a
+        # lowered-text cache — see the _PREPARE_RE note): statement text ->
+        # (lowered Spark SQL with :pN markers | None for known-uncacheable,
+        # n_params, catalog epoch).  LRU, default capacity 100 like the
+        # reference's tidb_session_plan_cache_size.
+        self.plan_cache: "OrderedDict[str, tuple[str | None, int, int]]" = (
+            OrderedDict()
+        )
+        # Bumped by every statement that can change what lowering depends
+        # on (DDL, DML, LOAD, SET, ANALYZE…); cache entries from an older
+        # epoch are dead.  The reference's analogue is the schema version
+        # check in plan_cache.go.
+        self._catalog_epoch = 0
+        # @@last_plan_from_cache (sessionctx/variable/session.go — the
+        # reference exposes exactly this observability var).
+        self._last_plan_from_cache = False
+        self._plan_cache_hits = 0
+        self._plan_cache_misses = 0
+        # Non-None only during a _lower_for_cache pass: the final
+        # spark.sql site appends the lowered text here instead of running.
+        self._lower_capture: list[str] | None = None
         # Sequence objects: name -> options + counter (ddl/sequence.go).
         self.sequences: dict[str, dict] = {}
         # Columns declared with a non-binary collation (util/collate/),
@@ -1174,8 +1237,21 @@ class Engine:
         """Execute one MySQL-dialect statement (with optional FROM MATCH).
 
         ``args`` binds named (``:name``) or positional (``?``) parameters —
-        the prepared-statement surface (executor/prepared.go; Catalyst
-        re-plans per execution, replacing the reference's plan cache)."""
+        the prepared-statement surface (executor/prepared.go; the lowered
+        text is plan-cached per statement + catalog epoch, Catalyst still
+        re-plans per execution — see the _PREPARE_RE note)."""
+        # Any statement that can change what LOWERING depends on — catalog
+        # shape, managed-table data/partitions, graph schema, sequences,
+        # sysvars — invalidates the plan cache by bumping the epoch
+        # (plan_cache.go's schema-version check).  Conservative allowlist:
+        # only read-shaped statements leave the epoch alone.
+        if not _READONLY_STMT_RE.match(query):
+            # SET @user_var is also epoch-neutral: statements reading
+            # @vars are uncacheable outright, so no cached lowering can
+            # depend on one.  SET @@sysvar / SET NAMES etc. still bump
+            # (sysvars steer lowering, e.g. @@graph_topk_beam).
+            if not re.match(r"(?is)^\s*SET\s+@[A-Za-z_]", query):
+                self._catalog_epoch += 1
         # MySQL: EXPLAIN <table> is an alias for DESCRIBE <table>
         # (parser treats them identically; executor/explain.go).
         tbl_m = re.match(r"(?is)^\s*EXPLAIN\s+`?(\w+)`?\s*;?\s*$", query)
@@ -1442,6 +1518,12 @@ class Engine:
                 query = mc.splice(query, start, end, replacement, preds)
         if args is not None:
             return self.spark.sql(query, args)
+        if self._lower_capture is not None:
+            # Plan-cache lowering pass (_lower_for_cache): record the final
+            # Spark SQL and skip execution — the :pN markers in it are not
+            # yet bound.
+            self._lower_capture.append(query)
+            return self.spark.range(0).select(F.lit("LOWERED").alias("status"))
         return self.spark.sql(query)
 
     _PARTSEL_RE = re.compile(
@@ -2566,11 +2648,16 @@ class Engine:
         return self.spark.range(0).select(F.lit("OK").alias("status"))
 
     def _run_execute(self, m: re.Match) -> DataFrame:
-        """EXECUTE stmt [USING @a, @b, …]: bind each ``?`` placeholder
-        (positionally, outside string literals) to the user variable's
-        current literal value, then run through the full engine pipeline —
-        Catalyst re-plans per execution (common_plans.go Execute rebind;
-        see _PREPARE_RE note on why re-planning beats a plan cache here)."""
+        """EXECUTE stmt [USING @a, @b, …] (common_plans.go Execute rebind +
+        planner/core/plan_cache.go GetPlanFromPlanCache).
+
+        Fast path: the statement's LOWERED Spark SQL is in the plan cache
+        for the current catalog epoch — bind each ``:pN`` marker to the
+        USING variable's literal and hand Catalyst the result (it still
+        plans per execution; only the Python dialect pipeline is skipped).
+        Slow path (miss or uncacheable): bind ``?`` placeholders
+        positionally and run the full pipeline, attempting to populate the
+        cache for next time."""
         from tidb_spark.sqlshim.translate import _map_code
 
         name = m.group("name")
@@ -2603,12 +2690,96 @@ class Engine:
                 f"Incorrect arguments to EXECUTE: statement takes "
                 f"{n_params} parameters, {len(vals)} given"
             )
+        self._last_plan_from_cache = False
+        ent = self.plan_cache.get(text)
+        if ent is not None and ent[2] != self._catalog_epoch:
+            del self.plan_cache[text]
+            ent = None
+        if ent is None:
+            self._plan_cache_misses += 1
+            lowered = self._lower_for_cache(text, n_params)
+            ent = (lowered, n_params, self._catalog_epoch)
+            self.plan_cache[text] = ent
+            cap = int(
+                self.spark.conf.get("spark.tidb_spark.plan_cache.size", "100")
+            )
+            while len(self.plan_cache) > cap:
+                self.plan_cache.popitem(last=False)
+        else:
+            self.plan_cache.move_to_end(text)
+            if ent[0] is not None:
+                self._plan_cache_hits += 1
+                self._last_plan_from_cache = True
+        if ent[0] is not None:
+            bound = _map_code(
+                ent[0],
+                lambda code: re.sub(
+                    r":p(\d+)\b", lambda pm: vals[int(pm.group(1))], code
+                ),
+            )
+            try:
+                return self.spark.sql(bound)
+            except Exception:
+                # A lowering rewrite that pattern-matches literal forms
+                # may have skipped a :pN shape it would have handled bound
+                # — evict and take the always-correct slow path (the
+                # reference likewise falls back when a cached plan fails
+                # rebind validation, plan_cache.go RebuildPlan4CachedPlan).
+                self.plan_cache[text] = (None, n_params, ent[2])
+                if self._last_plan_from_cache:
+                    self._plan_cache_hits -= 1
+                self._last_plan_from_cache = False
+        # Uncacheable: today's full-pipeline rebind.
         it = iter(vals)
 
         def bind(code: str) -> str:
             return re.sub(r"\?", lambda _m: next(it), code)
 
         return self.sql(_map_code(text, bind) if vals else text)
+
+    def _lower_for_cache(self, text: str, n_params: int) -> str | None:
+        """One full-pipeline lowering of ``text`` with its ``?``
+        placeholders pinned as named ``:pN`` markers; returns the final
+        Spark SQL, or None when the statement is uncacheable (gate
+        mismatch, a rewrite consumed/errored on a marker, or the statement
+        never reached the plain spark.sql sink — each a reference
+        skip-plan-cache reason, plan_cacheable_checker.go)."""
+        from tidb_spark.sqlshim.translate import _map_code
+
+        masked = merge_clause._STRING_RE.sub("''", text)
+        if not _CACHEABLE_HEAD_RE.match(masked) or _CACHE_SKIP_RE.search(
+            masked
+        ):
+            return None
+        counter = itertools.count()
+        marked = _map_code(
+            text,
+            lambda code: re.sub(r"\?", lambda _m: f":p{next(counter)}", code),
+        )
+        self._lower_capture = []
+        try:
+            self.sql(marked)
+            captured = self._lower_capture
+        except Exception:
+            return None
+        finally:
+            self._lower_capture = None
+        if len(captured) != 1:
+            return None
+        lowered = captured[0]
+        found: set[int] = set()
+        _map_code(
+            lowered,
+            lambda code: (
+                found.update(int(g) for g in re.findall(r":p(\d+)\b", code))
+                or code
+            ),
+        )
+        if found != set(range(n_params)):
+            # A rewrite dropped or invented a marker — binding would be
+            # unsound; leave this statement on the slow path.
+            return None
+        return lowered
 
     def _run_deallocate(self, m: re.Match) -> DataFrame:
         name = m.group("name")
@@ -2731,11 +2902,43 @@ class Engine:
     def _substitute_user_vars(self, query: str) -> str:
         """Replace @name references (outside string literals) with the
         variable's literal value — the read side of executor/set.go's
-        UserVars map."""
+        UserVars map — and @@[session.|global.]sysvar reads with the
+        session value (sessionctx/variable; includes the plan-cache
+        observability vars @@last_plan_from_cache and the SHOW VARIABLES
+        defaults).  Unknown sysvars raise like MySQL ER_UNKNOWN_SYSTEM_VAR
+        rather than silently reading NULL."""
         from tidb_spark.sqlshim.translate import _map_code
 
         if "@" not in query:
             return query
+
+        def sys_sub(code: str) -> str:
+            def one(vm: re.Match) -> str:
+                name = vm.group(1).lower()
+                if name == "last_plan_from_cache":
+                    return "1" if self._last_plan_from_cache else "0"
+                if vm.group(1) in self.sys_vars:
+                    return self.sys_vars[vm.group(1)]
+                if name in self.sys_vars:
+                    return self.sys_vars[name]
+                defaults = {
+                    "version": "'8.0-tidb_spark'",
+                    "default_week_format": "'0'",
+                    "time_zone": "'"
+                    + self.spark.conf.get(
+                        "spark.sql.session.timeZone", "UTC"
+                    )
+                    + "'",
+                    "sql_mode": "'ANSI'",
+                    "max_execution_time": "0",
+                    "autocommit": "1",
+                }
+                if name in defaults:
+                    return defaults[name]
+                raise ValueError(f"Unknown system variable {name!r}")
+
+            return re.sub(r"@@(?:SESSION\.|GLOBAL\.)?(\w+)", one, code,
+                          flags=re.IGNORECASE)
 
         def sub(code: str) -> str:
             # Unset user variables read as NULL (MySQL semantics).
@@ -2743,7 +2946,7 @@ class Engine:
                 lambda vm: self.user_vars.get(vm.group(1), "NULL"), code
             )
 
-        return _map_code(query, sub)
+        return _map_code(query, lambda code: sub(sys_sub(code)))
 
     def checksum(self, table: str) -> DataFrame:
         """ADMIN CHECKSUM TABLE (executor/checksum.go:39): one

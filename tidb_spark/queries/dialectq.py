@@ -1101,3 +1101,54 @@ def mysqlsql_fulltext_qexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AND doc_id % 4 = 0 "
         "ORDER BY rel DESC, doc_id LIMIT 100"
     )
+
+
+# Plan cache through the prepared-statement surface (r8;
+# planner/core/plan_cache.go GetPlanFromPlanCache re-expressed as a
+# lowered-text cache — see engine._PREPARE_RE note).  The query PREPAREs
+# once, EXECUTEs twice with different parameters, asserts the second run
+# came from the cache (@@last_plan_from_cache, the reference's own
+# observability var), and returns the second result — so the driver gate
+# proves CACHED-PATH results match plain SQL, not just the slow path.
+
+PLAN_CACHE_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n, SUM(o_totalprice) AS total
+FROM orders
+WHERE o_custkey < 500 AND o_orderdate >= DATE '1995-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+LIMIT 3 OFFSET 1
+"""
+
+
+@register("mysqlsql_plan_cache", oracle=PLAN_CACHE_ORACLE, tags=("dialect",))
+def mysqlsql_plan_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREPARE/EXECUTE with the r8 plan cache: the second EXECUTE binds
+    the cached lowered text (named :pN markers ride the MySQL
+    ``LIMIT ?, ?`` -> ``LIMIT ? OFFSET ?`` reorder), Catalyst still plans
+    per execution.  The returned frame is the CACHED second execution."""
+    eng = _engine(spark, sf_dir)
+    eng.sql(
+        "PREPARE pcq FROM 'SELECT o_orderpriority, COUNT(*) AS n, "
+        "SUM(o_totalprice) AS total FROM orders "
+        "WHERE o_custkey < ? AND o_orderdate >= ? "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT ?, ?'"
+    )
+    eng.sql("SET @ck = 100")
+    eng.sql("SET @d = '1994-01-01'")
+    eng.sql("SET @off = 0")
+    eng.sql("SET @cnt = 5")
+    eng.sql("EXECUTE pcq USING @ck, @d, @off, @cnt").collect()
+    eng.sql("SET @ck = 500")
+    eng.sql("SET @d = '1995-01-01'")
+    eng.sql("SET @off = 1")
+    eng.sql("SET @cnt = 3")
+    out = eng.sql("EXECUTE pcq USING @ck, @d, @off, @cnt")
+    from_cache = (
+        eng.sql("SELECT @@last_plan_from_cache AS c").collect()[0].c
+    )
+    if int(from_cache) != 1:
+        raise AssertionError(
+            "plan cache: second EXECUTE did not come from the cache"
+        )
+    return out

@@ -146,8 +146,12 @@ def _rewrite_calls(sql: str, name: str, builder, guard=None) -> str:
 
 
 def _limit_offset(code: str) -> str:
+    # Operands: integer literals, or the engine plan cache's :pN parameter
+    # markers (engine._lower_for_cache pins ``?`` placeholders as :pN
+    # before lowering — MySQL ``LIMIT offset, count`` REORDERS them, so
+    # the markers must ride the rewrite for rebinding to stay positional).
     return re.sub(
-        r"\bLIMIT\s+(\d+)\s*,\s*(\d+)",
+        r"\bLIMIT\s+(\d+|:p\d+)\s*,\s*(\d+|:p\d+)",
         r"LIMIT \2 OFFSET \1",
         code,
         flags=re.IGNORECASE,
