@@ -48,6 +48,7 @@ NESTED_LOOP_OK = {
     "graph_top_k_shortest": "roots x dsts pair grid broadcast scaffold",
     "ts_funnel": "three 1-row step-count aggregates crossJoined into the summary row (control-plane-sized at any scale)",
     "text_bm25_topk": "1-row corpus-stats (N, avgdl) broadcast joined onto every posting (scalar scaffold, control-plane-sized at any scale)",
+    "retrieval_hybrid_rrf": "two 1-row scalar scaffolds: BM25 corpus-stats broadcast + query-vector broadcast (both control-plane-sized at any corpus scale)",
 }
 
 

@@ -108,6 +108,26 @@ _DEALLOC_RE = re.compile(
     r"(?is)^\s*(?:DEALLOCATE|DROP)\s+PREPARE\s+`?(?P<name>\w+)`?\s*;?\s*$"
 )
 
+# SQL plan bindings (bindinfo/bind.go; CREATE [GLOBAL|SESSION] BINDING FOR
+# <stmt> USING <stmt-with-hints>).  A binding matches any incoming
+# statement whose literal-stripped digest equals the bound statement's
+# (bindinfo's normalized-SQL match), and replaces it with the USING text —
+# the incoming statement's OWN literals re-injected positionally, which is
+# sound because CREATE BINDING verifies both sides normalize identically
+# (hints excluded), so literal positions correspond 1:1.  GLOBAL and
+# SESSION share one session-scoped store here (no multi-session scope in
+# a single engine).
+_CREATE_BINDING_RE = re.compile(
+    r"(?is)^\s*CREATE\s+(?:GLOBAL\s+|SESSION\s+)?BINDING\s+FOR\s+"
+    r"(?P<orig>.+?)\s+USING\s+(?P<using>.+?)\s*;?\s*$"
+)
+_DROP_BINDING_RE = re.compile(
+    r"(?is)^\s*DROP\s+(?:GLOBAL\s+|SESSION\s+)?BINDING\s+FOR\s+"
+    r"(?P<orig>.+?)\s*;?\s*$"
+)
+# Standalone numeric literals (not part of an identifier / dotted name).
+_NUM_LIT_RE = re.compile(r"(?<![\w.`])\d+(?:\.\d+)?(?![\w.])")
+
 # Read-shaped statement heads: these cannot change catalog/data/sysvar
 # state the LOWERING pipeline reads, so they leave the plan-cache epoch
 # alone.  Everything else (DDL, DML, LOAD, SET, ANALYZE, OPTIMIZE,
@@ -289,6 +309,12 @@ class Engine:
         # Non-None only during a _lower_for_cache pass: the final
         # spark.sql site appends the lowered text here instead of running.
         self._lower_capture: list[str] | None = None
+        # SQL plan bindings (bindinfo/): digest -> (original display text,
+        # USING template with literals as :bN markers, n_literals).
+        self.bindings: dict[str, tuple[str, str, int]] = {}
+        # @@last_plan_from_binding (sessionctx/variable — the reference's
+        # paired observability var).
+        self._last_plan_from_binding = False
         # Sequence objects: name -> options + counter (ddl/sequence.go).
         self.sequences: dict[str, dict] = {}
         # Columns declared with a non-binary collation (util/collate/),

@@ -123,7 +123,8 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "mysqlsql_fulltext_boolean",
     "mysqlsql_fulltext_qexp",
     "mysqlsql_plan_cache",
-    "tpch_q1",
+    "retrieval_hybrid_rrf",
+    "text_bpe_pairs",
     # (r9 rotation plan: the 40 r5-latest rows bumped next —
     # tpch_q1/2/6/9/12/14/15/16/17/18/21 (minus any verified here),
     # setop_except_all, window_groups_frame, agg_percentile/json,

@@ -2778,3 +2778,254 @@ def dedup_ensemble_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", k=8, threshold=0.2, max_posting=None
     ).select("d1", "d2")
     return cl.duplicate_clusters(url_edges.unionByName(jac)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 keyword ranking fused with embedding dot-product
+# ranking by Reciprocal Rank Fusion (r8; Cormack et al. 2009 — the
+# standard first-stage retrieval fusion in RAG data pipelines).  RRF
+# needs only the two RANK columns, so the whole fusion is integer-exact:
+# contribution = 1e9 // (60 + rank) in integer division (k=60, the
+# paper's constant), summed across lists, missing side contributes 0.
+# Both engines run identical integer arithmetic end to end.
+
+RRF_TERMS = ("merge", "window", "stream")
+_RRF_TF = ",\n         ".join(
+    f"len([x FOR x IN toks IF x = '{t}']) AS tf{i}"
+    for i, t in enumerate(RRF_TERMS, 1)
+)
+_RRF_DF = ", ".join(
+    f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+    for i in range(1, len(RRF_TERMS) + 1)
+)
+_RRF_SCORE = " + ".join(
+    f"(CASE WHEN tf{i} = 0 THEN 0 ELSE "
+    f"(10000 * ((n - df{i} + 1) * 44 * a * tf{i})) // "
+    f"((df{i} + 1) * (20 * a * tf{i} + 6 * a + 18 * n * dl)) END)"
+    for i in range(1, len(RRF_TERMS) + 1)
+)
+
+RETRIEVAL_HYBRID_RRF_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+),
+per AS (
+  SELECT doc_id, len(toks) AS dl,
+         {_RRF_TF}
+  FROM tk
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS a,
+         {_RRF_DF}
+  FROM per
+),
+bm AS (
+  SELECT doc_id, CAST({_RRF_SCORE} AS BIGINT) AS s
+  FROM per, tot
+  WHERE {_RRF_SCORE} > 0
+),
+bmr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM bm QUALIFY r <= 50
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qv0 AS (SELECT qv AS q0 FROM q WHERE vec_id = 0),
+vs AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(list_zip(qv, q0), p -> p[1] * p[2]))
+              AS BIGINT) AS dot
+  FROM q, qv0
+),
+vsr AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS r
+  FROM vs QUALIFY r <= 50
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         COALESCE(1000000000 // (60 + b.r), 0)
+       + COALESCE(1000000000 // (60 + v.r), 0) AS rrf_nano
+  FROM bmr b FULL OUTER JOIN vsr v ON b.doc_id = v.doc_id
+)
+SELECT doc_id, rrf_nano FROM fused
+ORDER BY rrf_nano DESC, doc_id
+LIMIT 20
+"""
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=RETRIEVAL_HYBRID_RRF_ORACLE,
+    tags=("text", "similarity"),
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid first-stage retrieval: BM25 top-50 (integer-exact rational
+    idf, same constants as text_bm25_topk) ⊕ embedding dot-product
+    top-50 (query = vec 0, quantized 1e6), fused with RRF(k=60) in
+    integer nano-units.  Scale shape: each branch is the already-proven
+    plan (1-row corpus-stats broadcast + map-side scoring + top-k
+    window on one partition of 50 rows); the fusion is a 50×50-row
+    full-outer join — driver-free, broadcast-sized by construction, and
+    the final top-20 is a TakeOrderedAndProject.  At 100 TB the two
+    branches dominate and stay embarrassingly parallel; the fused rank
+    join never grows past 2×50 rows regardless of corpus size."""
+    docs = dd.spread_small(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", dd.normalize_text(F.col("text")).alias("nrm")
+        ),
+        "doc_id",
+    )
+    toks = docs.select("doc_id", F.split("nrm", " ").alias("toks"))
+    per = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.size(
+                F.filter(
+                    F.col("toks"), (lambda term: lambda x: x == F.lit(term))(t)
+                )
+            )
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(RRF_TERMS, 1)
+        ],
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").alias("a"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(1, len(RRF_TERMS) + 1)
+        ],
+    )
+    score = None
+    for i in range(1, len(RRF_TERMS) + 1):
+        term = F.when(F.col(f"tf{i}") == 0, F.lit(0).cast("long")).otherwise(
+            F.expr(
+                f"(10000 * ((n - df{i} + 1) * 44 * a * tf{i})) div "
+                f"((df{i} + 1) * (20 * a * tf{i} + 6 * a + 18 * n * dl))"
+            )
+        )
+        score = term if score is None else score + term
+    bm = (
+        per.crossJoin(F.broadcast(tot))
+        .select("doc_id", score.alias("s"))
+        .where(F.col("s") > 0)
+    )
+    w_all = Window.orderBy(F.col("s").desc(), "doc_id")
+    bmr = (
+        bm.orderBy(F.col("s").desc(), "doc_id")
+        .limit(50)
+        .withColumn("r", F.row_number().over(w_all))
+        .select("doc_id", "r")
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("qv"),
+    )
+    q0 = emb.where(F.col("vec_id") == 0).select(F.col("qv").alias("q0"))
+    vs = emb.crossJoin(F.broadcast(q0)).select(
+        "vec_id",
+        F.expr(
+            "CAST(aggregate(zip_with(qv, q0, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+        ).alias("dot"),
+    )
+    w_vec = Window.orderBy(F.col("dot").desc(), "vec_id")
+    vsr = (
+        vs.orderBy(F.col("dot").desc(), "vec_id")
+        .limit(50)
+        .withColumn("r", F.row_number().over(w_vec))
+        .select(F.col("vec_id").alias("doc_id"), "r")
+    )
+    fused = (
+        bmr.withColumnRenamed("r", "rt")
+        .join(vsr.withColumnRenamed("r", "rv"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr("1000000000 div (60 + rt)"), F.lit(0).cast("long")
+                )
+                + F.coalesce(
+                    F.expr("1000000000 div (60 + rv)"), F.lit(0).cast("long")
+                )
+            ).alias("rrf_nano"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_nano").desc(), "doc_id").limit(20)
+
+
+# --------------------------------------------------------------------------
+# BPE merge-pair counting (r8): the inner statistic of byte-pair-encoding
+# tokenizer training (Sennrich et al. 2016) — adjacent-symbol pair
+# frequencies over the corpus, weighted by word frequency.  One training
+# iteration = "find the argmax pair"; this operator produces the ranked
+# pair table.  Integer counts end to end.
+
+TEXT_BPE_PAIRS_ORACLE = f"""
+WITH wd AS (
+  SELECT unnest(regexp_extract_all({_NORM}, '[a-z]+')) AS w FROM documents
+),
+wf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM wd GROUP BY w
+),
+pr AS (
+  SELECT substring(w, CAST(i AS INT), 2) AS pair, f
+  FROM wf, UNNEST(range(1, length(w))) AS t(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt
+FROM pr
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 20
+"""
+
+
+@register("text_bpe_pairs", oracle=TEXT_BPE_PAIRS_ORACLE, tags=("text",))
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates: adjacent character pairs ranked by
+    frequency-weighted corpus count.  Scale shape: occurrences collapse
+    to the VOCABULARY first (one shuffle on word — vocab is sublinear in
+    corpus size, Heaps' law), then pairs explode from distinct words
+    only and aggregate with map-side partial sums (second shuffle on the
+    ≤26² pair space); the argmax is a TakeOrderedAndProject.  At 100 TB
+    the occurrence→vocab aggregate is the only data-sized stage and it
+    is embarrassingly combinable."""
+    docs = dd.spread_small(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", dd.normalize_text(F.col("text")).alias("nrm")
+        ),
+        "doc_id",
+    )
+    words = docs.select(
+        F.explode(F.expr("regexp_extract_all(nrm, '[a-z]+', 0)")).alias("w")
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    pairs = (
+        wf.where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "f",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )
