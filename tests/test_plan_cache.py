@@ -154,3 +154,85 @@ def test_sysvar_reads(engine):
     )
     with pytest.raises(ValueError, match="Unknown system variable"):
         engine.sql("SELECT @@no_such_var")
+
+
+# --- SQL plan bindings (bindinfo/bind.go) --------------------------------
+
+
+def test_binding_changes_plan_and_matches_literals(engine, spark):
+    """CREATE BINDING with a broadcast hint flips the physical join for
+    any statement matching the literal-stripped digest; results are
+    identical; @@last_plan_from_binding reports the previous statement
+    (sessionctx/variable FoundInBinding)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = (
+            "SELECT COUNT(*) AS n FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE n.n_regionkey = 2"
+        )
+        plain = engine.sql(f"EXPLAIN {q}").toPandas()["plan"].str.cat()
+        assert "BroadcastHashJoin" not in plain
+        engine.sql(
+            f"CREATE GLOBAL BINDING FOR {q} USING "
+            "SELECT /*+ BROADCAST_JOIN(n) */ COUNT(*) AS n FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE n.n_regionkey = 2"
+        )
+        q3 = q.replace("= 2", "= 3")  # different literal still matches
+        bound_plan = engine.sql(f"EXPLAIN {q3}").toPandas()["plan"].str.cat()
+        assert "BroadcastHashJoin" in bound_plan
+        r_bound = engine.sql(q3).collect()[0].n
+        assert (
+            engine.sql("SELECT @@last_plan_from_binding AS c").collect()[0].c
+            == 1
+        )
+        rows = engine.sql("SHOW BINDINGS").collect()
+        assert len(rows) == 1 and rows[0].Status == "enabled"
+        assert "?" in rows[0].Sql_digest
+        engine.sql(f"DROP BINDING FOR {q3}")  # digest match, any literals
+        assert engine.sql("SHOW BINDINGS").count() == 0
+        r_plain = engine.sql(q3).collect()[0].n
+        assert r_bound == r_plain
+        assert (
+            engine.sql("SELECT @@last_plan_from_binding AS c").collect()[0].c
+            == 0
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_binding_validation_rejects_mismatched_using(engine):
+    """bindinfo invariant: original and bind SQL must normalize
+    identically once hints are stripped — otherwise literal re-injection
+    is unsound and the reference likewise errors."""
+    with pytest.raises(ValueError, match="identical after normalization"):
+        engine.sql(
+            "CREATE BINDING FOR SELECT COUNT(*) FROM nation "
+            "USING SELECT COUNT(*) FROM region"
+        )
+    with pytest.raises(ValueError, match="no binding matches"):
+        engine.sql("DROP BINDING FOR SELECT 1 FROM nation")
+
+
+def test_binding_invalidates_plan_cache(engine):
+    """CREATE BINDING bumps the catalog epoch, so a prepared statement
+    re-lowers and picks up the binding on its next EXECUTE."""
+    engine.sql(
+        "PREPARE b1 FROM 'SELECT COUNT(*) AS n FROM nation "
+        "WHERE n_regionkey = ?'"
+    )
+    engine.sql("SET @r = 1")
+    engine.sql("EXECUTE b1 USING @r")
+    engine.sql("EXECUTE b1 USING @r")
+    assert (
+        engine.sql("SELECT @@last_plan_from_cache AS c").collect()[0].c == 1
+    )
+    engine.sql(
+        "CREATE BINDING FOR SELECT COUNT(*) AS n FROM region "
+        "USING SELECT COUNT(*) AS n FROM region"
+    )
+    engine.sql("EXECUTE b1 USING @r")
+    assert (
+        engine.sql("SELECT @@last_plan_from_cache AS c").collect()[0].c == 0
+    )

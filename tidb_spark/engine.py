@@ -313,8 +313,11 @@ class Engine:
         # USING template with literals as :bN markers, n_literals).
         self.bindings: dict[str, tuple[str, str, int]] = {}
         # @@last_plan_from_binding (sessionctx/variable — the reference's
-        # paired observability var).
+        # paired observability var).  Reads report the PREVIOUS statement
+        # (the reading SELECT itself goes through bind-match first, so it
+        # reads a statement-entry snapshot).
         self._last_plan_from_binding = False
+        self._prev_from_binding = False
         # Sequence objects: name -> options + counter (ddl/sequence.go).
         self.sequences: dict[str, dict] = {}
         # Columns declared with a non-binary collation (util/collate/),
@@ -1271,6 +1274,7 @@ class Engine:
         # sysvars — invalidates the plan cache by bumping the epoch
         # (plan_cache.go's schema-version check).  Conservative allowlist:
         # only read-shaped statements leave the epoch alone.
+        self._prev_from_binding = self._last_plan_from_binding
         if not _READONLY_STMT_RE.match(query):
             # SET @user_var is also epoch-neutral: statements reading
             # @vars are uncacheable outright, so no cached lowering can
@@ -1346,6 +1350,12 @@ class Engine:
         cm = _CHECKSUM_RE.match(query)
         if cm:
             return self.checksum(cm.group(1))
+        bm_ = _CREATE_BINDING_RE.match(query)
+        if bm_:
+            return self._run_create_binding(bm_)
+        bdm = _DROP_BINDING_RE.match(query)
+        if bdm:
+            return self._run_drop_binding(bdm)
         pm = _PREPARE_RE.match(query)
         if pm:
             return self._run_prepare(pm)
@@ -1384,8 +1394,12 @@ class Engine:
                 )
             query = self._substitute_sequence_funcs(query)
         query = _SELECT_LOCK_RE.sub(r"\1", query)
-        # Hints first: @query_block qualifiers inside /*+ ... */ must not be
-        # mistaken for @user variables by the substitution pass.
+        # Plan bindings fire before hint extraction so a binding-injected
+        # /*+ hint */ flows through the normal hint path (bindinfo match
+        # happens once — the substituted text continues linearly, no
+        # re-dispatch, so a binding cannot loop on itself).
+        if self.bindings and _CACHEABLE_HEAD_RE.match(query):
+            query = self._apply_bindings(query)
         query, hints = self._extract_hints(query)
         # SELECT ... INTO @vars writes variables — split it off BEFORE the
         # read-side substitution pass turns the target @names into values.
@@ -2485,6 +2499,23 @@ class Engine:
         q = query.strip().rstrip(";").strip()
         mk = lambda rows, schema: self.spark.createDataFrame(rows, schema)
 
+        if re.match(r"(?is)^SHOW\s+(?:GLOBAL\s+|SESSION\s+)?BINDINGS$", q):
+            # bindinfo's SHOW BINDINGS columns, trimmed to the ones with
+            # engine-side meaning (no create/update times — bindings are
+            # session state here, like the reference's session scope).
+            rows = [
+                (orig, re.sub(r":b\d+\b", "?", tmpl), "enabled", d)
+                for d, (orig, tmpl, _n) in sorted(self.bindings.items())
+            ]
+            return mk(
+                rows,
+                "Original_sql string, Bind_sql string, Status string, "
+                "Sql_digest string",
+            ) if rows else self.spark.createDataFrame(
+                [],
+                "Original_sql string, Bind_sql string, Status string, "
+                "Sql_digest string",
+            )
         if re.match(r"(?is)^SHOW\s+TABLES$", q):
             # Views list alongside tables, as in MySQL/the reference
             # (show.go fetchShowTables includes VIEW objects).
@@ -2807,6 +2838,94 @@ class Engine:
             return None
         return lowered
 
+    # -- SQL plan bindings (bindinfo/bind.go; see _CREATE_BINDING_RE) ------
+
+    def _binding_mask(self, stmt: str) -> tuple[str, int]:
+        """Replace every literal (strings, standalone numbers) with a
+        positional ``:bN`` marker, left-to-right, hint blocks preserved
+        verbatim (their numbers are NOT literals — the incoming statement
+        has no counterpart for them).  Returns (masked text, n_literals)."""
+        stash: list[str] = []
+        # Digit-free stash markers (unary length): a digit in the
+        # placeholder would itself match _NUM_LIT_RE below.
+        s = self._HINT_BLOCK_RE.sub(
+            lambda m: (
+                stash.append(m.group(0))
+                or "\x01" + "h" * len(stash) + "\x01"
+            ),
+            stmt,
+        )
+        counter = itertools.count()
+        s = re.sub(
+            merge_clause._STRING_RE.pattern + "|" + _NUM_LIT_RE.pattern,
+            lambda m: f":b{next(counter)}",
+            s,
+        )
+        n = next(counter)
+        s = re.sub(
+            r"\x01(h+)\x01", lambda m: stash[len(m.group(1)) - 1], s
+        )
+        return s, n
+
+    def _binding_digest(self, stmt: str) -> tuple[str, list[str]]:
+        """Literal-stripped, hint-stripped, whitespace-collapsed digest
+        (bindinfo's normalized SQL) plus the statement's literals in text
+        order — the values a matched binding re-injects."""
+        s = self._HINT_BLOCK_RE.sub(" ", stmt.strip().rstrip(";"))
+        lits: list[str] = []
+        s = re.sub(
+            merge_clause._STRING_RE.pattern + "|" + _NUM_LIT_RE.pattern,
+            lambda m: (lits.append(m.group(0)) or "?"),
+            s,
+        )
+        return re.sub(r"\s+", " ", s).strip().lower(), lits
+
+    def _run_create_binding(self, m: re.Match) -> DataFrame:
+        """CREATE [GLOBAL|SESSION] BINDING FOR <stmt> USING <stmt>
+        (bindinfo/handle.go CreateBindRecord).  Validates the reference's
+        own invariant: both statements must normalize identically once
+        hints are stripped (otherwise literal re-injection would be
+        unsound), then stores digest -> USING template."""
+        orig, using = m.group("orig"), m.group("using").strip().rstrip(";")
+        d_orig, lits_o = self._binding_digest(orig)
+        d_using, lits_u = self._binding_digest(using)
+        if d_orig != d_using:
+            raise ValueError(
+                "CREATE BINDING: the original SQL and the bind SQL must be "
+                "identical after normalization (hints excluded) — got\n  "
+                f"{d_orig}\nvs\n  {d_using}"
+            )
+        template, n = self._binding_mask(using)
+        assert n == len(lits_o)
+        self.bindings[d_orig] = (re.sub(r"\s+", " ", orig.strip()), template, n)
+        return self.spark.range(0).select(F.lit("OK").alias("status"))
+
+    def _run_drop_binding(self, m: re.Match) -> DataFrame:
+        d, _ = self._binding_digest(m.group("orig"))
+        if d not in self.bindings:
+            raise ValueError("DROP BINDING: no binding matches this statement")
+        del self.bindings[d]
+        return self.spark.range(0).select(F.lit("OK").alias("status"))
+
+    def _apply_bindings(self, query: str) -> str:
+        """If the statement's digest has a binding, splice the statement's
+        OWN literals into the binding's USING template (bindinfo match +
+        rewrite; the reference applies the stored hint set to the plan —
+        text substitution is the lowered-pipeline equivalent here)."""
+        d, lits = self._binding_digest(query)
+        ent = self.bindings.get(d)
+        if ent is None:
+            self._last_plan_from_binding = False
+            return query
+        _, template, n = ent
+        if n != len(lits):  # cannot happen post-validation; stay safe
+            self._last_plan_from_binding = False
+            return query
+        self._last_plan_from_binding = True
+        return re.sub(
+            r":b(\d+)\b", lambda bm: lits[int(bm.group(1))], template
+        )
+
     def _run_deallocate(self, m: re.Match) -> DataFrame:
         name = m.group("name")
         if name not in self.prepared:
@@ -2943,6 +3062,8 @@ class Engine:
                 name = vm.group(1).lower()
                 if name == "last_plan_from_cache":
                     return "1" if self._last_plan_from_cache else "0"
+                if name == "last_plan_from_binding":
+                    return "1" if self._prev_from_binding else "0"
                 if vm.group(1) in self.sys_vars:
                     return self.sys_vars[vm.group(1)]
                 if name in self.sys_vars:
