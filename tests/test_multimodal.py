@@ -71,3 +71,92 @@ def test_png_defilter_all_filters():
     w, h, got = mm.decode_png_gray(_png_from_raw(raw, width, height))
     assert (w, h) == (width, height)
     assert got == expected
+
+
+# --- Baseline JPEG codec (data/jpeg.py, ITU-T T.81; r8) -------------------
+
+
+def test_jpeg_roundtrip_grayscale():
+    """Smooth grayscale content survives encode→decode within DCT
+    quantization error (±2 for a linear ramp with Annex K tables)."""
+    import numpy as np
+
+    from tidb_spark.data.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 24, 40
+    img = (np.linspace(0, 255, w)[None, :] * np.ones((h, 1))).astype(np.uint8)
+    W, H, px = decode_jpeg(encode_jpeg(img))
+    assert (W, H) == (w, h) and px.shape == (h, w)
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 2
+    # Non-multiple-of-8 dims pad with edge replication and crop back.
+    odd = img[:17, :31]
+    W, H, px = decode_jpeg(encode_jpeg(odd))
+    assert (W, H) == (31, 17) and px.shape == (17, 31)
+
+
+def test_jpeg_roundtrip_color_420():
+    """YCbCr 4:2:0: neutral-gray RGB decodes near-neutral; a color
+    gradient stays within chroma-subsampling error bounds."""
+    import numpy as np
+
+    from tidb_spark.data.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.zeros((20, 34, 3), np.uint8)
+    img[..., 0] = np.linspace(0, 255, 34)[None, :]
+    img[..., 1] = np.linspace(255, 0, 20)[:, None]
+    img[..., 2] = 128
+    W, H, px = decode_jpeg(encode_jpeg(img))
+    assert px.shape == (20, 34, 3)
+    err = np.abs(px.astype(int) - img.astype(int))
+    assert err.mean() < 8 and err.max() <= 40  # 2x2 chroma pooling edges
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn resync: identical pixels to the unsegmented stream, DC
+    predictors reset per interval (T.81 F.2.1.3.1)."""
+    import numpy as np
+
+    from tidb_spark.data.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(img))[2]
+    with_dri = decode_jpeg(encode_jpeg(img, restart_interval=3))[2]
+    assert np.array_equal(plain, with_dri)
+
+
+def test_jpeg_honest_rejects():
+    """Progressive (SOF2) raises NotImplementedError; corrupt streams
+    raise ValueError — never silent wrong pixels."""
+    import numpy as np
+    import pytest
+
+    from tidb_spark.data.jpeg import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    sof = data.index(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01rubbish")
+
+
+def test_decode_media_sniffs_jpeg(spark):
+    """decode_media routes \\xff\\xd8 payloads through the numpy codec:
+    width/height exact, checksum equals the decoded pixel sum."""
+    import numpy as np
+
+    from tidb_spark.data import multimodal as mm
+    from tidb_spark.data.jpeg import decode_jpeg, encode_jpeg
+
+    img = (np.arange(16 * 24).reshape(16, 24) % 251).astype(np.uint8)
+    payload = encode_jpeg(img)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "media_id long, media_type string, payload binary",
+    )
+    row = mm.decode_media(media).collect()[0]
+    _, _, px = decode_jpeg(payload)
+    assert (row.width, row.height, row.n_units) == (24, 16, 1)
+    assert row.checksum == int(px.astype(np.int64).sum())

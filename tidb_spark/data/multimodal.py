@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (no image/audio libs in this container): each
-decoder raises NotImplementedError unless ``fake=True``, in which case a
-clearly-marked deterministic fake derived from the bytes stands in.  The
-Spark-side plumbing — schema, partitioning, UDF signatures, Arrow batch
-shape — is real and is what these operators exercise.
+Real codecs, no external libs: PNG (zlib + full defilter), WAV PCM16,
+the VID0 frame container, and — r8 — baseline JPEG (data/jpeg.py,
+ITU-T T.81 sequential DCT in pure numpy: DQT/DHT/SOF0/DRI/RSTn,
+grayscale + YCbCr 4:4:4/4:2:2/4:2:0).  Only genuinely foreign formats
+(MP3/MP4, progressive JPEG) still raise NotImplementedError — honest
+reject, never wrong samples.  ``decode_features`` additionally offers a
+clearly-marked deterministic fake (``fake=True``) for pipeline-shape
+tests.  The Spark-side plumbing — schema, partitioning, UDF signatures,
+Arrow batch shape — is what these operators exercise at scale.
 
 At scale: binary payloads dominate row size, so the decode stage uses
 ``mapInPandas`` (Arrow batches, zero-copy into pandas), repartitioned first
@@ -370,9 +374,11 @@ DECODED_SCHEMA = StructType(
 
 def decode_media(media: DataFrame) -> DataFrame:
     """REAL decode via mapInPandas: sniffs magic bytes and runs the actual
-    codec (PNG inflate+defilter / WAV frame read / VID0 frame walk).
-    Foreign formats (JPEG etc.) go through PIL when importable — otherwise
-    NotImplementedError: that branch is the only remaining stub."""
+    codec (PNG inflate+defilter / WAV frame read / VID0 frame walk /
+    baseline JPEG — data/jpeg.py, ITU-T T.81 sequential DCT in pure
+    numpy, r8).  Remaining foreign formats (MP3/MP4…) go through PIL
+    when importable — otherwise NotImplementedError: honest reject,
+    never wrong samples."""
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -393,6 +399,11 @@ def decode_media(media: DataFrame) -> DataFrame:
                 elif data[:4] == VID_SIG:
                     w, h, nf, psum = decode_video(data)
                     vals = (w, h, nf, psum)
+                elif data[:2] == b"\xff\xd8":
+                    from tidb_spark.data.jpeg import decode_jpeg
+
+                    w, h, px = decode_jpeg(data)
+                    vals = (w, h, 1, int(px.astype(np.int64).sum()))
                 else:
                     try:
                         from PIL import Image  # optional dep
@@ -450,4 +461,43 @@ def frame_sample(
         media.where(F.col("media_type") == "video")
         .select("media_id", F.explode(frames).alias("f"))
         .select("media_id", "f.frame_no", "f.frame_sha")
+    )
+
+
+def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic baseline-JPEG payloads per id (data/jpeg.py encoder):
+    a horizontal 0→255 luminance ramp of id-derived dimensions —
+    w = id%24+16, h = id%16+8 — grayscale for even ids, neutral-gray RGB
+    (4:2:0) for odd, restart markers every 4 MCUs when id%8==0.  The ramp
+    is smooth, so the DECODED pixel sum stays within a small per-pixel
+    bound of the analytic source sum Σx h·(x·255//(w−1)) — which a SQL
+    oracle can recompute exactly; the bound check rides the query."""
+    from tidb_spark.data.jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = i % 24 + 16, i % 16 + 8
+                ramp = (np.arange(w) * 255 // (w - 1)).astype(np.uint8)
+                img = np.tile(ramp, (h, 1))
+                if i % 2:
+                    img = np.stack([img, img, img], axis=-1)
+                payloads.append(
+                    encode_jpeg(img, restart_interval=4 if i % 8 == 0 else 0)
+                )
+                ids.append(i)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    from tidb_spark.data.dedup import spread_small
+
+    return spread_small(df.select(F.col(id_col)), id_col).mapInPandas(
+        gen, schema="media_id long, media_type string, payload binary"
     )

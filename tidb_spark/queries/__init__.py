@@ -124,7 +124,9 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "mysqlsql_fulltext_qexp",
     "mysqlsql_plan_cache",
     "retrieval_hybrid_rrf",
-    "text_bpe_pairs",
+    "multimodal_jpeg_decode",
+    # (text_bpe_pairs lands just past the 50-slot window — first in the
+    # r9 never-checked tier.)
     # (r9 rotation plan: the 40 r5-latest rows bumped next —
     # tpch_q1/2/6/9/12/14/15/16/17/18/21 (minus any verified here),
     # setop_except_all, window_groups_frame, agg_percentile/json,

@@ -3029,3 +3029,84 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Real JPEG decode through the multimodal pipeline (r8; data/jpeg.py —
+# baseline ITU-T T.81 in pure numpy).  The payload is a smooth luminance
+# ramp whose SOURCE pixel sum has a closed form Σx h·(x·255//(w−1)), so a
+# SQL oracle recomputes width/height/exact-sum analytically and the query
+# asserts the DECODED sum lands inside a small per-pixel error bound (±3
+# per sample — DCT quantization of a smooth ramp).  That turns a lossy
+# codec into an oracle-checkable operator without pretending SQL can
+# inverse-DCT.
+
+MM_JPEG_ORACLE = """
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id < 400
+),
+dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 24 + 16 AS INT) AS width,
+         CAST(doc_id % 16 + 8 AS INT) AS height,
+         CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS BIGINT) AS ch
+  FROM ids
+),
+calc AS (
+  SELECT doc_id, width, height,
+         ch * height * CAST(list_sum(
+             list_transform(range(0, width),
+                            x -> CAST(x * 255 // (width - 1) AS BIGINT))
+         ) AS BIGINT) AS exact_sum
+  FROM dims
+)
+SELECT doc_id, width, height, TRUE AS sum_in_bound
+FROM calc
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_jpeg_decode", oracle=MM_JPEG_ORACLE, tags=("multimodal",))
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode baseline JPEG per document id (grayscale/4:2:0 RGB
+    alternating, restart markers every 4 MCUs for id%8==0) and verify
+    the decoded pixel sum against the analytic source sum within ±3 per
+    sample.  Scale shape: synthesis and decode are both Arrow
+    mapInPandas over id-partitioned batches — embarrassingly parallel,
+    payload bytes shuffle once at most (spread_small no-ops when the
+    producer already spread)."""
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 400))
+        .select("doc_id")
+    )
+    media = mm.synthesize_jpeg_media(ids, "doc_id")
+    dec = mm.decode_media(media)
+    out = dec.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        "checksum",
+        F.when(F.col("media_id") % 2 == 1, F.lit(3))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("ch"),
+    ).withColumn(
+        "exact_sum",
+        F.col("ch")
+        * F.col("height")
+        * F.expr(
+            "aggregate(transform(sequence(0, width - 1), "
+            "x -> CAST(x * 255 div (width - 1) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        (
+            F.abs(F.col("checksum") - F.col("exact_sum"))
+            <= 3 * F.col("ch") * F.col("width") * F.col("height")
+        ).alias("sum_in_bound"),
+    ).orderBy("doc_id")
