@@ -3110,3 +3110,95 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 3 * F.col("ch") * F.col("width") * F.col("height")
         ).alias("sum_in_bound"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM surprise filter (r8): the KenLM-perplexity-filter shape from
+# CCNet/Gopher-style pipelines, made integer-exact.  The corpus trains its
+# own bigram model; a document's "surprise" is the mean inverse conditional
+# frequency of its word bigrams, in integer micro-units:
+#   surprise(doc) = ( Σ_{(w1,w2)∈doc} 1e6 · c_uni(w1) // c_bi(w1,w2) )
+#                   // n_bigrams(doc)
+# Every quantity is an exact corpus count (the corpus scores itself, so no
+# unseen-bigram smoothing is needed); both engines compute identical
+# integers.  High surprise = improbable word transitions = the docs a
+# perplexity filter would drop.
+
+TEXT_LM_SURPRISE_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+  FROM tk, UNNEST(range(1, len(toks))) AS t(i)
+),
+cu AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS cu FROM bg GROUP BY w1
+),
+cb AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2
+),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(SUM(1000000 * cu.cu // cb.cb) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM bg JOIN cu USING (w1) JOIN cb USING (w1, w2)
+  GROUP BY bg.doc_id
+)
+SELECT doc_id, CAST(total // n AS BIGINT) AS surprise_micro
+FROM scored
+ORDER BY surprise_micro DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("text_lm_surprise", oracle=TEXT_LM_SURPRISE_ORACLE, tags=("text",))
+def text_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 highest-surprise documents under the corpus's own bigram
+    model (integer-exact perplexity-filter proxy).  Scale shape: the
+    bigram stream shuffles twice on (w1) and (w1, w2) to build the model
+    with map-side partial counts, then the scoring join keys on the SAME
+    (w1, w2) — vocabulary is Heaps-law sublinear in corpus size, the
+    per-doc aggregate is combinable, and the final ranking is a
+    TakeOrderedAndProject.  At 100 TB the model tables are the only
+    state and they partition by key like any aggregate."""
+    docs = dd.spread_small(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", dd.normalize_text(F.col("text")).alias("nrm")
+        ),
+        "doc_id",
+    )
+    bg = (
+        docs.select("doc_id", F.split("nrm", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    bg = bg.localCheckpoint(eager=False)  # three consumers, one scan
+    cu = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    cb = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    scored = (
+        bg.join(cu, "w1")
+        .join(cb, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("1000000 * cu div cb")).cast("long").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", F.expr("total div n").cast("long").alias("surprise_micro")
+        )
+        .orderBy(F.col("surprise_micro").desc(), "doc_id")
+        .limit(20)
+    )

@@ -1010,3 +1010,98 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = _und_edges(spark, sf_dir, g)
     return k_core(und, 12).orderBy("v")
 
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (r8; Raghavan et al. 2007) — executed
+# extension like the rest of the analytics family.  SYNCHRONOUS variant
+# with a deterministic tie-break (most-frequent neighbor label, ties to
+# the SMALLEST label) and a fixed round count, which makes the whole run
+# oracle-replayable: DuckDB unrolls the same 4 rounds as MATERIALIZED
+# CTEs (the kcore pattern — inlining would blow up exponentially).
+
+_LPA_ROUNDS = 4
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    parts = [f"WITH {E_KNOWS_CTE}", """,
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e_knows WHERE src <> dst
+),
+nbr AS MATERIALIZED (
+  SELECT a AS v, b AS n FROM und UNION ALL SELECT b AS v, a AS n FROM und
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT v, v AS lbl FROM nbr
+)"""]
+    for k in range(rounds):
+        parts.append(f""",
+l{k + 1} AS MATERIALIZED (
+  SELECT v, lbl FROM (
+    SELECT nbr.v, l.lbl, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY nbr.v
+                              ORDER BY COUNT(*) DESC, l.lbl) AS rn
+    FROM nbr JOIN l{k} l ON l.v = nbr.n
+    GROUP BY nbr.v, l.lbl
+  ) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS size,
+       CAST(MIN(v) AS BIGINT) AS rep
+FROM l{rounds}
+GROUP BY lbl
+HAVING COUNT(*) >= 2
+ORDER BY size DESC, community
+LIMIT 20
+""")
+    return "".join(parts)
+
+
+LPA_ORACLE = _lpa_oracle()
+
+
+@register("graph_label_propagation", oracle=LPA_ORACLE, tags=("graph",))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 communities on the knows graph after 4 synchronous LPA
+    rounds (label(v) ← most frequent neighbor label, ties to smallest;
+    every vertex starts as its own label).  Scale shape: each round is
+    ONE shuffle pair — join labels onto the neighbor list keyed on the
+    neighbor, then a combinable (v, lbl) count with a window argmax on
+    the SAME v-partitioning; label state is two longs per vertex, edges
+    never change partitioning round to round (at cluster scale: edges
+    partitioned once by vertex, labels co-shuffle).  Fixed round count
+    keeps the run oracle-replayable; production LPA iterates to
+    convergence with the identical per-round plan."""
+    g = _graph(spark, sf_dir)
+    und = _und_edges(spark, sf_dir, g)
+    nbr = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionByName(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    ).localCheckpoint(eager=False)
+    labels = nbr.select("v").distinct().select("v", F.col("v").alias("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        # Argmax by max(struct(count, -label)): largest count, ties to the
+        # SMALLEST label — a combinable hash aggregate instead of a
+        # sort-window (both shuffles keep map-side partials).
+        labels = (
+            nbr.join(
+                labels.select(F.col("v").alias("n"), "lbl"), "n"
+            )
+            .groupBy("v", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("v")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("m"))
+            .select("v", (-F.col("m.neg")).alias("lbl"))
+        )
+        # Cut the lineage every round (the BFS/k-core pattern): without
+        # it round k replans rounds 1..k-1.
+        labels = labels.localCheckpoint(eager=False)
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("size"),
+            F.min("v").cast("long").alias("rep"),
+        )
+        .where(F.col("size") >= 2)
+        .orderBy(F.col("size").desc(), "community")
+        .limit(20)
+    )
