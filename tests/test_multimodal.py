@@ -125,21 +125,65 @@ def test_jpeg_restart_markers():
     assert np.array_equal(plain, with_dri)
 
 
+def test_jpeg_progressive_bit_identical():
+    """Progressive (SOF2: spectral selection + DC/AC successive
+    approximation, T.81 §G) and baseline encodes share the same
+    quantized coefficients by construction, so the decoder must produce
+    BIT-IDENTICAL pixels for both — the strongest cross-check the two
+    process classes admit."""
+    import numpy as np
+
+    from tidb_spark.data.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (np.linspace(0, 255, 40)[None, :] * np.ones((24, 1))).astype(
+            np.uint8
+        ),
+        rng.integers(0, 256, (17, 31), dtype=np.uint8),
+        rng.integers(0, 256, (20, 30, 3), dtype=np.uint8),  # pad rows+cols
+    ]
+    smooth = np.zeros((18, 26, 3), np.uint8)
+    smooth[..., 0] = np.linspace(0, 255, 26)[None, :]
+    smooth[..., 1] = np.linspace(255, 0, 18)[:, None]
+    smooth[..., 2] = 77
+    cases.append(smooth)
+    for img in cases:
+        base = decode_jpeg(encode_jpeg(img))[2]
+        prog_bytes = encode_jpeg_progressive(img)
+        assert b"\xff\xc2" in prog_bytes  # really SOF2
+        prog = decode_jpeg(prog_bytes)[2]
+        assert np.array_equal(base, prog), img.shape
+
+
 def test_jpeg_honest_rejects():
-    """Progressive (SOF2) raises NotImplementedError; corrupt streams
-    raise ValueError — never silent wrong pixels."""
+    """Lossless (SOF3) / arithmetic (SOF9) raise NotImplementedError;
+    corrupt streams and invalid progressive scan headers raise
+    ValueError — never silent wrong pixels."""
     import numpy as np
     import pytest
 
     from tidb_spark.data.jpeg import decode_jpeg, encode_jpeg
 
-    data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
-    sof = data.index(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(bytes(data))
+    for bad_sof in (0xC3, 0xC9):  # lossless, arithmetic
+        data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+        sof = data.index(b"\xff\xc0")
+        data[sof + 1] = bad_sof
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01rubbish")
+    # Progressive relabel of a baseline stream: the full-band scan header
+    # is illegal for SOF2 (DC scans must have Se=0) -> loud reject.
+    data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    sof = data.index(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(bytes(data))
 
 
 def test_decode_media_sniffs_jpeg(spark):

@@ -468,11 +468,14 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic baseline-JPEG payloads per id (data/jpeg.py encoder):
     a horizontal 0→255 luminance ramp of id-derived dimensions —
     w = id%24+16, h = id%16+8 — grayscale for even ids, neutral-gray RGB
-    (4:2:0) for odd, restart markers every 4 MCUs when id%8==0.  The ramp
-    is smooth, so the DECODED pixel sum stays within a small per-pixel
-    bound of the analytic source sum Σx h·(x·255//(w−1)) — which a SQL
-    oracle can recompute exactly; the bound check rides the query."""
-    from tidb_spark.data.jpeg import encode_jpeg
+    (4:2:0) for odd, restart markers every 4 MCUs when id%8==0, and
+    PROGRESSIVE (SOF2) instead of baseline when id%10==5 (progressive
+    decodes bit-identically to baseline of the same coefficients, so
+    the analytic bound is unchanged).  The ramp is smooth, so the
+    DECODED pixel sum stays within a small per-pixel bound of the
+    analytic source sum Σx h·(x·255//(w−1)) — which a SQL oracle can
+    recompute exactly; the bound check rides the query."""
+    from tidb_spark.data.jpeg import encode_jpeg, encode_jpeg_progressive
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -484,9 +487,14 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 img = np.tile(ramp, (h, 1))
                 if i % 2:
                     img = np.stack([img, img, img], axis=-1)
-                payloads.append(
-                    encode_jpeg(img, restart_interval=4 if i % 8 == 0 else 0)
-                )
+                if i % 10 == 5:
+                    payloads.append(encode_jpeg_progressive(img))
+                else:
+                    payloads.append(
+                        encode_jpeg(
+                            img, restart_interval=4 if i % 8 == 0 else 0
+                        )
+                    )
                 ids.append(i)
             yield pd.DataFrame(
                 {
