@@ -749,6 +749,7 @@ def pagerank_int(
     damp_num: int = 17,
     damp_den: int = 20,
     init: int = 1_000_000,
+    personalize: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank power iteration (extension — the reference
     has no iterative graph analytics beyond shortest paths; this reuses
@@ -772,7 +773,17 @@ def pagerank_int(
     )
     deg = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
     edges_d = edges.join(deg, "__src").localCheckpoint(eager=True)
-    s = verts.withColumn("score", F.lit(init).cast("long"))
+    if personalize is not None:
+        # Personalized PageRank (random walk with restart): initial mass
+        # and the teleport/base term live ONLY on the source set — the
+        # one-line delta from global PageRank in this integer scheme.
+        in_s = F.col("id").isin(*personalize)
+        s = verts.withColumn(
+            "score",
+            F.when(in_s, F.lit(init)).otherwise(F.lit(0)).cast("long"),
+        )
+    else:
+        s = verts.withColumn("score", F.lit(init).cast("long"))
     for _ in range(iters):
         sums = (
             s.join(edges_d, s["id"] == edges_d["__src"])
@@ -783,10 +794,17 @@ def pagerank_int(
             .groupBy("id")
             .agg(F.sum("c").alias("t"))
         )
+        base_col = (
+            F.when(F.col("id").isin(*personalize), F.lit(base)).otherwise(
+                F.lit(0)
+            )
+            if personalize is not None
+            else F.lit(base)
+        )
         s = verts.join(sums, "id", "left").select(
             "id",
             (
-                F.lit(base)
+                base_col
                 + F.expr(
                     f"({damp_num} * coalesce(t, 0)) div {damp_den}"
                 )

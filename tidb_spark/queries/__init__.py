@@ -125,8 +125,9 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "mysqlsql_plan_cache",
     "retrieval_hybrid_rrf",
     "multimodal_jpeg_decode",
-    # (text_bpe_pairs, text_lm_surprise, graph_label_propagation land
-    # just past the 50-slot window — first in the r9 never-checked tier.)
+    # (text_bpe_pairs, text_lm_surprise, graph_label_propagation, and
+    # graph_personalized_pagerank land just past the 50-slot window —
+    # first in the r9 never-checked tier.)
     # (r9 rotation plan: the 40 r5-latest rows bumped next —
     # tpch_q1/2/6/9/12/14/15/16/17/18/21 (minus any verified here),
     # setop_except_all, window_groups_frame, agg_percentile/json,

@@ -1105,3 +1105,71 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("size").desc(), "community")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (r8; random walk with restart — the standard
+# graph-ML relevance feature for recommendations).  Same integer-exact
+# power iteration as graph_pagerank with the teleport/base term and the
+# initial mass restricted to the source set; the oracle unrolls the
+# identical 5 rounds with CASE-gated base terms.
+
+_PPR_SOURCES = (1, 5, 9)
+
+def _ppr_oracle(iters: int = 5) -> str:
+    srcs = ", ".join(str(s) for s in _PPR_SOURCES)
+    head = f"""
+WITH e AS (
+  SELECT DISTINCT a.o_custkey AS src, b.o_custkey AS dst
+  FROM orders a JOIN orders b ON a.o_orderkey = b.o_orderkey - 1
+  WHERE a.o_custkey <> b.o_custkey
+),
+d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+s0 AS (
+  SELECT id,
+         CAST(CASE WHEN id IN ({srcs}) THEN 1000000 ELSE 0 END AS BIGINT)
+             AS score
+  FROM verts
+)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+s{i} AS (
+  SELECT v.id,
+         CAST(CASE WHEN v.id IN ({srcs}) THEN 150000 ELSE 0 END
+              + (17 * COALESCE(c.t, 0)) // 20 AS BIGINT) AS score
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(s{i-1}.score // d.deg) AS t
+    FROM s{i-1} JOIN d ON s{i-1}.id = d.src JOIN e ON e.src = s{i-1}.id
+    GROUP BY e.dst
+  ) c ON v.id = c.id
+)""")
+    return head + "".join(steps) + f"""
+SELECT id, score FROM s{iters}
+WHERE score > 0
+ORDER BY score DESC, id
+LIMIT 25"""
+
+
+@register(
+    "graph_personalized_pagerank", oracle=_ppr_oracle(), tags=("graph",)
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 vertices by personalized PageRank from sources {1, 5, 9}
+    (5 integer-exact power iterations; teleport mass restricted to the
+    source set — the one-line delta from graph_pagerank, shared
+    implementation `graph/shortest.py pagerank_int(personalize=…)`).
+    Scale shape identical to PageRank: per round one keyed join + one
+    combinable sum, |V| two-long state rows; the source gate is a
+    broadcast-free column predicate."""
+    from tidb_spark.graph.shortest import pagerank_int
+
+    g = _graph(spark, sf_dir)
+    edges = _knows_edges(spark, sf_dir, g)
+    return (
+        pagerank_int(edges, iters=5, personalize=_PPR_SOURCES)
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "id")
+        .limit(25)
+    )
