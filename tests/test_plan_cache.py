@@ -236,3 +236,60 @@ def test_binding_invalidates_plan_cache(engine):
     assert (
         engine.sql("SELECT @@last_plan_from_cache AS c").collect()[0].c == 0
     )
+
+
+def test_binding_applies_to_prepared_statements(engine, spark):
+    """bindinfo applies to EXECUTE too: the lowering pass digests :pN
+    markers as literals (engine._binding_digest), so a prepared statement
+    whose normalized text matches a stored binding is rewritten through
+    the binding's USING template — and every cache-hit execution replays
+    @@last_plan_from_binding = 1 (the 4th plan-cache entry field)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        engine.sql(
+            "CREATE BINDING FOR SELECT COUNT(*) AS n FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE n.n_regionkey = 0 "
+            "USING SELECT /*+ BROADCAST_JOIN(n) */ COUNT(*) AS n "
+            "FROM customer c JOIN nation n "
+            "ON c.c_nationkey = n.n_nationkey WHERE n.n_regionkey = 0"
+        )
+        engine.sql(
+            "PREPARE pb FROM 'SELECT COUNT(*) AS n FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE n.n_regionkey = ?'"
+        )
+        engine.sql("SET @r = 2")
+        r1 = engine.sql("EXECUTE pb USING @r").collect()[0].n
+        assert (
+            engine.sql("SELECT @@last_plan_from_binding AS c").collect()[0].c
+            == 1
+        ), "binding must fire on the lowering pass (miss)"
+        r2 = engine.sql("EXECUTE pb USING @r").collect()[0].n
+        # Both vars report the PREVIOUS statement — read them in one go
+        # (a second SELECT in between would snapshot the first read, not
+        # the EXECUTE).
+        row = engine.sql(
+            "SELECT @@last_plan_from_cache AS fc, "
+            "@@last_plan_from_binding AS fb"
+        ).collect()[0]
+        assert row.fc == 1
+        assert row.fb == 1, "cache-hit executions must replay the binding flag"
+        # Same answer as the plain (binding-free) statement.
+        engine.sql(
+            "DROP BINDING FOR SELECT COUNT(*) AS n FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE n.n_regionkey = 0"
+        )
+        plain = engine.sql(
+            "SELECT COUNT(*) AS n FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE n.n_regionkey = 2"
+        ).collect()[0].n
+        assert r1 == r2 == plain
+        assert (
+            engine.sql("SELECT @@last_plan_from_binding AS c").collect()[0].c
+            == 0
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -1278,24 +1278,47 @@ def test_collation_dispatch_rejects_unsupported(engine):
     """VERDICT r5 #2a: a declared collation outside the reference's
     newCollatorMap (util/collate/collate.go:355) must raise loudly at
     CREATE time — never silently alias to another collation's
-    semantics (pinyin, utf8mb4_0900_ai_ci...).  gbk_chinese_ci moved to
-    the supported map in r8 (functions/collation_gbk.py).
-
-    utf8mb4_zh_pinyin_tidb_as_cs staying on the reject list IS parity,
-    not a gap: the reference's own collator is an unimplemented stub —
-    Compare/Key/Pattern all panic("implement me")
-    (util/collate/pinyin_tidb_as_cs.go:22-34) and the name is hidden
-    from SHOW COLLATION ("under developing, should not be shown to
-    user", util/collate/collate.go:237) — so a loud reject here matches
-    the reference's observable behavior exactly."""
-    for bad in ("utf8mb4_zh_pinyin_tidb_as_cs", "gbk_bin",
-                "utf8mb4_0900_ai_ci", "latin1_swedish_ci"):
+    semantics (utf8mb4_0900_ai_ci...).  gbk_chinese_ci moved to the
+    supported map in r8 (functions/collation_gbk.py); pinyin moved to
+    DDL-accepted/use-rejected in r9 (test below), matching the
+    reference's registry exactly."""
+    for bad in ("gbk_bin", "utf8mb4_0900_ai_ci", "latin1_swedish_ci"):
         with pytest.raises(NotImplementedError, match="not supported"):
             engine.sql(
                 f"CREATE TABLE rej_t (k BIGINT PRIMARY KEY, "
                 f"name VARCHAR(10) COLLATE {bad})"
             )
         engine.sql("DROP TABLE IF EXISTS rej_t")
+
+
+def test_collation_pinyin_ddl_accepts_use_rejects(engine):
+    """utf8mb4_zh_pinyin_tidb_as_cs, exact reference parity (VERDICT r8
+    #4 adjudicated): the reference ACCEPTS the name in DDL
+    (ddl/serial_test.go:1565 ALTER TABLE … COLLATE …pinyin… MustExec)
+    but its collator is an unimplemented stub — Compare/Key/Pattern all
+    panic("implement me") (util/collate/pinyin_tidb_as_cs.go:22-34),
+    the name is hidden from SHOW COLLATION (collate.go:237 "under
+    developing, should not be shown to user"), and it ships NO weight
+    table to derive-and-verify against (gbk_chinese_ci_data.go has no
+    pinyin counterpart).  So: CREATE succeeds, any collation-aware
+    comparison raises loudly, and queries NOT touching the column's
+    collation still work."""
+    engine.sql(
+        "CREATE TABLE py_t (k BIGINT PRIMARY KEY, "
+        "name VARCHAR(20) COLLATE utf8mb4_zh_pinyin_tidb_as_cs)"
+    )
+    engine.sql("INSERT INTO py_t VALUES (1, 'a'), (2, 'B')")
+    # Collation-independent access is fine.
+    assert engine.sql("SELECT COUNT(*) AS n FROM py_t").collect()[0].n == 2
+    # Any comparison that needs the collation's key function panics in
+    # the reference; here it raises with the adjudication.
+    for q in (
+        "SELECT k FROM py_t WHERE name = 'A'",
+        "SELECT k FROM py_t ORDER BY name",
+    ):
+        with pytest.raises(NotImplementedError, match="panic stub"):
+            engine.sql(q)
+    engine.sql("DROP TABLE py_t")
 
 
 def test_unicode_ci_vs_general_ci_divergence(engine):

@@ -2,11 +2,12 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 Real codecs, no external libs: PNG (zlib + full defilter), WAV PCM16,
-the VID0 frame container, and — r8 — baseline JPEG (data/jpeg.py,
-ITU-T T.81 sequential DCT in pure numpy: DQT/DHT/SOF0/DRI/RSTn,
+the VID0 frame container, and — r8 — JPEG (data/jpeg.py, ITU-T T.81 in
+pure numpy: baseline SOF0/extended SOF1 *and* progressive SOF2 with
+spectral selection + successive approximation; DQT/DHT/DRI/RSTn,
 grayscale + YCbCr 4:4:4/4:2:2/4:2:0).  Only genuinely foreign formats
-(MP3/MP4, progressive JPEG) still raise NotImplementedError — honest
-reject, never wrong samples.  ``decode_features`` additionally offers a
+(MP3/MP4, and non-DCT JPEG processes like lossless/arithmetic) still
+raise NotImplementedError — honest reject, never wrong samples.  ``decode_features`` additionally offers a
 clearly-marked deterministic fake (``fake=True``) for pipeline-shape
 tests.  The Spark-side plumbing — schema, partitioning, UDF signatures,
 Arrow batch shape — is what these operators exercise at scale.

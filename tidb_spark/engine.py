@@ -229,6 +229,15 @@ _COLLATION_KINDS = {
     "utf8_unicode_ci": "unicode",
     "utf8mb4_unicode_ci": "unicode",
     "gbk_chinese_ci": "gbk",
+    # The reference REGISTERS this name and accepts it in DDL
+    # (ddl/serial_test.go:1565 ALTER TABLE … COLLATE
+    # utf8mb4_zh_pinyin_tidb_as_cs passes), but its collator is an
+    # unimplemented stub hidden from SHOW COLLATION: Compare/Key/Pattern
+    # all panic("implement me") (util/collate/pinyin_tidb_as_cs.go:22-33;
+    # collate.go:237 "under developing, should not be shown to user"), and
+    # it ships NO weight table to derive from (unlike gbk_chinese_ci_data
+    # .go).  Exact parity: DDL accepts, any comparison raises loudly.
+    "utf8mb4_zh_pinyin_tidb_as_cs": "pinyin",
     "ascii_bin": "bin",
     "latin1_bin": "bin",
     "utf8_bin": "bin",
@@ -238,10 +247,10 @@ _COLLATION_KINDS = {
 
 def _collation_kind(name: str) -> str | None:
     """Key kind for a declared COLLATE name; None for plain binary (no
-    shim); NotImplementedError for names the reference supports via
-    machinery this engine doesn't carry (pinyin) or doesn't support at
-    all — matching the reference's explicit registry rather than
-    guessing by suffix."""
+    shim); NotImplementedError for names outside the reference's
+    registry — matching its explicit list rather than guessing by
+    suffix.  'pinyin' is registry parity: DDL-accepted, use-rejected
+    (see the _COLLATION_KINDS entry comment)."""
     low = name.lower()
     if low == "binary":
         return None  # NO PAD binary == Spark's native comparison
@@ -1802,9 +1811,12 @@ class Engine:
             orig = lit[1:-1]
             orig_terms = set(re.findall(r"[a-z0-9]+", orig.lower()))
             df_count: dict[str, int] = {}
-            for r in seed:
-                # subscript, not attribute: r.__doc would name-mangle here
-                for tk in set(re.findall(r"[a-z]{4,}", (r["__doc"] or "").lower())):
+            # Document frequency counts DISTINCT documents, not seed rows:
+            # the pinned oracle dedups via SELECT DISTINCT text, tk, so two
+            # seed rows with identical text must contribute once.
+            # (subscript, not attribute: r.__doc would name-mangle here)
+            for doc in {r["__doc"] for r in seed}:
+                for tk in set(re.findall(r"[a-z]{4,}", (doc or "").lower())):
                     if tk not in orig_terms:
                         df_count[tk] = df_count.get(tk, 0) + 1
             top = sorted(df_count.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
@@ -2158,6 +2170,17 @@ class Engine:
                 return unicode_ci_key_sql(operand, pad=pad)
             if kind == "gbk":
                 return gbk_ci_key_sql(operand, pad=pad)
+            if kind == "pinyin":
+                # Reference parity: the collator is a panic stub
+                # (util/collate/pinyin_tidb_as_cs.go:22-33 — Compare/Key
+                # panic("implement me")); DDL accepts the name, use fails.
+                raise NotImplementedError(
+                    "collation 'utf8mb4_zh_pinyin_tidb_as_cs' has no "
+                    "comparison semantics to implement: the reference's "
+                    "collator is an unimplemented panic stub with no "
+                    "weight data (pinyin_tidb_as_cs.go) — refusing to "
+                    "invent an ordering"
+                )
             return f"rtrim({operand})" if pad else operand  # bin
 
         ph = r"\x00\d+\x00"
@@ -2755,7 +2778,15 @@ class Engine:
         if ent is None:
             self._plan_cache_misses += 1
             lowered = self._lower_for_cache(text, n_params)
-            ent = (lowered, n_params, self._catalog_epoch)
+            # 4th field: did a plan binding rewrite the statement during
+            # the lowering pass?  Replayed into @@last_plan_from_binding on
+            # every cache-hit execution (bindinfo applies to prepared
+            # statements; the lowering pass digests :pN markers as
+            # literals, _binding_digest).
+            from_binding = (
+                lowered is not None and self._last_plan_from_binding
+            )
+            ent = (lowered, n_params, self._catalog_epoch, from_binding)
             self.plan_cache[text] = ent
             cap = int(
                 self.spark.conf.get("spark.tidb_spark.plan_cache.size", "100")
@@ -2774,6 +2805,7 @@ class Engine:
                     r":p(\d+)\b", lambda pm: vals[int(pm.group(1))], code
                 ),
             )
+            self._last_plan_from_binding = ent[3]
             try:
                 return self.spark.sql(bound)
             except Exception:
@@ -2782,10 +2814,11 @@ class Engine:
                 # — evict and take the always-correct slow path (the
                 # reference likewise falls back when a cached plan fails
                 # rebind validation, plan_cache.go RebuildPlan4CachedPlan).
-                self.plan_cache[text] = (None, n_params, ent[2])
+                self.plan_cache[text] = (None, n_params, ent[2], False)
                 if self._last_plan_from_cache:
                     self._plan_cache_hits -= 1
                 self._last_plan_from_cache = False
+                self._last_plan_from_binding = False
         # Uncacheable: today's full-pipeline rebind.
         it = iter(vals)
 
@@ -2870,11 +2903,22 @@ class Engine:
     def _binding_digest(self, stmt: str) -> tuple[str, list[str]]:
         """Literal-stripped, hint-stripped, whitespace-collapsed digest
         (bindinfo's normalized SQL) plus the statement's literals in text
-        order — the values a matched binding re-injects."""
+        order — the values a matched binding re-injects.
+
+        Plan-cache ``:pN`` markers (the prepared-statement lowering pass,
+        _lower_for_cache) normalize like literals: they occupy exactly the
+        positions where the literal statement has real literals, so
+        digesting them to ``?`` makes EXECUTE pick up the same bindings the
+        plain statement would (bindinfo applies to prepared statements in
+        the reference too); re-injection then splices the markers into the
+        template and they bind at execute time as usual."""
         s = self._HINT_BLOCK_RE.sub(" ", stmt.strip().rstrip(";"))
         lits: list[str] = []
         s = re.sub(
-            merge_clause._STRING_RE.pattern + "|" + _NUM_LIT_RE.pattern,
+            r":p\d+\b|"
+            + merge_clause._STRING_RE.pattern
+            + "|"
+            + _NUM_LIT_RE.pattern,
             lambda m: (lits.append(m.group(0)) or "?"),
             s,
         )
@@ -2896,7 +2940,15 @@ class Engine:
                 f"{d_orig}\nvs\n  {d_using}"
             )
         template, n = self._binding_mask(using)
-        assert n == len(lits_o)
+        if n != len(lits_o):
+            # Invariant (must survive python -O, so no assert): the mask
+            # pass and the digest pass share literal regexes, so the
+            # template's :bN count must equal the digest's literal count —
+            # otherwise _apply_bindings' re-injection would be unsound.
+            raise ValueError(
+                "CREATE BINDING: internal literal-count mismatch between "
+                f"mask ({n}) and digest ({len(lits_o)}) — refusing to store"
+            )
         self.bindings[d_orig] = (re.sub(r"\s+", " ", orig.strip()), template, n)
         return self.spark.range(0).select(F.lit("OK").alias("status"))
 

@@ -62,81 +62,64 @@ _LOADED = False
 # representative per SURVEY §2 family so every family gets driver rows;
 # everything not listed keeps its natural (import) order after slot 50.
 _PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 8 window (50 slots the driver verifies) ---
-    # Built by replaying CORRECTNESS_r0{1..7}.json: the 38 rows whose
-    # latest green driver check is r4 (the stalest tier — after this
-    # rotation no query's latest check predates r5), then the 2 queries
-    # added after the r7 close (never driver-checked), then the 4
-    # queries whose plans the post-r7 fix commits changed (LSH banding
-    # rewrite, common-neighbors broadcast threshold, JSON_TABLE
-    # empty/NULL-doc + string-array lowering, fulltext HAVING
-    # coercion), then r8 additions / r8 plan changes as they land.
-    # --- the 38 r4-latest rows (stalest tier) ---
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q22",
-    "join_inner_nonequi",
-    "join_left_outer",
-    "join_right_outer",
-    "join_cross",
-    "setop_union_distinct",
-    "setop_union_all",
-    "setop_intersect",
-    "setop_except",
-    "window_rank_family",
-    "window_lead_lag",
-    "window_rows_frame",
-    "window_partition_agg",
-    "distinct_op",
-    "agg_group_concat",
-    "agg_bit_ops",
-    "agg_var_stddev",
-    "agg_count_distinct",
-    "agg_minmax_first",
-    "agg_approx_sketches",
-    "agg_grouping_sets",
-    "dedup_ngram_jaccard",
-    "multimodal_frames",
-    "dedup_decontaminate",
-    "sample_stratified",
-    "text_seq_packing",
-    "text_pipeline_e2e",
-    "text_top_tokens",
-    "mysqlsql_prepare",
-    # --- added after the r7 close (never driver-checked) ---
-    "mysqlsql_collation_gbk",
-    "mysqlsql_json_table_nested",
-    # --- post-r7 plan changes must re-verify ---
-    "dedup_minhash_lsh",
-    "graph_common_neighbors",
-    "mysqlsql_json_table",
-    "mysqlsql_fulltext_match",
-    # --- r8 additions / r8 plan changes (swap in as they land) ---
-    "graph_kcore",
-    "mysqlsql_fulltext_boolean",
-    "mysqlsql_fulltext_qexp",
-    "mysqlsql_plan_cache",
-    "retrieval_hybrid_rrf",
-    "multimodal_jpeg_decode",
-    # (text_bpe_pairs, text_lm_surprise, graph_label_propagation, and
-    # graph_personalized_pagerank land just past the 50-slot window —
-    # first in the r9 never-checked tier.)
-    # (r9 rotation plan: the 40 r5-latest rows bumped next —
-    # tpch_q1/2/6/9/12/14/15/16/17/18/21 (minus any verified here),
-    # setop_except_all, window_groups_frame, agg_percentile/json,
-    # point_get, batch_point_get, subq_scalar/correlated/exists_bool/
-    # in_notin, func_* ×6, dedup_exact/cluster, embedding_neardup,
-    # sim_topk_quantized, text_stats/lang_id/fingerprint/quality/
-    # repetition, multimodal_meta, sample_diversity,
-    # mysqlsql_group_concat/json_mutate.  Regenerate from the
-    # CORRECTNESS files, not this comment.)
+    # --- round 9 window (50 slots the driver verifies) ---
+    # Built by replaying CORRECTNESS_r0{1..8}.json: the 4 queries that
+    # have NEVER had a driver row (late-r8 additions — VERDICT r8 item
+    # #1) lead, then the 40 rows whose latest green check is r5 (the
+    # stalest tier — after this rotation no query's latest check
+    # predates r6), then r9 additions / r9 plan changes as they land.
+    # --- never driver-checked (must lead) ---
+    "graph_label_propagation",
+    "graph_personalized_pagerank",
+    "text_bpe_pairs",
+    "text_lm_surprise",
+    # --- the 40 r5-latest rows (stalest tier) ---
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q6",
+    "tpch_q9",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q21",
+    "setop_except_all",
+    "window_groups_frame",
+    "agg_percentile",
+    "agg_json",
+    "point_get",
+    "batch_point_get",
+    "subq_scalar",
+    "subq_correlated",
+    "subq_exists_bool",
+    "subq_in_notin",
+    "func_cast",
+    "func_datetime",
+    "func_hash_inet",
+    "func_json",
+    "func_mysql_shims",
+    "func_string",
+    "dedup_exact",
+    "dedup_cluster",
+    "embedding_neardup",
+    "sim_topk_quantized",
+    "text_stats",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_quality",
+    "text_repetition",
+    "multimodal_meta",
+    "sample_diversity",
+    "mysqlsql_group_concat",
+    "mysqlsql_json_mutate",
+    # --- r9 additions / r9 plan changes (swap in as they land; 6 slots) ---
+    # (pinyin collation shipped as DDL-accept/use-reject parity — the
+    # reference's collator is a panic stub with no weight data
+    # (util/collate/pinyin_tidb_as_cs.go:22-34), so there are no
+    # comparison semantics to oracle; pinned by pytest
+    # test_collation_pinyin_ddl_accepts_use_rejects instead.)
 )
 
 

@@ -150,6 +150,16 @@ def _limit_offset(code: str) -> str:
     # markers (engine._lower_for_cache pins ``?`` placeholders as :pN
     # before lowering — MySQL ``LIMIT offset, count`` REORDERS them, so
     # the markers must ride the rewrite for rebinding to stay positional).
+    #
+    # PLAN-CACHE INVARIANT for every rewrite in this module: any rewrite
+    # whose pattern matches LITERAL operands must ALSO match the ``:p\d+``
+    # marker form, exactly like this one.  A rewrite that fires on the
+    # literal statement but silently skips the marked form would make
+    # cached EXECUTE runs diverge from the plain-SQL slow path while still
+    # emitting valid Spark SQL — the engine's post-lowering marker-set
+    # check only catches rewrites that DROP markers, not ones that skip
+    # them (engine._lower_for_cache).  Today _limit_offset is the only
+    # literal-sensitive rewrite; add ``|:p\d+`` to any future one.
     return re.sub(
         r"\bLIMIT\s+(\d+|:p\d+)\s*,\s*(\d+|:p\d+)",
         r"LIMIT \2 OFFSET \1",
