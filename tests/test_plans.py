@@ -535,12 +535,14 @@ def test_ewma_single_window_exchange(spark):
 
 
 def test_common_neighbors_broadcast_is_thresholded(spark):
-    """The adjacency anti-join's broadcast hint is gated on an exact row
-    count of the (checkpointed) edge set: below the cap the hint gives a
-    map-side BroadcastHashJoin LeftAnti; above it (forced via the conf
-    knob) the frame passes UN-hinted and — with auto-broadcast off, as a
-    too-big edge set implies at 100 TB — plans as a shuffled left-anti
-    instead of aborting on the broadcast size limit."""
+    """The adjacency anti-join's broadcast hint is gated on the
+    checkpointed edge set's materialized byte size read from the block
+    manager (zero jobs, graphq._checkpointed_bytes): below the cap the
+    hint gives a map-side BroadcastHashJoin LeftAnti; above it (forced
+    via the conf knob) the frame passes UN-hinted and — with
+    auto-broadcast off, as a too-big edge set implies at 100 TB — plans
+    as a shuffled left-anti instead of aborting on the broadcast size
+    limit."""
 
     def anti_join_line(plan: str) -> str:
         for line in plan.splitlines():
@@ -552,7 +554,7 @@ def test_common_neighbors_broadcast_is_thresholded(spark):
     assert "BroadcastHashJoin" in anti_join_line(p), p
 
     old_auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.tidb_spark.graph.broadcastMaxRows", "0")
+    spark.conf.set("spark.tidb_spark.graph.broadcastMaxBytes", "0")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         p = plan_of(spark, "graph_common_neighbors", mode="simple")
@@ -560,5 +562,5 @@ def test_common_neighbors_broadcast_is_thresholded(spark):
         assert "BroadcastHashJoin" not in line, p
         assert "SortMergeJoin" in line or "ShuffledHashJoin" in line, p
     finally:
-        spark.conf.unset("spark.tidb_spark.graph.broadcastMaxRows")
+        spark.conf.unset("spark.tidb_spark.graph.broadcastMaxBytes")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_auto)

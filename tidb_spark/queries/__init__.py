@@ -120,6 +120,8 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # (util/collate/pinyin_tidb_as_cs.go:22-34), so there are no
     # comparison semantics to oracle; pinned by pytest
     # test_collation_pinyin_ddl_accepts_use_rejects instead.)
+    "graph_common_neighbors",  # r9 plan change: byte-gated broadcast
+    #                            probe + pinned wedge-join parallelism
 )
 
 

