@@ -386,11 +386,20 @@ def minhash_lsh_pairs(
         .agg(F.collect_set("g").alias("shingles"))
         .persist()
     )
+    # Per-doc distinct-shingle counts ride along once; |∪| is then
+    # n1 + n2 - |∩|, so the per-pair work is ONE array_intersect — the
+    # array_union materialization (an allocation per candidate pair just
+    # to take its size) is algebra'd away.
+    sets = sets.withColumn("n", F.size("shingles"))
     cand = cand.join(
-        sets.withColumnsRenamed({"doc": "d1", "shingles": "s1"}), on="d1"
-    ).join(sets.withColumnsRenamed({"doc": "d2", "shingles": "s2"}), on="d2")
+        sets.withColumnsRenamed({"doc": "d1", "shingles": "s1", "n": "n1"}),
+        on="d1",
+    ).join(
+        sets.withColumnsRenamed({"doc": "d2", "shingles": "s2", "n": "n2"}),
+        on="d2",
+    )
     inter = F.size(F.array_intersect("s1", "s2")).cast("double")
-    union = F.size(F.array_union("s1", "s2")).cast("double")
+    union = (F.col("n1") + F.col("n2")).cast("double") - inter
     return (
         cand.select("d1", "d2", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= verify_threshold)

@@ -122,6 +122,7 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # test_collation_pinyin_ddl_accepts_use_rejects instead.)
     "graph_common_neighbors",  # r9 plan change: byte-gated broadcast
     #                            probe + pinned wedge-join parallelism
+    "dedup_minhash_lsh",  # r9 plan change: union-free Jaccard verify
 )
 
 
