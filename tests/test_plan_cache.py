@@ -293,3 +293,24 @@ def test_binding_applies_to_prepared_statements(engine, spark):
         )
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_explain_analyze_reports_plan_provenance(engine):
+    """EXPLAIN ANALYZE surfaces the plan-cache/binding diagnostics next
+    to the plan they explain (the reference pairs EXPLAIN's runtime
+    stats with last_plan_from_cache/last_plan_from_binding): a plain
+    statement reports 0/0; EXECUTE on a warm cache reports
+    plan_from_cache: 1 and growing session hit counters."""
+    out = engine.sql(
+        "EXPLAIN ANALYZE SELECT COUNT(*) AS n FROM nation"
+    ).toPandas()["plan"].str.cat(sep="\n")
+    assert "plan_from_cache: 0" in out and "plan_from_binding: 0" in out
+    engine.sql("PREPARE pe FROM 'SELECT COUNT(*) AS n FROM nation "
+               "WHERE n_regionkey = ?'")
+    engine.sql("SET @r = 1")
+    engine.sql("EXECUTE pe USING @r")  # populate (miss)
+    out = engine.sql(
+        "EXPLAIN ANALYZE EXECUTE pe USING @r"
+    ).toPandas()["plan"].str.cat(sep="\n")
+    assert "plan_from_cache: 1" in out
+    assert "1 hits" in out and "-- rows: 1" in out

@@ -176,7 +176,10 @@ _SEQ_FUNC_RE = re.compile(
 _EXPLAIN_STMT_RE = re.compile(
     r"(?is)^\s*EXPLAIN\s+(?:(?P<an>ANALYZE)\s+)?"
     r"(?:FORMAT\s*=\s*(?P<fmt>\w+)\s+)?"
-    r"(?P<body>(?:SELECT|WITH|TABLE|VALUES)\b.*)$"
+    # EXECUTE: the reference explains prepared statements too
+    # (executor/explain.go + common_plans.go Execute) — that's where the
+    # plan-cache/binding provenance lines are most useful.
+    r"(?P<body>(?:SELECT|WITH|TABLE|VALUES|EXECUTE)\b.*)$"
 )
 
 # Cheap gate before importing/running the JSON_TABLE lowering (string
@@ -3347,7 +3350,20 @@ class Engine:
         # EXPLAIN ANALYZE itself became the bottleneck (VERDICT r5).
         n = df._jdf.queryExecution().toRdd().count()  # noqa: SLF001
         plan = self._explain_df(df, "formatted")
-        return f"-- rows: {n}\n{plan}"
+        # Plan provenance, mirroring the reference's EXPLAIN [ANALYZE]
+        # runtime diagnostics for prepared/bound statements
+        # (executor/explain.go + sessionctx last_plan_from_cache/
+        # last_plan_from_binding): the flags describe the statement just
+        # lowered above, the hit/miss totals are session-cumulative
+        # (@@last_plan_from_* expose the same values statement-by-
+        # statement; this puts them next to the plan they explain).
+        prov = (
+            f"-- plan_from_cache: {int(self._last_plan_from_cache)}"
+            f"  plan_from_binding: {int(self._last_plan_from_binding)}"
+            f"  (session plan cache: {self._plan_cache_hits} hits /"
+            f" {self._plan_cache_misses} misses)"
+        )
+        return f"-- rows: {n}\n{prov}\n{plan}"
 
     def _explain_df(self, df: DataFrame, mode: str) -> str:
         return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
