@@ -617,49 +617,69 @@ def ivf_bucketed_neardup(
         centroids = deterministic_centroids(
             vectors, id_col=id_col, vec_col=vec_col, nlist=nlist
         )
-    qdot = quantized_dot_pd(scale)
-    # Squared norms once per VECTOR (n Arrow evals), not per pair — the
-    # pair stage then runs a single dot per candidate.
     assigned = assign_to_centroids(
         vectors, centroids, id_col=id_col, vec_col=vec_col
-    ).withColumn("_n2", qdot(F.col(vec_col), F.col(vec_col)))
-    a = assigned.select(
-        "centroid_id",
-        F.col(id_col).alias("v1"),
-        F.col(vec_col).alias("_va"),
-        F.col("_n2").alias("na2"),
     )
-    b = assigned.select(
-        "centroid_id",
-        F.col(id_col).alias("v2"),
-        F.col(vec_col).alias("_vb"),
-        F.col("_n2").alias("nb2"),
-    )
-    # The squared test runs in DECIMAL(38,0): values reach
-    # (dim*scale^2)^2*den^2 — past int64 for dim >= ~608 at scale 1000
-    # (common embedding sizes), where a LongType comparison would wrap
-    # silently.  38 digits covers dims to ~1e8; the arithmetic stays
-    # exact integer.
-    dot_d = F.col("dot").cast("decimal(38,0)")
-    na_d = F.col("na2").cast("decimal(38,0)")
-    nb_d = F.col("nb2").cast("decimal(38,0)")
-    pairs = (
-        a.join(b, "centroid_id")
-        .where(F.col("v1") < F.col("v2"))
-        .select(
-            "centroid_id",
-            "v1",
-            "v2",
-            qdot(F.col("_va"), F.col("_vb")).alias("dot"),
-            "na2",
-            "nb2",
+
+    # Pair stage: ONE applyInPandas cell per bucket running an exact int64
+    # matmul — the same kernel shape as within_group_cosine_pairs (the
+    # SemDeDup r7 rework, 9.0→2.2 s) but with this family's FLOOR
+    # quantization so the pinned oracle algebra is untouched.  The r8
+    # formulation (bucket self-join + one Arrow dot per pair) marshaled
+    # |bucket|²/2 vector PAIRS through Arrow and, being keyed on
+    # centroid_id, ran on ≤ nlist post-AQE tasks; the cell ships each
+    # vector ONCE and the n_g×n_g Gram matrix is one numpy op.  Exactness:
+    # dot itself is exact int64 (|dot| ≤ dim·scale², far inside 2⁶³); the
+    # threshold test dot²·den² ≥ num²·na²·nb² can exceed 2⁵³, so it runs
+    # in float64 with borderline cells re-checked in arbitrary-precision
+    # Python ints — bit-identical to the oracle's integer algebra.
+    # Contract (same as within_group_cosine_pairs): one bucket's vectors
+    # fit an executor — target_bucket bounds n_g by construction.
+    def cell(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"v1": [], "v2": [], "centroid_id": [], "dot": []}
+            ).astype(
+                {"v1": np.int64, "v2": np.int64,
+                 "centroid_id": np.int32, "dot": np.int64}
+            )
+        V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Q = np.floor(V * scale).astype(np.int64)
+        ids = pdf[id_col].to_numpy().astype(np.int64)
+        n2 = np.einsum("ij,ij->i", Q, Q)
+        D = Q @ Q.T
+        Df = D.astype(np.float64)
+        lhs = Df * Df * den2
+        rhs = num2 * (
+            n2.astype(np.float64)[:, None] * n2.astype(np.float64)[None, :]
         )
-        .where(
-            (F.col("dot") > 0)
-            & (dot_d * dot_d * F.lit(den2) >= F.lit(num2) * na_d * nb_d)
+        upper = ids[:, None] < ids[None, :]
+        ok = (D > 0) & (lhs >= rhs) & upper
+        border = (D > 0) & upper & (
+            np.abs(lhs - rhs) <= 1e-9 * np.maximum(np.abs(lhs), np.abs(rhs))
         )
+        if border.any():
+            for i_, j_ in zip(*np.nonzero(border)):
+                d_ = int(D[i_, j_])
+                ok[i_, j_] = d_ > 0 and d_ * d_ * den2 >= num2 * int(
+                    n2[i_]
+                ) * int(n2[j_])
+        i, j = np.nonzero(ok)
+        return pd.DataFrame(
+            {
+                "v1": ids[i],
+                "v2": ids[j],
+                "centroid_id": np.full(len(i), key[0], dtype=np.int32),
+                "dot": D[i, j],
+            }
+        )
+
+    return (
+        assigned.select("centroid_id", id_col, vec_col)
+        .groupby("centroid_id")
+        .applyInPandas(cell, schema="v1 long, v2 long, centroid_id int, dot long")
+        .select("v1", "v2", "centroid_id", "dot")
     )
-    return pairs.select("v1", "v2", "centroid_id", "dot")
 
 
 def within_group_cosine_pairs(

@@ -123,6 +123,7 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "graph_common_neighbors",  # r9 plan change: byte-gated broadcast
     #                            probe + pinned wedge-join parallelism
     "dedup_minhash_lsh",  # r9 plan change: union-free Jaccard verify
+    "dedup_semantic_ivf",  # r9 plan change: per-bucket int64 matmul cell
 )
 
 
