@@ -2628,7 +2628,11 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate); the strip must remove exactly those and nothing else.
     Two keyed shuffles, boilerplate set applied as an anti-join — no
     all-pairs, no driver state."""
-    docs = _t(spark, sf_dir, "documents").select(
+    # spread_small BEFORE the injection/segmentation: the documents
+    # parquet arrives as one scan split, so the normalize-regex + explode
+    # would run single-threaded without it (r9; same fix as the other
+    # heavy per-row doc queries).
+    docs = dd.spread_small(_t(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", F.expr(_BP_INJECT_SPARK).alias("btext")
     )
     out = tx.strip_common_segments(
