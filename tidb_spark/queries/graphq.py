@@ -934,9 +934,14 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the frame passes un-hinted and the planner picks a shuffled
     # left-anti on the same keys.  Conf knob (tests force the shuffled
     # path): spark.tidb_spark.graph.broadcastMaxBytes.
+    # Default 256 MB: the materialized-bytes equivalent of the old 2M-row
+    # gate (~84 B/row checkpointed), comfortably inside executor broadcast
+    # practice and far under Spark's 8 GB hard cap — sf1's 1.5M-edge set
+    # (~126 MB) stays on the map-side anti-join path (measured 17 s
+    # shuffled vs ~7 s broadcast at sf1).
     max_bytes = int(
         spark.conf.get(
-            "spark.tidb_spark.graph.broadcastMaxBytes", str(64 << 20)
+            "spark.tidb_spark.graph.broadcastMaxBytes", str(256 << 20)
         )
     )
     und_bytes = _checkpointed_bytes(und)
