@@ -564,3 +564,17 @@ def test_common_neighbors_broadcast_is_thresholded(spark):
     finally:
         spark.conf.unset("spark.tidb_spark.graph.broadcastMaxBytes")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_auto)
+
+
+def test_checkpointed_bytes_probe(spark):
+    """graphq._checkpointed_bytes: exact materialized size for an eager
+    localCheckpoint (no job — it reads driver-side block metadata), None
+    for a plain un-checkpointed frame (callers must then skip the
+    broadcast hint — the safe answer at scale)."""
+    from tidb_spark.queries.graphq import _checkpointed_bytes
+
+    plain = spark.range(1000).selectExpr("id", "id * 2 AS b")
+    assert _checkpointed_bytes(plain) is None
+    ck = plain.localCheckpoint(eager=True)
+    n = _checkpointed_bytes(ck)
+    assert n is not None and n > 0

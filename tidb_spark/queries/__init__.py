@@ -124,6 +124,9 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     #                            probe + pinned wedge-join parallelism
     "dedup_minhash_lsh",  # r9 plan change: union-free Jaccard verify
     "dedup_semantic_ivf",  # r9 plan change: per-bucket int64 matmul cell
+    "text_boilerplate_strip",  # r9 plan change: spread_small before explode
+    "sim_pq_topk",  # r9 plan change: combinable argmin assignment
+    "mysqlsql_fulltext_qexp",  # r9 semantics fix: df over DISTINCT seed docs
 )
 
 
