@@ -90,3 +90,47 @@ def test_kmeans_separated_clusters_recovered(spark):
     low = {r.cluster_id for r in got if r.vec_id < 10}
     high = {r.cluster_id for r in got if r.vec_id >= 10}
     assert len(low) == 1 and len(high) == 1 and low != high
+
+
+def test_ivf_pair_cell_matches_exact_integer_pairs(spark):
+    """The r9 per-bucket matmul cell (ivf_bucketed_neardup) must agree
+    pair-for-pair and dot-for-dot with a naive arbitrary-precision
+    integer evaluation of the same floor-quantized cosine test —
+    including values engineered to sit ON the threshold boundary, where
+    the cell's float64 fast path defers to the exact recheck."""
+    import math
+
+    from tidb_spark.data.similarity import ivf_bucketed_neardup
+
+    rows = []
+    # Boundary engineering: with threshold 3/5 and scale 10, vectors
+    # [a, b] with exact integer dots make dot^2*25 == 9*na2*nb2 reachable
+    # (e.g. colinear vectors: cos = 1 > 3/5; orthogonal: 0 < 3/5; and a
+    # 3-4-5 construction lands exactly on cos = 3/5).
+    rows.append((0, [3.0, 4.0]))   # n2 = (30,40) -> 2500
+    rows.append((1, [3.0, 4.0]))   # identical: cos = 1
+    rows.append((2, [4.0, -3.0]))  # orthogonal to 0: cos = 0
+    rows.append((3, [1.0, 0.0]))   # dot with 0 = 30*10 = 300; cos = 0.6 EXACTLY
+    rows.append((4, [0.6, 0.8]))   # colinear with 0 again
+    for i in range(5, 40):
+        rows.append((i, [math.sin(i) * 2, math.cos(i) * 2]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.v1, r.v2): r.dot
+        for r in ivf_bucketed_neardup(
+            emb, nlist=1, scale=10, threshold_num=3, threshold_den=5
+        ).collect()
+    }
+    # Naive oracle in pure Python ints (exact at any magnitude).
+    q = {i: [math.floor(x * 10) for x in v] for i, v in rows}
+    n2 = {i: sum(x * x for x in v) for i, v in q.items()}
+    want = {}
+    for i in q:
+        for j in q:
+            if i < j:
+                dot = sum(a * b for a, b in zip(q[i], q[j]))
+                if dot > 0 and dot * dot * 25 >= 9 * n2[i] * n2[j]:
+                    want[(i, j)] = dot
+    assert got == want
+    # The engineered exact-boundary pair must be present (>= is inclusive).
+    assert (0, 3) in want
