@@ -40,6 +40,14 @@ _DEFAULT_CONF: dict[str, str] = {
     # whichever queries sort last in the bench.  Reserve enough to hold the
     # whole corpus compiled.
     "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
+    # Same corpus-scale pressure one layer up: Catalyst's own cache of
+    # COMPILED codegen units (CodeGenerator.cache, keyed by generated
+    # source) defaults to 100 entries — a ~700-unit corpus thrashes it,
+    # so repeated plan fragments pay a full Janino compile (50-300 ms)
+    # inside the measured region on every re-run.  Static conf, so it
+    # must be set before the session exists.  A long-lived cluster
+    # session serving many queries wants the same headroom.
+    "spark.sql.codegen.cache.maxEntries": "5000",
 }
 
 
