@@ -2917,10 +2917,13 @@ class Engine:
         template and they bind at execute time as usual."""
         s = self._HINT_BLOCK_RE.sub(" ", stmt.strip().rstrip(";"))
         lits: list[str] = []
+        # String pattern FIRST: a ':p0' inside a quoted literal is string
+        # content, not a marker (markers substitute '?' placeholders,
+        # which only exist outside strings) — the alternation must let
+        # the string match swallow it.
         s = re.sub(
-            r":p\d+\b|"
-            + merge_clause._STRING_RE.pattern
-            + "|"
+            merge_clause._STRING_RE.pattern
+            + r"|:p\d+\b|"
             + _NUM_LIT_RE.pattern,
             lambda m: (lits.append(m.group(0)) or "?"),
             s,
