@@ -354,6 +354,16 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_set("doc")).alias("ds"))
         .where(size_cond)
     )
+    # Re-spread the surviving buckets before the pair grid: the bucket
+    # frame is tiny (non-singleton buckets only), so AQE coalesces its
+    # read to 1-2 tasks — but the stage it feeds EXPLODES (Σ B²/2 pair
+    # rows), so input-sized coalescing serializes exactly the expensive
+    # part (r9; scripts/aqe_audit.py flagged this stage and nothing
+    # else corpus-wide).  A round-robin repartition of the small frame
+    # costs one tiny exchange and is exempt from coalescing.
+    buckets = buckets.repartition(
+        banded.sparkSession.sparkContext.defaultParallelism
+    )
     cand = (
         buckets.select(F.posexplode("ds").alias("i", "d1"), "ds")
         .select(
