@@ -41,22 +41,29 @@ _EXPANDER_RE = re.compile(
 
 def audit_plan(plan: str) -> list[dict]:
     """Flag coalesced AQE shuffle reads with an expanding operator above
-    them in the same plan text (tree text lists parents BEFORE children,
-    so 'above' = earlier lines; the nearest expander within 12 lines is a
-    same-stage heuristic good enough for triage)."""
+    them IN THE SAME STAGE.  Tree text lists parents before children, so
+    walking upward from the read visits its consumers; the first Exchange
+    / ShuffleQueryStage passed going up is the boundary where this
+    stage's output leaves for another stage — operators beyond it run
+    under that exchange's own partitioning (possibly a pinned
+    REPARTITION_BY_NUM: exactly the fix shape), so they must not count
+    against this read.  Bounded to 12 lines as a same-subtree
+    heuristic."""
     lines = plan.splitlines()
     flags = []
     for i, line in enumerate(lines):
         m = re.search(r"AQEShuffleRead.*coalesced", line)
         if not m:
             continue
-        window = lines[max(0, i - 12) : i]
-        hits = [
-            ln.strip()[:100] for ln in window if _EXPANDER_RE.search(ln)
-        ]
+        hits: list[str] = []
+        for ln in reversed(lines[max(0, i - 12) : i]):
+            if re.search(r"Exchange |ShuffleQueryStage|AQEShuffleRead", ln):
+                break  # stage boundary — consumers beyond re-partition
+            if _EXPANDER_RE.search(ln):
+                hits.append(ln.strip()[:100])
         if hits:
             flags.append(
-                {"read": line.strip()[:100], "expanders_above": hits[-2:]}
+                {"read": line.strip()[:100], "expanders_above": hits[:2]}
             )
     return flags
 

@@ -314,3 +314,43 @@ def test_explain_analyze_reports_plan_provenance(engine):
     ).toPandas()["plan"].str.cat(sep="\n")
     assert "plan_from_cache: 1" in out
     assert "1 hits" in out and "-- rows: 1" in out
+
+
+def test_provenance_flags_reset_per_statement(engine, spark):
+    """r9 code-review findings: the live plan_from_cache/binding flags
+    must be reset at every statement entry — otherwise (a) a statement
+    that never touches the plan cache inherits a stale True (EXPLAIN
+    ANALYZE then misattributes provenance), and (b) a lowering pass run
+    after DROP BINDING emptied the registry would permanently CACHE
+    from_binding=True for an unrelated statement."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # (a) a warm cache hit, then EXPLAIN ANALYZE of a PLAIN select.
+        engine.sql("PREPARE pr FROM 'SELECT COUNT(*) AS n FROM nation "
+                   "WHERE n_regionkey = ?'")
+        engine.sql("SET @r = 1")
+        engine.sql("EXECUTE pr USING @r")
+        engine.sql("EXECUTE pr USING @r")  # hit: live flag = True
+        out = engine.sql(
+            "EXPLAIN ANALYZE SELECT COUNT(*) AS n FROM region"
+        ).toPandas()["plan"].str.cat(sep="\n")
+        assert "plan_from_cache: 0" in out, out.splitlines()[1]
+        # (b) binding fires, is dropped, then an UNRELATED statement is
+        # prepared: its cache entry must not inherit from_binding.
+        q = ("SELECT COUNT(*) AS n FROM customer c JOIN nation n "
+             "ON c.c_nationkey = n.n_nationkey WHERE n.n_regionkey = 1")
+        engine.sql(f"CREATE BINDING FOR {q} USING "
+                   + q.replace("SELECT", "SELECT /*+ BROADCAST_JOIN(n) */", 1))
+        engine.sql(q)  # binding fires: live flag = True
+        engine.sql(f"DROP BINDING FOR {q}")  # registry now empty
+        engine.sql("PREPARE pu FROM 'SELECT COUNT(*) AS n FROM region "
+                   "WHERE r_regionkey = ?'")
+        engine.sql("EXECUTE pu USING @r")  # lowering pass populates cache
+        engine.sql("EXECUTE pu USING @r")  # cache hit replays ent[3]
+        row = engine.sql(
+            "SELECT @@last_plan_from_cache AS fc, "
+            "@@last_plan_from_binding AS fb"
+        ).collect()[0]
+        assert row.fc == 1 and row.fb == 0, (row.fc, row.fb)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -314,8 +314,11 @@ class Engine:
         # check in plan_cache.go.
         self._catalog_epoch = 0
         # @@last_plan_from_cache (sessionctx/variable/session.go — the
-        # reference exposes exactly this observability var).
+        # reference exposes exactly this observability var).  Reads
+        # report the PREVIOUS statement via the _prev snapshot taken at
+        # statement entry (same discipline as _prev_from_binding).
         self._last_plan_from_cache = False
+        self._prev_from_cache = False
         self._plan_cache_hits = 0
         self._plan_cache_misses = 0
         # Non-None only during a _lower_for_cache pass: the final
@@ -1286,7 +1289,19 @@ class Engine:
         # sysvars — invalidates the plan cache by bumping the epoch
         # (plan_cache.go's schema-version check).  Conservative allowlist:
         # only read-shaped statements leave the epoch alone.
+        # Statement-entry snapshot + reset for BOTH provenance flags
+        # (sessionctx semantics: @@last_plan_from_* report the PREVIOUS
+        # statement, so reads return the snapshot while the live flags
+        # start False and are set only by the machinery this statement
+        # actually exercises — EXECUTE's cache path, _apply_bindings).
+        # Without the reset, a statement that never touches the plan
+        # cache/bindings (or a lowering pass run after DROP BINDING
+        # emptied the registry) would inherit — and with the r9 4-tuple,
+        # permanently CACHE — a stale True from an older statement.
         self._prev_from_binding = self._last_plan_from_binding
+        self._prev_from_cache = self._last_plan_from_cache
+        self._last_plan_from_binding = False
+        self._last_plan_from_cache = False
         if not _READONLY_STMT_RE.match(query):
             # SET @user_var is also epoch-neutral: statements reading
             # @vars are uncacheable outright, so no cached lowering can
@@ -3119,7 +3134,7 @@ class Engine:
             def one(vm: re.Match) -> str:
                 name = vm.group(1).lower()
                 if name == "last_plan_from_cache":
-                    return "1" if self._last_plan_from_cache else "0"
+                    return "1" if self._prev_from_cache else "0"
                 if name == "last_plan_from_binding":
                     return "1" if self._prev_from_binding else "0"
                 if vm.group(1) in self.sys_vars:
@@ -3356,10 +3371,12 @@ class Engine:
         # Plan provenance, mirroring the reference's EXPLAIN [ANALYZE]
         # runtime diagnostics for prepared/bound statements
         # (executor/explain.go + sessionctx last_plan_from_cache/
-        # last_plan_from_binding): the flags describe the statement just
-        # lowered above, the hit/miss totals are session-cumulative
-        # (@@last_plan_from_* expose the same values statement-by-
-        # statement; this puts them next to the plan they explain).
+        # last_plan_from_binding): the LIVE flags were reset at the body
+        # statement's entry and set only by what it actually exercised,
+        # so they describe exactly the statement explained above; the
+        # hit/miss totals are session-cumulative (@@last_plan_from_*
+        # expose the same values statement-by-statement; this puts them
+        # next to the plan they explain).
         prov = (
             f"-- plan_from_cache: {int(self._last_plan_from_cache)}"
             f"  plan_from_binding: {int(self._last_plan_from_binding)}"

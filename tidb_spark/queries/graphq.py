@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 from tidb_spark.catalog import load_table
 from tidb_spark.graph.match import match, union_paths
 from tidb_spark.graph.model import default_graph
-from tidb_spark.operators.rounds import BROADCAST_MAX_ROWS as _BROADCAST_MAX_ROWS
 from tidb_spark.graph.shortest import (
     bfs_meet_min_dists,
     canonical_min_paths,
