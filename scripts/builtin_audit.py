@@ -29,6 +29,9 @@ from pathlib import Path
 
 REF = Path("/root/reference")
 REPO = Path(__file__).resolve().parent.parent
+# Importable when run as `python scripts/builtin_audit.py` from anywhere
+# (python puts the SCRIPT's dir on sys.path, not the repo root).
+sys.path.insert(0, str(REPO))
 
 # Parser-internal registry keys that are SQL *syntax*, not callable
 # functions: Spark covers them as operators/expressions, and MySQL users

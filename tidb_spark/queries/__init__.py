@@ -127,6 +127,16 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     "text_boilerplate_strip",  # r9 plan change: spread_small before explode
     "sim_pq_topk",  # r9 plan change: combinable argmin assignment
     "mysqlsql_fulltext_qexp",  # r9 semantics fix: df over DISTINCT seed docs
+    # (r10 rotation plan: the 44 r6-latest rows are the next stalest
+    # tier — agg_rollup, cte_nonrecursive, dedup_semantic_ivf*,
+    # dedup_simhash, func_control/like_regexp/math, the 13 graph_match_*/
+    # shortest/pagerank/wcc rows, join_full_outer/null_safe,
+    # limit_offset, multimodal_features, 7 mysqlsql longtails,
+    # sample_deterministic, setop_intersect_all, sim_ivf/lsh/cosine,
+    # the 5 stream_* rows, text_winnowing, tpch_q3, window_range_frame.
+    # *dedup_semantic_ivf re-verifies THIS round (r9 plan change), so it
+    # drops out of the r10 tier.  Regenerate from the CORRECTNESS files,
+    # not this comment.)
 )
 
 
