@@ -1765,7 +1765,8 @@ q AS (
 ),
 c0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id, qv AS cv
-  FROM q ORDER BY vec_id LIMIT 8
+  FROM q ORDER BY vec_id
+  LIMIT (SELECT GREATEST(8, COUNT(*) // 512) FROM embeddings)
 ),
 a1 AS (
   SELECT vec_id, cluster_id, qv,
@@ -1840,14 +1841,18 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer algebra: dot > 0 AND dot²·25 ≥ 4·‖a‖²·‖b‖²); drop count =
     distinct higher-id members of any dup pair — keep-lowest-id policy.
 
-    Scale: the all-pairs search is confined to clusters; production runs
-    pick k ∝ n so cluster size is bounded and total pair work is linear
-    (same contract as dedup_semantic_ivf's nlist ∝ n).  One shuffle on
-    cluster_id for the self-join; the k-means phase is the
-    data/kmeans.py plan (broadcast assign + k-row sync)."""
+    Scale: the all-pairs search is confined to clusters, and — r9 — k
+    SCALES WITH THE CORPUS like dedup_semantic_ivf's nlist: k =
+    max(8, n // 512) on both sides (the oracle's seed LIMIT computes the
+    identical GREATEST(8, COUNT(*)//512)), so per-cluster size stays
+    bounded and total pair work is linear in n instead of n²/8.  The
+    count() is the same one-off control-plane probe the IVF family pays.
+    One shuffle on cluster_id for the self-join; the k-means phase is
+    the data/kmeans.py plan (broadcast assign + k-row sync)."""
     emb = dd.spread_small(_t(spark, sf_dir, "embeddings"), "vec_id")
+    k = max(8, emb.count() // 512)
     assigned = km.kmeans_assignments(
-        emb, vec_col="embedding", id_col="vec_id", k=8, iters=2, scale=1000
+        emb, vec_col="embedding", id_col="vec_id", k=k, iters=2, scale=1000
     )
     m = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
     dup = sim.within_group_cosine_pairs(
