@@ -2,11 +2,14 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 Real codecs, no external libs: PNG (zlib + full defilter), WAV PCM16,
-the VID0 frame container, and — r8 — JPEG (data/jpeg.py, ITU-T T.81 in
-pure numpy: baseline SOF0/extended SOF1 *and* progressive SOF2 with
+the VID0 frame container, JPEG (data/jpeg.py, ITU-T T.81 in pure
+numpy: baseline SOF0/extended SOF1 *and* progressive SOF2 with
 spectral selection + successive approximation; DQT/DHT/DRI/RSTn,
-grayscale + YCbCr 4:4:4/4:2:2/4:2:0).  Only genuinely foreign formats
-(MP3/MP4, and non-DCT JPEG processes like lossless/arithmetic) still
+grayscale + YCbCr 4:4:4/4:2:2/4:2:0), and — r9 — MP4 (data/mp4.py,
+ISO 14496-12 box tree + stsc/stco/stsz demux; Motion-JPEG `jpeg` and
+PCM16 `twos` tracks decode, compressed codecs like avc1/mp4a raise).
+Only genuinely foreign payloads (MP3 PCM decode, compressed A/V
+codecs, non-DCT JPEG processes like lossless/arithmetic) still
 raise NotImplementedError — honest reject, never wrong samples.  ``decode_features`` additionally offers a
 clearly-marked deterministic fake (``fake=True``) for pipeline-shape
 tests.  The Spark-side plumbing — schema, partitioning, UDF signatures,
@@ -30,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -376,10 +380,11 @@ DECODED_SCHEMA = StructType(
 def decode_media(media: DataFrame) -> DataFrame:
     """REAL decode via mapInPandas: sniffs magic bytes and runs the actual
     codec (PNG inflate+defilter / WAV frame read / VID0 frame walk /
-    baseline JPEG — data/jpeg.py, ITU-T T.81 sequential DCT in pure
-    numpy, r8).  Remaining foreign formats (MP3/MP4…) go through PIL
-    when importable — otherwise NotImplementedError: honest reject,
-    never wrong samples."""
+    JPEG — data/jpeg.py, ITU-T T.81 in pure numpy / MP4 — data/mp4.py
+    ISO-BMFF demux with Motion-JPEG + PCM16 track decode, r9).
+    Remaining foreign formats (MPEG audio PCM, compressed A/V) go
+    through PIL when importable — otherwise NotImplementedError:
+    honest reject, never wrong samples."""
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -405,6 +410,18 @@ def decode_media(media: DataFrame) -> DataFrame:
 
                     w, h, px = decode_jpeg(data)
                     vals = (w, h, 1, int(px.astype(np.int64).sum()))
+                elif len(data) >= 12 and data[4:8] == b"ftyp":
+                    from tidb_spark.data.mp4 import decode_track, parse_mp4
+
+                    mf = parse_mp4(data)
+                    w = h = nf = 0
+                    total = 0
+                    for trk in mf.tracks:
+                        n, s = decode_track(data, trk)
+                        total += s
+                        if trk.handler == "vide":
+                            w, h, nf = trk.width, trk.height, n
+                    vals = (w, h, nf, total)
                 else:
                     try:
                         from PIL import Image  # optional dep
@@ -509,4 +526,198 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return spread_small(df.select(F.col(id_col)), id_col).mapInPandas(
         gen, schema="media_id long, media_type string, payload binary"
+    )
+
+
+def synthesize_mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MP4 (ISO-BMFF, data/mp4.py) payloads per id: a
+    Motion-JPEG video track (nf = id%3+1 identical luminance-ramp frames,
+    w = id%24+16, h = id%16+8, 30 fps) muxed with a big-endian PCM16
+    `twos` audio track (n = id%300+100 samples of ((id·7+13j) mod 65536)
+    − 32768 at 8 kHz).  Every quantity is closed-form in the id, so a SQL
+    oracle recomputes dimensions / frame count / duration / exact audio
+    sum analytically, and the lossy video sum gets the same ±3-per-sample
+    bound as the JPEG query."""
+    from tidb_spark.data.jpeg import encode_jpeg
+    from tidb_spark.data.mp4 import TrackSpec, encode_mp4
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = i % 24 + 16, i % 16 + 8
+                nf = i % 3 + 1
+                ramp = (np.arange(w) * 255 // (w - 1)).astype(np.uint8)
+                frame = encode_jpeg(np.tile(ramp, (h, 1)))
+                n = i % 300 + 100
+                pcm = (
+                    ((i * 7 + 13 * np.arange(n)) % 65536) - 32768
+                ).astype(">i2").tobytes()
+                payloads.append(
+                    encode_mp4(
+                        [
+                            TrackSpec(
+                                kind="video",
+                                samples=[frame] * nf,
+                                timescale=30,
+                                sample_delta=1,
+                                width=w,
+                                height=h,
+                            ),
+                            TrackSpec(
+                                kind="audio",
+                                samples=[pcm],
+                                timescale=8000,
+                                sample_delta=n,
+                                channels=1,
+                                sample_rate=8000,
+                            ),
+                        ]
+                    )
+                )
+                ids.append(i)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["video"] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    from tidb_spark.data.dedup import spread_small
+
+    return spread_small(df.select(F.col(id_col)), id_col).mapInPandas(
+        gen, schema="media_id long, media_type string, payload binary"
+    )
+
+
+MP4_DEMUX_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("audio_sum", LongType()),
+        StructField("video_sum", LongType()),
+    ]
+)
+
+
+def demux_mp4(media: DataFrame) -> DataFrame:
+    """REAL ISO-BMFF demux via mapInPandas: parse the box tree, walk the
+    stsc→stco→stsz sample tables, decode every Motion-JPEG frame
+    (data/jpeg.py) and PCM16 `twos` chunk.  Compressed codecs raise
+    NotImplementedError inside decode_track — honest reject."""
+    from tidb_spark.data.mp4 import decode_track, parse_mp4
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in MP4_DEMUX_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                mf = parse_mp4(data)
+                vid = next(t for t in mf.tracks if t.handler == "vide")
+                aud = next(t for t in mf.tracks if t.handler == "soun")
+                nv, vsum = decode_track(data, vid)
+                _na, asum = decode_track(data, aud)
+                rows["media_id"].append(mid)
+                rows["width"].append(vid.width)
+                rows["height"].append(vid.height)
+                rows["n_frames"].append(nv)
+                rows["duration_ms"].append(mf.duration_ms)
+                rows["audio_sum"].append(asum)
+                rows["video_sum"].append(vsum)
+            yield pd.DataFrame(rows)
+
+    from tidb_spark.data.dedup import spread_small
+
+    return spread_small(media, "media_id").mapInPandas(
+        dec, schema=MP4_DEMUX_SCHEMA
+    )
+
+
+def synthesize_mpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MPEG-1 audio elementary streams per id
+    (data/mpeg_audio.py): layer = id%2+2, nf = id%20+5 frames,
+    sample_rate = (44100,48000,32000)[id%3], bitrate = (64,96,128,160)
+    [id%4] kbps — CBR, except id%4==1 streams alternate br/2·br frames
+    (VBR).  Header/length arithmetic is bit-exact spec; payloads are
+    deterministic filler (these exercise the WALKER — the module
+    docstring is explicit that no PCM decode is claimed)."""
+    from tidb_spark.data.mpeg_audio import build_frame
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                layer = i % 2 + 2
+                nf = i % 20 + 5
+                rate = (44100, 48000, 32000)[i % 3]
+                br = (64, 96, 128, 160)[i % 4]
+                frames = []
+                for f in range(nf):
+                    fbr = br if (i % 4 != 1 or f % 2 == 0) else 2 * br
+                    frames.append(
+                        build_frame(
+                            layer=layer, bitrate_kbps=fbr,
+                            sample_rate=rate, pad_byte=(i + f) % 256,
+                        )
+                    )
+                payloads.append(b"".join(frames))
+                ids.append(i)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["audio"] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    from tidb_spark.data.dedup import spread_small
+
+    return spread_small(df.select(F.col(id_col)), id_col).mapInPandas(
+        gen, schema="media_id long, media_type string, payload binary"
+    )
+
+
+MPEG_SCAN_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("layer", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("is_cbr", BooleanType()),
+        StructField("total_bytes", LongType()),
+    ]
+)
+
+
+def scan_mpeg(media: DataFrame) -> DataFrame:
+    """REAL MPEG audio frame walk via mapInPandas: sync-scan, parse every
+    header, validate the frame-length chain, classify CBR/VBR.  The
+    catalog-building pass a 100 TB audio corpus runs before any decode."""
+    from tidb_spark.data.mpeg_audio import walk_stream
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in MPEG_SCAN_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = walk_stream(bytes(payload))
+                rows["media_id"].append(mid)
+                rows["layer"].append(info.layer)
+                rows["n_frames"].append(info.n_frames)
+                rows["sample_rate"].append(info.sample_rate)
+                rows["duration_ms"].append(info.duration_ms)
+                rows["is_cbr"].append(info.is_cbr)
+                rows["total_bytes"].append(info.total_bytes)
+            yield pd.DataFrame(rows)
+
+    from tidb_spark.data.dedup import spread_small
+
+    return spread_small(media, "media_id").mapInPandas(
+        scan, schema=MPEG_SCAN_SCHEMA
     )

@@ -124,9 +124,16 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     #                            probe + pinned wedge-join parallelism
     "dedup_minhash_lsh",  # r9 plan change: union-free Jaccard verify
     "dedup_semantic_ivf",  # r9 plan change: per-bucket int64 matmul cell
-    "text_boilerplate_strip",  # r9 plan change: spread_small before explode
-    "sim_pq_topk",  # r9 plan change: combinable argmin assignment
     "mysqlsql_fulltext_qexp",  # r9 semantics fix: df over DISTINCT seed docs
+    "multimodal_mp4_demux",  # r9 addition: ISO-BMFF mux/demux (data/mp4.py)
+    "multimodal_mpeg_scan",  # r9 addition: MPEG audio frame walk
+    # (Evicted to past-slot-50 to make room for the two NEW queries —
+    # never-driver-checked rows outrank plan-change rechecks (VERDICT r8
+    # item #1): sim_pq_topk (combinable-argmin plan change) and
+    # text_boilerplate_strip (spread-before-explode plan change).  Both
+    # have green r7/r8 driver rows, both rewrites are pinned by the
+    # sf0.001 oracle mirror, and both roll into the r10 window with the
+    # r6 tier.)
     # (r10 rotation plan: the 44 r6-latest rows are the next stalest
     # tier — agg_rollup, cte_nonrecursive, dedup_semantic_ivf*,
     # dedup_simhash, func_control/like_regexp/math, the 13 graph_match_*/

@@ -3211,3 +3211,138 @@ def text_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("surprise_micro").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Real MP4 demux through the multimodal pipeline (r9; data/mp4.py —
+# ISO 14496-12 box tree, Motion-JPEG + PCM16 `twos` tracks, pure
+# Python/numpy).  Every muxed quantity is closed-form in doc_id, so the
+# oracle recomputes dimensions / frame count / movie duration / the
+# EXACT PCM sample sum analytically; the lossy Motion-JPEG pixel sum
+# gets the same ±3-per-sample bound as multimodal_jpeg_decode.
+
+MM_MP4_ORACLE = """
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id % 5 = 2 AND doc_id < 400
+),
+p AS (
+  SELECT doc_id,
+         CAST(doc_id % 24 + 16 AS INT) AS width,
+         CAST(doc_id % 16 + 8 AS INT) AS height,
+         CAST(doc_id % 3 + 1 AS INT) AS n_frames,
+         doc_id % 300 + 100 AS n_pcm
+  FROM ids
+)
+SELECT doc_id, width, height, n_frames,
+       GREATEST(n_frames * 1000 // 30, n_pcm * 1000 // 8000) AS duration_ms,
+       CAST(list_sum(list_transform(range(0, CAST(n_pcm AS INT)),
+                j -> ((doc_id * 7 + 13 * j) % 65536) - 32768)) AS BIGINT)
+           AS audio_sum,
+       TRUE AS video_in_bound
+FROM p
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_mp4_demux", oracle=MM_MP4_ORACLE, tags=("multimodal",))
+def multimodal_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mux→demux real MP4 per document id: a Motion-JPEG track (id-derived
+    ramp frames) plus a PCM16 `twos` track, then parse the box tree, walk
+    stsc→stco→stsz exactly as a player does, decode every JPEG frame and
+    PCM chunk, and verify frame count / duration / exact audio sum /
+    bounded video sum against the analytic formulas.  Scale shape: both
+    mux and demux are Arrow mapInPandas over id-partitioned batches —
+    embarrassingly parallel, payload bytes never shuffle after synthesis
+    (spread_small no-ops on the already-spread producer)."""
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 5 == 2) & (F.col("doc_id") < 400))
+        .select("doc_id")
+    )
+    out = mm.demux_mp4(mm.synthesize_mp4_media(ids, "doc_id"))
+    ramp_sum = F.expr(
+        "aggregate(transform(sequence(0, width - 1), "
+        "x -> CAST(x * 255 div (width - 1) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+    return (
+        out.select(
+            F.col("media_id").alias("doc_id"),
+            "width",
+            "height",
+            "n_frames",
+            "duration_ms",
+            "audio_sum",
+            (
+                F.abs(
+                    F.col("video_sum")
+                    - F.col("n_frames") * F.col("height") * ramp_sum
+                )
+                <= 3 * F.col("n_frames") * F.col("width") * F.col("height")
+            ).alias("video_in_bound"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# MPEG audio frame walk (r9; data/mpeg_audio.py — ISO 11172-3 header +
+# frame-length arithmetic, pure Python).  The stream structure is
+# closed-form in doc_id (layer, frame count, sample rate, CBR/VBR
+# bitrate pattern), so the oracle recomputes frame count / duration /
+# exact byte totals analytically.  PCM synthesis is an explicit honest
+# reject (module docstring) — this is the catalog/triage pass an audio
+# corpus runs at scale, not a decode claim.
+
+MM_MPEG_ORACLE = """
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id % 5 = 4 AND doc_id < 400
+),
+p AS (
+  SELECT doc_id,
+         CAST(doc_id % 2 + 2 AS INT) AS layer,
+         CAST(doc_id % 20 + 5 AS INT) AS n_frames,
+         [44100, 48000, 32000][CAST(doc_id % 3 AS INT) + 1] AS sample_rate,
+         [64, 96, 128, 160][CAST(doc_id % 4 AS INT) + 1] AS br,
+         doc_id % 4 <> 1 AS is_cbr
+  FROM ids
+)
+SELECT doc_id, layer, n_frames, CAST(sample_rate AS INT) AS sample_rate,
+       CAST(n_frames * 1152 * 1000 // sample_rate AS BIGINT) AS duration_ms,
+       is_cbr,
+       CAST(CASE WHEN is_cbr
+                 THEN n_frames * (144000 * br // sample_rate)
+                 ELSE ((n_frames + 1) // 2) * (144000 * br // sample_rate)
+                      + (n_frames // 2) * (144000 * 2 * br // sample_rate)
+            END AS BIGINT) AS total_bytes
+FROM p
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_mpeg_scan", oracle=MM_MPEG_ORACLE, tags=("multimodal",))
+def multimodal_mpeg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize→walk MPEG-1 audio streams per document id (Layer II/III
+    headers, CBR and alternating-bitrate VBR) and verify frame count,
+    duration, CBR classification, and exact stream byte totals against
+    the closed-form spec arithmetic.  Scale shape: synthesis and the
+    frame walk are Arrow mapInPandas over id-partitioned batches —
+    embarrassingly parallel, no shuffle after synthesis."""
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 5 == 4) & (F.col("doc_id") < 400))
+        .select("doc_id")
+    )
+    out = mm.scan_mpeg(mm.synthesize_mpeg_media(ids, "doc_id"))
+    return (
+        out.select(
+            F.col("media_id").alias("doc_id"),
+            "layer",
+            "n_frames",
+            "sample_rate",
+            "duration_ms",
+            "is_cbr",
+            "total_bytes",
+        )
+        .orderBy("doc_id")
+    )
