@@ -354,3 +354,45 @@ def test_provenance_flags_reset_per_statement(engine, spark):
         assert row.fc == 1 and row.fb == 0, (row.fc, row.fb)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_commutativity_cross_check_demotes_unsound_lowering(engine):
+    """Entry-creation cross-check (ADVICE r8): if the marker-form lowering
+    does NOT commute with parameter substitution — the signature of a
+    rewrite that pattern-matches literal operands and silently skips the
+    :pN shape — the statement must stay on the (always-correct) slow
+    path, never caching the divergent text."""
+    engine.sql(
+        "PREPARE cx FROM 'SELECT COUNT(*) AS n FROM nation "
+        "WHERE n_regionkey < ?'"
+    )
+    engine.sql("SET @v = 2")
+    orig = engine._lower_for_cache
+
+    def unsound(text, n_params):
+        lowered = orig(text, n_params)
+        # Simulate a literal-sensitive rewrite divergence: the marker
+        # form "lowered" to a DIFFERENT predicate than the literal form.
+        return (
+            lowered.replace(":p0", "(:p0 + 1)") if lowered else lowered
+        )
+
+    engine._lower_for_cache = unsound
+    try:
+        r1 = engine.sql("EXECUTE cx USING @v").collect()[0].n
+    finally:
+        engine._lower_for_cache = orig
+    # Correct answer (slow path must have run): regionkey < 2, not < 3.
+    expect = engine.sql(
+        "SELECT COUNT(*) AS n FROM nation WHERE n_regionkey < 2"
+    ).collect()[0].n
+    assert r1 == expect
+    # And the unsound lowering must NOT have been cached as runnable.
+    r2 = engine.sql("EXECUTE cx USING @v").collect()[0].n
+    assert r2 == expect
+    assert (
+        int(
+            engine.sql("SELECT @@last_plan_from_cache AS c").collect()[0].c
+        )
+        == 0
+    )

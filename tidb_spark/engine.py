@@ -2796,6 +2796,47 @@ class Engine:
         if ent is None:
             self._plan_cache_misses += 1
             lowered = self._lower_for_cache(text, n_params)
+            if lowered is not None and vals:
+                # Entry-creation cross-check (ADVICE r8): the cache is
+                # sound iff lowering COMMUTES with parameter
+                # substitution.  Lower the literal form (exactly what the
+                # slow path would run — capture sink, no execution) and
+                # require it to equal the marker form with this
+                # execution's values substituted.  A rewrite that
+                # pattern-matches literal operands but skips the :pN
+                # shape fails this and the statement stays on the
+                # always-correct slow path; false positives only cost
+                # caching, never correctness.
+                saved_binding = self._last_plan_from_binding
+                literal_text = _map_code(
+                    text,
+                    lambda code, _it=iter(vals): re.sub(
+                        r"\?", lambda _m: next(_it), code
+                    ),
+                )
+                self._lower_capture = []
+                try:
+                    self.sql(literal_text)
+                    lit_lowered = (
+                        self._lower_capture[0]
+                        if len(self._lower_capture) == 1
+                        else None
+                    )
+                except Exception:
+                    lit_lowered = None
+                finally:
+                    self._lower_capture = None
+                    self._last_plan_from_binding = saved_binding
+                bound_fast = _map_code(
+                    lowered,
+                    lambda code: re.sub(
+                        r":p(\d+)\b",
+                        lambda pm: vals[int(pm.group(1))],
+                        code,
+                    ),
+                )
+                if lit_lowered != bound_fast:
+                    lowered = None
             # 4th field: did a plan binding rewrite the statement during
             # the lowering pass?  Replayed into @@last_plan_from_binding on
             # every cache-hit execution (bindinfo applies to prepared
