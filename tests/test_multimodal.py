@@ -436,3 +436,69 @@ def test_mpeg_walker_never_hangs_on_fuzz():
             assert info.n_frames >= 1
         except ValueError:
             pass  # honest reject
+
+
+def test_mp4_roundtrip_property_random_tracks():
+    """Hypothesis round-trip: arbitrary track mixes (1-3 tracks, 1-12
+    samples each, 0-700-byte random payloads, varied timescales) mux to a
+    file whose parse returns the exact per-track sample bytes and whose
+    duration arithmetic matches the spec formulas."""
+    from hypothesis import given, settings, strategies as st
+
+    from tidb_spark.data.mp4 import (
+        TrackSpec,
+        encode_mp4,
+        extract_samples,
+        parse_mp4,
+    )
+
+    track = st.tuples(
+        st.sampled_from(["video", "audio"]),
+        st.lists(st.binary(min_size=0, max_size=700), min_size=1, max_size=12),
+        st.sampled_from([10, 30, 90, 600, 8000]),
+        st.integers(min_value=1, max_value=2000),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(track, min_size=1, max_size=3))
+    def run(tracks):
+        specs = [
+            TrackSpec(kind=k, samples=s, timescale=ts, sample_delta=d,
+                      width=16 if k == "video" else 0,
+                      height=8 if k == "video" else 0)
+            for (k, s, ts, d) in tracks
+        ]
+        data = encode_mp4(specs)
+        mf = parse_mp4(data)
+        assert len(mf.tracks) == len(specs)
+        for spec, trk in zip(specs, mf.tracks):
+            assert extract_samples(data, trk) == spec.samples
+            assert trk.timescale == spec.timescale
+            assert trk.duration == len(spec.samples) * spec.sample_delta
+        expect_ms = max(
+            len(s.samples) * s.sample_delta * 1000 // s.timescale
+            for s in specs
+        )
+        assert mf.duration_ms == expect_ms
+
+    run()
+
+
+def test_mpeg_walker_padded_and_mixed_streams():
+    """Padded frames change the frame-length chain (+1 slot, x4 for
+    Layer I); the walker must follow the padded arithmetic exactly,
+    including mixed padded/unpadded and VBR+padding streams."""
+    from tidb_spark.data.mpeg_audio import build_frame, parse_frame_header, walk_stream
+
+    # Layer II 64kbps@32kHz: 288 unpadded, 289 padded
+    s = (build_frame(padded=True) + build_frame() + build_frame(padded=True)
+         + build_frame(bitrate_kbps=128, padded=True))
+    info = walk_stream(s)
+    assert info.n_frames == 4
+    assert info.total_bytes == 289 + 288 + 289 + (576 + 1)
+    assert not info.is_cbr
+    # Layer I padding quantum is 4 bytes (one 32-bit slot)
+    f = parse_frame_header(
+        build_frame(layer=1, bitrate_kbps=96, sample_rate=48000, padded=True)
+    )
+    assert f.size == (12 * 96000 // 48000 + 1) * 4
