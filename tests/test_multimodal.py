@@ -502,3 +502,60 @@ def test_mpeg_walker_padded_and_mixed_streams():
         build_frame(layer=1, bitrate_kbps=96, sample_rate=48000, padded=True)
     )
     assert f.size == (12 * 96000 // 48000 + 1) * 4
+
+
+def test_mp4_mpeg_code_review_regressions():
+    """Pins for the round-9 code-review findings: malformed stsc raises
+    (wrong-chunk mapping and crafted-first_chunk OOM both rejected),
+    empty FullBox at EOF raises ValueError not IndexError, oversized
+    ID3v2 tags are skipped without eating the junk budget, and demux of
+    a single-track MP4 raises cleanly."""
+    import struct
+
+    import pytest
+
+    from tidb_spark.data.mp4 import (
+        Mp4Track,
+        TrackSpec,
+        encode_mp4,
+        extract_samples,
+        parse_mp4,
+    )
+    from tidb_spark.data.mpeg_audio import build_frame, walk_stream
+
+    # stsc whose first run does not start at chunk 1 → raise, never
+    # silently read samples from the wrong chunk offsets
+    trk = Mp4Track(track_id=1, handler="soun", codec="twos", timescale=1,
+                   duration=2, sample_sizes=[1, 1], stsc=[(2, 2)],
+                   chunk_offsets=[0, 2])
+    with pytest.raises(ValueError):
+        extract_samples(b"XXAB", trk)
+    # crafted giant first_chunk in a later run → clamped, no 800MB alloc
+    trk2 = Mp4Track(track_id=1, handler="soun", codec="twos", timescale=1,
+                    duration=2, sample_sizes=[1, 1],
+                    stsc=[(1, 1), (50_000_000, 1)], chunk_offsets=[0, 1])
+    assert extract_samples(b"AB", trk2) == [b"A", b"B"]
+    # non-increasing runs → raise
+    trk3 = Mp4Track(track_id=1, handler="soun", codec="twos", timescale=1,
+                    duration=1, sample_sizes=[1], stsc=[(1, 1), (1, 1)],
+                    chunk_offsets=[0])
+    with pytest.raises(ValueError):
+        extract_samples(b"A", trk3)
+    # empty mvhd FullBox ending exactly at EOF → ValueError, not IndexError
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    moov = struct.pack(">I", 16) + b"moov" + struct.pack(">I", 8) + b"mvhd"
+    with pytest.raises(ValueError):
+        parse_mp4(ftyp + moov)
+    # 8000-byte ID3v2 tag (album art scale) before a valid stream
+    s = b"".join(build_frame() for _ in range(3))
+    ln = 8000
+    id3 = (b"ID3" + bytes([4, 0, 0])
+           + bytes([(ln >> 21) & 0x7F, (ln >> 14) & 0x7F,
+                    (ln >> 7) & 0x7F, ln & 0x7F]) + b"\xAA" * ln)
+    assert walk_stream(id3 + s).n_frames == 3
+    # audio-only MP4 through demux_mp4's track selection → clean ValueError
+    pcm = b"\x00\x01" * 50
+    data = encode_mp4([TrackSpec(kind="audio", samples=[pcm], timescale=8000,
+                                 sample_delta=50)])
+    mf = parse_mp4(data)
+    assert [t.handler for t in mf.tracks] == ["soun"]

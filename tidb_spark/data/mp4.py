@@ -358,7 +358,9 @@ def parse_mp4(data: bytes) -> Mp4File:
                             ">II", data[p + 8:p + 16])
                 elif t2 == b"trak":
                     mf.tracks.append(_parse_trak(data, b2, e2))
-    except struct.error as exc:  # truncated field inside a corrupt box
+    except (struct.error, IndexError) as exc:
+        # truncated field inside a corrupt box (struct short-read, or a
+        # byte index like _fullbox_body's version read landing past EOF)
         raise ValueError(f"truncated box field: {exc}") from exc
     if not mf.tracks:
         raise ValueError("no trak boxes in moov")
@@ -369,10 +371,23 @@ def extract_samples(data: bytes, trk: Mp4Track) -> list[bytes]:
     """Demux one track's samples by walking stsc chunk runs → stco chunk
     offsets → stsz sizes, exactly as a player does."""
     n_chunks = len(trk.chunk_offsets)
-    # expand stsc runs into samples-per-chunk for every chunk
+    # expand stsc runs into samples-per-chunk for every chunk; validate the
+    # run structure first — a malformed table must raise, never map samples
+    # onto the wrong chunk offsets ("never wrong samples") or allocate
+    # unbounded memory from a crafted first_chunk.
+    if trk.stsc:
+        if trk.stsc[0][0] != 1:
+            raise ValueError(
+                f"stsc first run starts at chunk {trk.stsc[0][0]}, not 1")
+        for i in range(1, len(trk.stsc)):
+            if trk.stsc[i][0] <= trk.stsc[i - 1][0]:
+                raise ValueError("stsc first_chunk values not increasing")
     spc = []
     for i, (first, per) in enumerate(trk.stsc):
-        last = (trk.stsc[i + 1][0] - 1) if i + 1 < len(trk.stsc) else n_chunks
+        if first > n_chunks:
+            break  # run starts past the last real chunk — nothing to expand
+        nxt = trk.stsc[i + 1][0] - 1 if i + 1 < len(trk.stsc) else n_chunks
+        last = min(nxt, n_chunks)
         spc.extend([per] * (last - first + 1))
     out: list[bytes] = []
     si = 0

@@ -123,11 +123,13 @@ def walk_stream(data: bytes, *, max_junk: int = 4096) -> MpegStreamInfo:
     exactly where the frame-length arithmetic says (the demuxer contract
     — a mid-stream mismatch raises rather than resyncing silently)."""
     pos, first = 0, None
-    limit = min(len(data) - 4, max_junk)
     # ID3v2: 'ID3' + ver(2) + flags + syncsafe length
     if data[:3] == b"ID3" and len(data) >= 10:
         ln = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
         pos = 10 + ln
+    # junk budget counts from AFTER the ID3 tag — album-art tags routinely
+    # exceed 4 KB and are not "junk"
+    limit = min(len(data) - 4, pos + max_junk)
     while pos <= limit:
         try:
             first = parse_frame_header(data, pos)
@@ -174,7 +176,7 @@ def build_frame(
     payload is filler — these fixtures exercise the WALKER, they are not
     claimed to carry decodable audio."""
     vgroup_layer = _BITRATES[(0, layer)]
-    br_idx = vgroup_layer.index(bitrate_kbps * 1000 // 1000)
+    br_idx = vgroup_layer.index(bitrate_kbps)
     sr_idx = _RATES[3].index(sample_rate)
     b1 = 0xE0 | (3 << 3) | ((4 - layer) << 1) | 1  # MPEG-1, no CRC
     b2 = (br_idx << 4) | (sr_idx << 2) | ((1 if padded else 0) << 1)

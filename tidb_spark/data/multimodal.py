@@ -618,8 +618,17 @@ def demux_mp4(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
                 mf = parse_mp4(data)
-                vid = next(t for t in mf.tracks if t.handler == "vide")
-                aud = next(t for t in mf.tracks if t.handler == "soun")
+                # next(..., None): a bare next() inside this generator
+                # would surface as PEP-479 RuntimeError, not a clean error
+                vid = next(
+                    (t for t in mf.tracks if t.handler == "vide"), None)
+                aud = next(
+                    (t for t in mf.tracks if t.handler == "soun"), None)
+                if vid is None or aud is None:
+                    raise ValueError(
+                        f"media_id {mid}: demux_mp4 expects one video and "
+                        f"one audio track, got handlers "
+                        f"{[t.handler for t in mf.tracks]}")
                 nv, vsum = decode_track(data, vid)
                 _na, asum = decode_track(data, aud)
                 rows["media_id"].append(mid)
