@@ -559,3 +559,23 @@ def test_mp4_mpeg_code_review_regressions():
                                  sample_delta=50)])
     mf = parse_mp4(data)
     assert [t.handler for t in mf.tracks] == ["soun"]
+
+
+def test_resize_box_exact_and_rejects():
+    """Box resize is exact integer block-floor-average; non-divisible
+    dimensions raise rather than silently cropping."""
+    import numpy as np
+    import pytest
+
+    from tidb_spark.data.multimodal import resize_box_gray
+
+    px = np.arange(4 * 6, dtype=np.uint8).reshape(4, 6)
+    out = resize_box_gray(px, 2, 2)
+    assert out.tolist() == [[3, 5, 7], [15, 17, 19]]
+    # factor 3x2 on a 6x6
+    px2 = (np.arange(36, dtype=np.int64) * 7 % 256).astype(np.uint8).reshape(6, 6)
+    out2 = resize_box_gray(px2, 3, 2)
+    blocks = px2.astype(np.int64).reshape(3, 2, 2, 3)
+    assert (out2 == (blocks.sum(axis=(1, 3)) // 6).astype(np.uint8)).all()
+    with pytest.raises(ValueError):
+        resize_box_gray(px, 4, 2)  # 6 % 4 != 0

@@ -730,3 +730,94 @@ def scan_mpeg(media: DataFrame) -> DataFrame:
     return spread_small(media, "media_id").mapInPandas(
         scan, schema=MPEG_SCAN_SCHEMA
     )
+
+
+def resize_box_gray(px: "np.ndarray", fx: int, fy: int) -> "np.ndarray":
+    """Exact area (box-filter) downsample of an 8-bit grayscale image by
+    integer factors: each output pixel is the floor-average of its
+    fy×fx source block, in pure integer arithmetic — so the result is
+    bit-reproducible and a SQL oracle can recompute it closed-form.
+    Dimensions must divide evenly (the caller picks factor-aligned
+    sizes; a real pipeline pads or crops first — that policy is the
+    caller's, not hidden in here)."""
+    h, w = px.shape
+    if h % fy or w % fx:
+        raise ValueError(f"{w}x{h} not divisible by {fx}x{fy}")
+    blocks = px.astype(np.int64).reshape(h // fy, fy, w // fx, fx)
+    return (blocks.sum(axis=(1, 3)) // (fx * fy)).astype(np.uint8)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("checksum", LongType()),  # sum of resized pixels
+    ]
+)
+
+
+def decode_resize(media: DataFrame, fx: int = 2, fy: int = 2) -> DataFrame:
+    """Decode (real PNG/JPEG codec by magic bytes) → exact box resize →
+    per-image stats, as one Arrow mapInPandas stage: the decode→transform
+    fusion a 100 TB image corpus wants (bytes cross into Python once;
+    no intermediate pixel frames hit the shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in RESIZE_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                if data[:8] == PNG_SIG:
+                    w, h, raw = decode_png_gray(data)
+                    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+                elif data[:2] == b"\xff\xd8":
+                    from tidb_spark.data.jpeg import decode_jpeg
+
+                    _w, _h, px = decode_jpeg(data)
+                    if px.ndim == 3:  # luma only for the stat
+                        px = px[:, :, 0]
+                else:
+                    raise NotImplementedError(
+                        "resize supports the in-repo image codecs only")
+                out = resize_box_gray(px, fx, fy)
+                rows["media_id"].append(mid)
+                rows["out_w"].append(out.shape[1])
+                rows["out_h"].append(out.shape[0])
+                rows["checksum"].append(int(out.astype(np.int64).sum()))
+            yield pd.DataFrame(rows)
+
+    from tidb_spark.data.dedup import spread_small
+
+    return spread_small(media, "media_id").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
+def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic even-dimension grayscale PNGs per id for the resize
+    oracle: w = 2·(id%16+8), h = 2·(id%12+6), pixel(i) = (id·31+i) mod 256
+    row-major — every quantity closed-form in the id."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 2 * (i % 16 + 8), 2 * (i % 12 + 6)
+                px = ((i * 31 + np.arange(w * h)) % 256).astype(np.uint8)
+                payloads.append(encode_png_gray(w, h, px.tobytes()))
+                ids.append(i)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    from tidb_spark.data.dedup import spread_small
+
+    return spread_small(df.select(F.col(id_col)), id_col).mapInPandas(
+        gen, schema="media_id long, media_type string, payload binary"
+    )

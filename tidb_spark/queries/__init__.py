@@ -120,20 +120,20 @@ _PRIORITY_WINDOW: tuple[str, ...] = (
     # (util/collate/pinyin_tidb_as_cs.go:22-34), so there are no
     # comparison semantics to oracle; pinned by pytest
     # test_collation_pinyin_ddl_accepts_use_rejects instead.)
-    "graph_common_neighbors",  # r9 plan change: byte-gated broadcast
-    #                            probe + pinned wedge-join parallelism
     "dedup_minhash_lsh",  # r9 plan change: union-free Jaccard verify
     "dedup_semantic_ivf",  # r9 plan change: per-bucket int64 matmul cell
     "mysqlsql_fulltext_qexp",  # r9 semantics fix: df over DISTINCT seed docs
     "multimodal_mp4_demux",  # r9 addition: ISO-BMFF mux/demux (data/mp4.py)
     "multimodal_mpeg_scan",  # r9 addition: MPEG audio frame walk
-    # (Evicted to past-slot-50 to make room for the two NEW queries —
+    "multimodal_resize",  # r9 addition: decode→box-resize fusion
+    # (Evicted to past-slot-50 to make room for the three NEW queries —
     # never-driver-checked rows outrank plan-change rechecks (VERDICT r8
-    # item #1): sim_pq_topk (combinable-argmin plan change) and
-    # text_boilerplate_strip (spread-before-explode plan change).  Both
-    # have green r7/r8 driver rows, both rewrites are pinned by the
-    # sf0.001 oracle mirror, and both roll into the r10 window with the
-    # r6 tier.)
+    # item #1): sim_pq_topk (combinable-argmin), text_boilerplate_strip
+    # (spread-before-explode), and graph_common_neighbors (byte-gated
+    # broadcast probe — a join-STRATEGY change pinned by
+    # tests/test_plans.py:537 plus the sf0.001 oracle mirror).  All
+    # three have green r7/r8 driver rows and roll into the r10 window
+    # with the r6 tier.)
     # (r10 rotation plan: the 44 r6-latest rows are the next stalest
     # tier — agg_rollup, cte_nonrecursive, dedup_semantic_ivf*,
     # dedup_simhash, func_control/like_regexp/math, the 13 graph_match_*/

@@ -3346,3 +3346,57 @@ def multimodal_mpeg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Image resize (r9): exact area (box-filter) 2x2 downsample fused with the
+# real PNG decode in one Arrow mapInPandas stage — the decode→transform
+# shape of a training-data image pipeline.  The fixture pixels are
+# closed-form in doc_id and the box filter is pure integer arithmetic
+# (block sum // 4), so the oracle recomputes the RESIZED checksum exactly
+# — no lossy bound needed, unlike the JPEG query.
+
+MM_RESIZE_ORACLE = """
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id % 5 = 1 AND doc_id < 400
+),
+dims AS (
+  SELECT doc_id,
+         2 * (doc_id % 16 + 8) AS w,
+         2 * (doc_id % 12 + 6) AS h
+  FROM ids
+)
+SELECT doc_id,
+       CAST(w // 2 AS INT) AS out_w,
+       CAST(h // 2 AS INT) AS out_h,
+       CAST(list_sum(list_transform(range(0, CAST((w // 2) * (h // 2) AS INT)),
+            b -> (  (doc_id * 31 + 2 * (b // (w // 2)) * w + 2 * (b % (w // 2))) % 256
+                  + (doc_id * 31 + 2 * (b // (w // 2)) * w + 2 * (b % (w // 2)) + 1) % 256
+                  + (doc_id * 31 + (2 * (b // (w // 2)) + 1) * w + 2 * (b % (w // 2))) % 256
+                  + (doc_id * 31 + (2 * (b // (w // 2)) + 1) * w + 2 * (b % (w // 2)) + 1) % 256
+                 ) // 4)) AS BIGINT) AS checksum
+FROM dims
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_resize", oracle=MM_RESIZE_ORACLE, tags=("multimodal",))
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→resize fusion: real PNG decode then exact integer box-filter
+    2x2 downsample inside ONE mapInPandas stage (payload bytes cross into
+    Python once; no intermediate pixel frames shuffle).  The resized
+    checksum is bit-exact against the analytic oracle.  Scale shape:
+    embarrassingly parallel over id-partitioned Arrow batches, identical
+    to the other decode stages."""
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 5 == 1) & (F.col("doc_id") < 400))
+        .select("doc_id")
+    )
+    out = mm.decode_resize(mm.synthesize_png_media(ids, "doc_id"), 2, 2)
+    return (
+        out.select(
+            F.col("media_id").alias("doc_id"), "out_w", "out_h", "checksum"
+        )
+        .orderBy("doc_id")
+    )
