@@ -553,12 +553,32 @@ def test_mp4_mpeg_code_review_regressions():
            + bytes([(ln >> 21) & 0x7F, (ln >> 14) & 0x7F,
                     (ln >> 7) & 0x7F, ln & 0x7F]) + b"\xAA" * ln)
     assert walk_stream(id3 + s).n_frames == 3
-    # audio-only MP4 through demux_mp4's track selection → clean ValueError
+    # stsc declaring MORE samples than stsz (excess side) → raise too
+    trk4 = Mp4Track(track_id=1, handler="soun", codec="twos", timescale=1,
+                    duration=5, sample_sizes=[1], stsc=[(1, 5)],
+                    chunk_offsets=[0])
+    with pytest.raises(ValueError):
+        extract_samples(b"ABCDE", trk4)
+
+
+def test_demux_mp4_single_track_raises_cleanly(spark):
+    """An audio-only MP4 through the ACTUAL demux_mp4 stage fails the
+    batch with our ValueError message (not a PEP-479 RuntimeError from a
+    bare next() on an empty generator)."""
+    import pytest
+
+    from tidb_spark.data import multimodal as mm
+    from tidb_spark.data.mp4 import TrackSpec, encode_mp4
+
     pcm = b"\x00\x01" * 50
     data = encode_mp4([TrackSpec(kind="audio", samples=[pcm], timescale=8000,
                                  sample_delta=50)])
-    mf = parse_mp4(data)
-    assert [t.handler for t in mf.tracks] == ["soun"]
+    media = spark.createDataFrame(
+        [(3, "audio", bytearray(data))],
+        "media_id long, media_type string, payload binary",
+    )
+    with pytest.raises(Exception, match="expects one video and one audio"):
+        mm.demux_mp4(media).collect()
 
 
 def test_resize_box_exact_and_rejects():

@@ -389,13 +389,17 @@ def extract_samples(data: bytes, trk: Mp4Track) -> list[bytes]:
         nxt = trk.stsc[i + 1][0] - 1 if i + 1 < len(trk.stsc) else n_chunks
         last = min(nxt, n_chunks)
         spc.extend([per] * (last - first + 1))
+    # stsc and stsz must agree EXACTLY on the sample count — both a
+    # shortfall and an excess are malformed (raise, never guess)
+    if sum(spc) != len(trk.sample_sizes):
+        raise ValueError(
+            f"track {trk.track_id}: stsc/stco cover {sum(spc)} samples, "
+            f"stsz declares {len(trk.sample_sizes)}")
     out: list[bytes] = []
     si = 0
     for ci in range(n_chunks):
         pos = trk.chunk_offsets[ci]
         for _ in range(spc[ci] if ci < len(spc) else 0):
-            if si >= len(trk.sample_sizes):
-                break
             size = trk.sample_sizes[si]
             if pos + size > len(data):
                 raise ValueError(
@@ -403,10 +407,6 @@ def extract_samples(data: bytes, trk: Mp4Track) -> list[bytes]:
             out.append(data[pos:pos + size])
             pos += size
             si += 1
-    if si != len(trk.sample_sizes):
-        raise ValueError(
-            f"track {trk.track_id}: stsc/stco cover {si} samples, "
-            f"stsz declares {len(trk.sample_sizes)}")
     return out
 
 

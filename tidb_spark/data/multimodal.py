@@ -747,6 +747,25 @@ def resize_box_gray(px: "np.ndarray", fx: int, fy: int) -> "np.ndarray":
     return (blocks.sum(axis=(1, 3)) // (fx * fy)).astype(np.uint8)
 
 
+def decode_gray_pixels(data: bytes) -> "np.ndarray":
+    """Single-plane pixel decode by magic bytes — the shared dispatch for
+    pixel-transform stages (resize today).  Returns a 2-D uint8 array:
+    grayscale images decode directly; color JPEGs contribute their FIRST
+    (R) plane — decode_jpeg returns RGB, so this is the red channel, not
+    luma; compute a real luma mix upstream if the stat needs it.  Other
+    formats raise — pixel transforms need pixels, not containers."""
+    if data[:8] == PNG_SIG:
+        w, h, raw = decode_png_gray(data)
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+    if data[:2] == b"\xff\xd8":
+        from tidb_spark.data.jpeg import decode_jpeg
+
+        _w, _h, px = decode_jpeg(data)
+        return px[:, :, 0] if px.ndim == 3 else px
+    raise NotImplementedError(
+        "pixel decode supports the in-repo image codecs only (PNG/JPEG)")
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -767,19 +786,7 @@ def decode_resize(media: DataFrame, fx: int = 2, fy: int = 2) -> DataFrame:
         for pdf in batches:
             rows: dict[str, list] = {f.name: [] for f in RESIZE_SCHEMA}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                data = bytes(payload)
-                if data[:8] == PNG_SIG:
-                    w, h, raw = decode_png_gray(data)
-                    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
-                elif data[:2] == b"\xff\xd8":
-                    from tidb_spark.data.jpeg import decode_jpeg
-
-                    _w, _h, px = decode_jpeg(data)
-                    if px.ndim == 3:  # luma only for the stat
-                        px = px[:, :, 0]
-                else:
-                    raise NotImplementedError(
-                        "resize supports the in-repo image codecs only")
+                px = decode_gray_pixels(bytes(payload))
                 out = resize_box_gray(px, fx, fy)
                 rows["media_id"].append(mid)
                 rows["out_w"].append(out.shape[1])
