@@ -185,6 +185,25 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
+        # Slow-reading retry (round 9): deep in a 180+-query session the
+        # FIRST run of a plan pays a cross-plan JIT-switch cost the
+        # sf0.001 prewarm only partially absorbs (measured: boilerplate
+        # 1.5 s isolated / self-repeat-stable, but 3-6.6 s as the first
+        # sf0.1 run after ~130 other plans — and back to ~1.5 s on the
+        # very next run).  One extra run for readings above the
+        # threshold records warm throughput instead of JVM state noise,
+        # at ~+30 s corpus wall; genuine heavy queries repeat their
+        # honest time.  Disable with BENCH_RETRY_SLOW=0.
+        if (
+            repeat == 1
+            and best > 2.0
+            and os.environ.get("BENCH_RETRY_SLOW", "1") != "0"
+        ):
+            start = time.perf_counter()
+            q.spark(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 4)
         total += best
 
