@@ -162,6 +162,15 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    # Raw FIRST-run readings, recorded alongside the warm best so the
+    # round-over-round series stays methodology-identical: the r9
+    # slow-reading retry keeps min(cold, warm) in `queries`, which would
+    # otherwise mask a regression that only manifests cold.  `queries`
+    # is the warm-throughput series (the recorded metric); `queries_first`
+    # is the untouched first reading of every query (the comparable raw
+    # series — compare r_{N} to r_{N-1} on THIS map when methodology
+    # changed between rounds).
+    firsts: dict[str, float] = {}
     total = 0.0
     for name in names:
         q = registry[name]
@@ -184,6 +193,8 @@ def main() -> None:
             df = q.spark(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             elapsed = time.perf_counter() - start
+            if best is None:
+                firsts[name] = round(elapsed, 4)
             best = elapsed if best is None else min(best, elapsed)
         # Slow-reading retry (round 9): deep in a 180+-query session the
         # FIRST run of a plan pays a cross-plan JIT-switch cost the
@@ -222,6 +233,7 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "queries_first": firsts,
                 "sf": sf,
             },
             fh,

@@ -302,6 +302,12 @@ def test_mp4_honest_rejects():
     )
     with pytest.raises(NotImplementedError):
         decode_track(b"\x00\x00\x00\x00", trk)  # compressed codec
+    pcm_trk = Mp4Track(
+        track_id=2, handler="soun", codec="twos", timescale=8000, duration=1,
+        sample_sizes=[3], stsc=[(1, 1)], chunk_offsets=[0],
+    )
+    with pytest.raises(ValueError, match="odd byte length"):
+        decode_track(b"\x01\x02\x03\x00", pcm_trk)  # odd PCM16 sample
 
 
 def test_decode_media_sniffs_mp4(spark):
@@ -381,6 +387,14 @@ def test_mpeg_walk_id3_skip_and_honest_rejects():
         walk_stream(b"\x00" * 64)  # no sync
     with pytest.raises(NotImplementedError):
         decode_pcm(s)  # PCM synthesis is out of scope, loudly
+    # ID3v2 footer flag (byte 5 bit 4) adds a 10-byte trailer copy
+    id3f = b"ID3" + bytes([4, 0, 0x10]) + bytes([0, 0, 0, 10]) + b"x" * 20
+    assert walk_stream(id3f + s).n_frames == 3
+    # non-syncsafe length bytes (bit 7 set) are a loud reject, not a
+    # bogus skip offset that resyncs on spurious 0xFF payload bytes
+    bad = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0x80, 10]) + b"x" * 10
+    with pytest.raises(ValueError, match="syncsafe"):
+        walk_stream(bad + s)
 
 
 def test_mp4_parser_never_lies_on_fuzz():

@@ -134,3 +134,56 @@ def test_ivf_pair_cell_matches_exact_integer_pairs(spark):
     assert got == want
     # The engineered exact-boundary pair must be present (>= is inclusive).
     assert (0, 3) in want
+
+
+def _both_paths(monkeypatch, emb, *, k, iters):
+    """Run kmeans_assignments with the flat path forced, then with the
+    two-level pruned path forced, and return both sorted row lists."""
+    import tidb_spark.data.kmeans as km
+
+    monkeypatch.setattr(km, "_FLAT_ASSIGN_K", 10_000)
+    flat = km.kmeans_assignments(emb, k=k, iters=iters).orderBy("vec_id").collect()
+    monkeypatch.setattr(km, "_FLAT_ASSIGN_K", 2)
+    pruned = km.kmeans_assignments(emb, k=k, iters=iters).orderBy("vec_id").collect()
+    return flat, pruned
+
+
+def test_kmeans_pruned_assign_bitexact_vs_flat(spark, monkeypatch):
+    """The two-level triangle-inequality assign (_assign_pruned) must be
+    bit-identical to the exhaustive flat assign — same argmin, same
+    lowest-id tie-breaks — across multiple Lloyd steps."""
+    emb = spark.range(0, 120).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            ((F.col("id") * 13) % 17).cast("float"),
+            ((F.col("id") * 7) % 11).cast("float"),
+            ((F.col("id") * 3) % 5).cast("float"),
+        ).alias("embedding"),
+    )
+    flat, pruned = _both_paths(monkeypatch, emb, k=12, iters=3)
+    assert flat == pruned
+    assert len(flat) == 120
+
+
+def test_kmeans_pruned_assign_preserves_tie_breaks(spark, monkeypatch):
+    """Equidistant points (1-D grid where every odd point ties between
+    its two neighbouring centroids) must keep the lowest-id winner
+    through the pruned path."""
+    rows = [(i, [float(i)]) for i in range(0, 32)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # k=16 seeds are vec_id 0..15 → after quantization, point 20 is
+    # equidistant to several updated centroids; both paths must agree.
+    flat, pruned = _both_paths(monkeypatch, emb, k=16, iters=2)
+    assert flat == pruned
+
+
+def test_kmeans_pruned_assign_on_fixture(spark, monkeypatch):
+    """Pruned vs flat on the real embeddings fixture at a corpus-scaled
+    k (the SemDeDup shape that triggers the two-level path in prod)."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    flat, pruned = _both_paths(monkeypatch, emb, k=20, iters=2)
+    assert flat == pruned
+    assert len(flat) == 500

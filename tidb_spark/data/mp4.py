@@ -430,7 +430,11 @@ def decode_track(data: bytes, trk: Mp4Track) -> tuple[int, int]:
         import numpy as np
 
         total = 0
-        for s in samples:
+        for i, s in enumerate(samples):
+            if len(s) % 2:
+                raise ValueError(
+                    f"track {trk.track_id} sample {i}: odd byte length "
+                    f"{len(s)} is not valid big-endian PCM16")
             total += int(np.frombuffer(s, dtype=">i2").astype(np.int64).sum())
         return len(samples), total
     raise NotImplementedError(

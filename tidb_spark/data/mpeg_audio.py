@@ -123,10 +123,16 @@ def walk_stream(data: bytes, *, max_junk: int = 4096) -> MpegStreamInfo:
     exactly where the frame-length arithmetic says (the demuxer contract
     — a mid-stream mismatch raises rather than resyncing silently)."""
     pos, first = 0, None
-    # ID3v2: 'ID3' + ver(2) + flags + syncsafe length
+    # ID3v2: 'ID3' + ver(2) + flags + syncsafe length (+10-byte footer
+    # copy when flag bit 4 is set).  Syncsafe bytes must have bit 7
+    # clear — a set high bit means a corrupt/non-syncsafe length whose
+    # computed skip could land mid-payload and sync on a spurious 0xFF.
     if data[:3] == b"ID3" and len(data) >= 10:
+        if any(b & 0x80 for b in data[6:10]):
+            raise ValueError(
+                "ID3v2 tag length bytes are not syncsafe (bit 7 set)")
         ln = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
-        pos = 10 + ln
+        pos = 10 + ln + (10 if data[5] & 0x10 else 0)
     # junk budget counts from AFTER the ID3 tag — album-art tags routinely
     # exceed 4 KB and are not "junk"
     limit = min(len(data) - 4, pos + max_junk)

@@ -168,8 +168,9 @@ def allpairs_cosine_above(
     capped by cluster memory, not driver memory.  Size ``blocks`` so a block
     (n/B rows × dim) fits an executor — at 10⁹ vectors, B≈10³ gives 10⁶-row
     blocks.  Exactness bound: dims·scale²·max(num,den)² must stay < 2^63.
-    For corpora where even n·B/2 replication is too hot, LSH-prefilter
-    (:func:`lsh_topk`'s bucketer) and verify candidates with this kernel.
+    For corpora where even n·B/2 replication is too hot, use
+    :func:`lsh_prefiltered_pairs_above` — the registered composition that
+    LSH-prefilters candidates and verifies them with this exact kernel.
     """
     num2, den2 = threshold_num * threshold_num, threshold_den * threshold_den
     base = vectors.select(
@@ -240,6 +241,97 @@ def allpairs_cosine_above(
         .cogroup(right.groupby("bi", "bj"))
         .applyInPandas(cell, schema="v1 long, v2 long, dot long")
     )
+
+
+def lsh_prefiltered_pairs_above(
+    vectors: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+    planes: int = 8,
+    tables: int = 8,
+) -> DataFrame:
+    """LSH-prefiltered near-dup pairs: the scale path
+    :func:`allpairs_cosine_above` recommends for corpora where even n·B/2
+    block replication is too hot.
+
+    Candidates = pairs co-bucketed in ANY of ``tables`` random-hyperplane
+    tables (bucket = ``planes`` integer-exact sign bits, one Arrow matmul
+    per table); per table one shuffle on bucket id + a within-bucket
+    self-join, so pair work is Σ_b |bucket_b|² per table instead of n²/2 —
+    size ``planes`` so 2^planes grows with the corpus (the same sizing
+    rule as simhash banding).  Verify = the exact integer cosine test of
+    the all-pairs kernel (dot > 0 AND dot²·den² ≥ num²·‖a‖²·‖b‖² on
+    floor-quantized vectors), computed JVM-side with zip_with/aggregate —
+    no Python in the pair path, no broadcast of anything O(n).
+
+    Recall is the LSH contract: a true pair that collides in no table is
+    dropped.  That is a DETERMINISTIC function of the fixed plane
+    constants (``lsh_plane_ints``), so candidacy — and therefore the full
+    result — is bit-exactly reproducible by an oracle sharing the planes.
+    """
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    # All tables' buckets in one Arrow matmul, then ONE self-join on the
+    # composite (table, bucket) key — versus a per-table join+union loop,
+    # this is 1 scan + 1 shuffle instead of `tables` of each.
+    b = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            lsh_bucket_multi(F.col(vec_col), dim, planes=planes, tables=tables)
+        ).alias("_tbl", "_bkt"),
+    )
+    cand = (
+        b.select(F.col("_id").alias("v1"), "_tbl", "_bkt")
+        .join(b.select(F.col("_id").alias("v2"), "_tbl", "_bkt"), ["_tbl", "_bkt"])
+        .where(F.col("v1") < F.col("v2"))
+        .select("v1", "v2")
+        .dropDuplicates(["v1", "v2"])
+    )
+    q = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long")
+    )
+    side = vectors.select(F.col(id_col).alias("_id"), q.alias("_qv")).withColumn(
+        "_n2",
+        F.aggregate("_qv", F.lit(0).cast("long"), lambda a, x: a + x * x),
+    )
+    verified = (
+        cand.join(
+            side.select(
+                F.col("_id").alias("v1"),
+                F.col("_qv").alias("_q1"),
+                F.col("_n2").alias("_na2"),
+            ),
+            "v1",
+        )
+        .join(
+            side.select(
+                F.col("_id").alias("v2"),
+                F.col("_qv").alias("_q2"),
+                F.col("_n2").alias("_nb2"),
+            ),
+            "v2",
+        )
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with("_q1", "_q2", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    return verified.where(
+        (F.col("dot") > 0)
+        & (
+            F.col("dot") * F.col("dot") * F.lit(den2)
+            >= F.lit(num2) * F.col("_na2") * F.col("_nb2")
+        )
+    ).select("v1", "v2", "dot")
 
 
 def brute_force_topk(
@@ -341,6 +433,35 @@ def lsh_bucket(vec: Column, dim: int, *, planes: int = 16, table: int = 0):
         return pd.Series(bits @ weights)
 
     return _bucket(vec)
+
+
+def lsh_bucket_multi(
+    vec: Column, dim: int, *, planes: int, tables: int
+) -> Column:
+    """All ``tables`` LSH bucket ids in ONE Arrow matmul: the per-table
+    plane matrices are stacked into a single (tables·planes × dim) int64
+    matrix, so a batch of vectors pays one einsum for every table instead
+    of ``tables`` separate UDF invocations (the sign test is the same
+    exact integer arithmetic as :func:`lsh_bucket` — bucket ids are
+    bit-identical per table)."""
+    stacked = np.vstack(
+        [
+            np.floor(_plane_matrix(dim, planes, t) * 1_000_000).astype(np.int64)
+            for t in range(tables)
+        ]
+    )  # (tables·planes) × dim
+    weights = (1 << np.arange(planes)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(v: pd.Series) -> pd.Series:
+        V = np.floor(
+            np.vstack(v.to_numpy()).astype(np.float64) * 1_000_000
+        ).astype(np.int64)
+        bits = (V @ stacked.T) > 0  # n × (tables·planes)
+        ids = bits.reshape(len(V), tables, planes) @ weights  # n × tables
+        return pd.Series(list(ids))
+
+    return _buckets(vec)
 
 
 def lsh_topk(

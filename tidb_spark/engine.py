@@ -2807,7 +2807,13 @@ class Engine:
                 # shape fails this and the statement stays on the
                 # always-correct slow path; false positives only cost
                 # caching, never correctness.
+                # The nested self.sql() below re-enters statement entry,
+                # which re-snapshots _prev_from_binding/_prev_from_cache;
+                # save/restore ALL provenance fields (not just
+                # _last_plan_from_binding) so a mid-statement read of
+                # @@last_plan_from_* never sees the capture pass's state.
                 saved_binding = self._last_plan_from_binding
+                saved_prev = (self._prev_from_binding, self._prev_from_cache)
                 literal_text = _map_code(
                     text,
                     lambda code, _it=iter(vals): re.sub(
@@ -2827,6 +2833,7 @@ class Engine:
                 finally:
                     self._lower_capture = None
                     self._last_plan_from_binding = saved_binding
+                    self._prev_from_binding, self._prev_from_cache = saved_prev
                 bound_fast = _map_code(
                     lowered,
                     lambda code: re.sub(

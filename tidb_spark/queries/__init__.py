@@ -62,88 +62,71 @@ _LOADED = False
 # representative per SURVEY §2 family so every family gets driver rows;
 # everything not listed keeps its natural (import) order after slot 50.
 _PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 9 window (50 slots the driver verifies) ---
-    # Built by replaying CORRECTNESS_r0{1..8}.json: the 4 queries that
-    # have NEVER had a driver row (late-r8 additions — VERDICT r8 item
-    # #1) lead, then the 40 rows whose latest green check is r5 (the
-    # stalest tier — after this rotation no query's latest check
-    # predates r6), then r9 additions / r9 plan changes as they land.
+    # --- round 10 window (50 slots the driver verifies) ---
+    # Built by replaying CORRECTNESS_r0{1..9}.json: the one never-
+    # driver-checked query (the r10 addition dedup_lsh_verified) leads,
+    # then the 43 rows whose latest green check is r6 (the stalest tier
+    # — after this rotation no query's latest check predates r7), then
+    # the two queries whose physical plan changed this round (the
+    # k-means two-level pruned assign), then the 4 stalest r7 rows.
     # --- never driver-checked (must lead) ---
-    "graph_label_propagation",
-    "graph_personalized_pagerank",
-    "text_bpe_pairs",
-    "text_lm_surprise",
-    # --- the 40 r5-latest rows (stalest tier) ---
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q6",
-    "tpch_q9",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q21",
-    "setop_except_all",
-    "window_groups_frame",
-    "agg_percentile",
-    "agg_json",
-    "point_get",
-    "batch_point_get",
-    "subq_scalar",
-    "subq_correlated",
-    "subq_exists_bool",
-    "subq_in_notin",
-    "func_cast",
-    "func_datetime",
-    "func_hash_inet",
-    "func_json",
-    "func_mysql_shims",
-    "func_string",
-    "dedup_exact",
-    "dedup_cluster",
-    "embedding_neardup",
-    "sim_topk_quantized",
-    "text_stats",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_quality",
-    "text_repetition",
-    "multimodal_meta",
-    "sample_diversity",
-    "mysqlsql_group_concat",
-    "mysqlsql_json_mutate",
-    # --- r9 additions / r9 plan changes (swap in as they land; 6 slots) ---
-    # (pinyin collation shipped as DDL-accept/use-reject parity — the
-    # reference's collator is a panic stub with no weight data
-    # (util/collate/pinyin_tidb_as_cs.go:22-34), so there are no
-    # comparison semantics to oracle; pinned by pytest
-    # test_collation_pinyin_ddl_accepts_use_rejects instead.)
-    "dedup_minhash_lsh",  # r9 plan change: union-free Jaccard verify
-    "dedup_semantic_ivf",  # r9 plan change: per-bucket int64 matmul cell
-    "mysqlsql_fulltext_qexp",  # r9 semantics fix: df over DISTINCT seed docs
-    "multimodal_mp4_demux",  # r9 addition: ISO-BMFF mux/demux (data/mp4.py)
-    "multimodal_mpeg_scan",  # r9 addition: MPEG audio frame walk
-    "multimodal_resize",  # r9 addition: decode→box-resize fusion
-    # (Evicted to past-slot-50 to make room for the three NEW queries —
-    # never-driver-checked rows outrank plan-change rechecks (VERDICT r8
-    # item #1): sim_pq_topk (combinable-argmin), text_boilerplate_strip
-    # (spread-before-explode), and graph_common_neighbors (byte-gated
-    # broadcast probe — a join-STRATEGY change pinned by
-    # tests/test_plans.py:537 plus the sf0.001 oracle mirror).  All
-    # three have green r7/r8 driver rows and roll into the r10 window
-    # with the r6 tier.)
-    # (r10 rotation plan: the 44 r6-latest rows are the next stalest
-    # tier — agg_rollup, cte_nonrecursive, dedup_semantic_ivf*,
-    # dedup_simhash, func_control/like_regexp/math, the 13 graph_match_*/
-    # shortest/pagerank/wcc rows, join_full_outer/null_safe,
-    # limit_offset, multimodal_features, 7 mysqlsql longtails,
-    # sample_deterministic, setop_intersect_all, sim_ivf/lsh/cosine,
-    # the 5 stream_* rows, text_winnowing, tpch_q3, window_range_frame.
-    # *dedup_semantic_ivf re-verifies THIS round (r9 plan change), so it
-    # drops out of the r10 tier.  Regenerate from the CORRECTNESS files,
-    # not this comment.)
+    "dedup_lsh_verified",  # r10 addition: LSH-prefilter + exact verify
+    # --- the 43 r6-latest rows (stalest tier) ---
+    "tpch_q3",
+    "join_full_outer",
+    "join_null_safe",
+    "setop_intersect_all",
+    "window_range_frame",
+    "limit_offset",
+    "sample_deterministic",
+    "agg_rollup",
+    "cte_nonrecursive",
+    "func_math",
+    "func_control",
+    "func_like_regexp",
+    "graph_match_out",
+    "graph_match_in",
+    "graph_match_both",
+    "graph_match_2hop",
+    "graph_match_multipath",
+    "graph_match_edge_props",
+    "graph_any_shortest",
+    "graph_any_shortest_len",
+    "graph_all_shortest",
+    "graph_top_k_shortest",
+    "graph_any_cheapest",
+    "graph_pagerank",
+    "graph_wcc",
+    "dedup_simhash",
+    "sim_topk_cosine",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "text_winnowing",
+    "multimodal_features",
+    "mysqlsql_date_funcs",
+    "mysqlsql_string_misc",
+    "mysqlsql_json_read",
+    "mysqlsql_datetime_longtail",
+    "mysqlsql_string_longtail",
+    "mysqlsql_hint_join",
+    "mysqlsql_view_join",
+    "stream_tumbling_hour",
+    "stream_sliding_1h_15m",
+    "stream_session_30m",
+    "stream_dedup_keys",
+    "stream_interval_join",
+    # --- r10 plan changes (k-means assign dispatch; flat at sf0.01 but
+    # the dispatch + callers changed, so re-green them) ---
+    "dedup_semantic_kmeans",
+    "embedding_kmeans",
+    # --- 4 stalest r7 rows (registry order) ---
+    "cte_recursive",
+    "join_asof",
+    "agg_histogram",
+    "join_range",
+    # (r11 rotation plan: the remaining 41 r7-latest rows are the next
+    # stalest tier.  Regenerate from the CORRECTNESS files, not this
+    # comment.)
 )
 
 

@@ -3,11 +3,11 @@ MinHash-LSH / SimHash / embedding), similarity search (brute-force, LSH,
 IVF), text analysis (tokens, quality, language ID, fingerprints), and
 multimodal binary-column plumbing.
 
-Oracle strategy: anything whose math can be pinned to integers (quantized
-dots, shingle counts, micro-ratios) is oracle-checked bit-exactly; sketch-
-or FP-order-dependent operators (MinHash, SimHash, cosine, LSH/IVF probes,
-mapInPandas decodes) are rows-only, with their exact counterparts covering
-the semantics.
+Oracle strategy: every registered query is oracle-gated bit-exactly —
+all math is pinned to integers (quantized dots, shingle counts,
+micro-ratios, integer hashes), so the DuckDB oracle replays sketches
+(MinHash, SimHash), LSH/IVF probes, and mapInPandas decodes value-for-
+value; there are no rows-only entries left in this module.
 """
 
 from __future__ import annotations
@@ -243,6 +243,84 @@ FROM pairs
 WHERE dot > 0 AND dot * dot * 25 >= 4 * na2 * nb2
 ORDER BY v1, v2
 """
+
+
+def _lsh_verified_oracle(
+    dim: int = 64,
+    planes: int = 8,
+    tables: int = 8,
+    scale: int = 1000,
+    num2: int = 4,
+    den2: int = 25,
+) -> str:
+    """DuckDB mirror of dedup_lsh_verified, generated from the SAME
+    quantized plane constants the Spark bucketer uses (lsh_plane_ints) so
+    candidacy cannot drift: candidates are pairs co-bucketed in any
+    table, verification is the exact integer cosine algebra of
+    embedding_neardup.  Buckets hash the 1e6-quantized vector (the
+    lsh_bucket contract); verification uses the neardup family's 1e3
+    quantization."""
+    bucket_cols = []
+    for t in range(tables):
+        rows = sim.lsh_plane_ints(dim, planes=planes, table=t)
+        bits = []
+        for j, row in enumerate(rows):
+            consts = "[" + ", ".join(str(c) for c in row) + "]"
+            d = (
+                "CAST(list_sum(list_transform(list_zip(bqv, "
+                + consts
+                + "), p -> p[1] * p[2])) AS BIGINT)"
+            )
+            bits.append(f"CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END")
+        bucket_cols.append("(" + " + ".join(bits) + f") AS b{t}")
+    bucket_sql = ",\n         ".join(bucket_cols)
+    joins = " OR ".join(f"x.b{t} = y.b{t}" for t in range(tables))
+    return f"""
+WITH raw AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS bqv,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2,
+         {bucket_sql}
+  FROM raw
+),
+cand AS (
+  SELECT x.vec_id AS v1, y.vec_id AS v2,
+         CAST(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2])) AS BIGINT) AS dot,
+         x.n2 AS na2, y.n2 AS nb2
+  FROM b x JOIN b y ON x.vec_id < y.vec_id AND ({joins})
+)
+SELECT v1, v2, dot
+FROM cand
+WHERE dot > 0 AND dot * dot * {den2} >= {num2} * na2 * nb2
+ORDER BY v1, v2
+"""
+
+
+@register(
+    "dedup_lsh_verified",
+    oracle=_lsh_verified_oracle(),
+    tags=("dedup", "similarity", "approx"),
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-prefilter + exact-verify near-dup pairs — what a 100 TB corpus
+    actually runs instead of embedding_neardup's O(n²) exact baseline:
+    candidates from 8 random-hyperplane tables × 8 integer-exact sign
+    bits (pair work Σ|bucket|² per table, sized by 2^planes ∝ corpus),
+    then the SAME exact integer cosine test (cos ≥ 0.4 algebraized to
+    dot²·25 ≥ 4·‖a‖²·‖b‖², 1e3 quantization) applied JVM-side to the
+    candidates only.  Output ⊆ embedding_neardup by construction; recall
+    is the deterministic LSH-collision function of the fixed plane
+    constants, which the generated oracle replays bit-exactly."""
+    emb = dd.spread_small(_t(spark, sf_dir, "embeddings"), "vec_id")
+    return sim.lsh_prefiltered_pairs_above(
+        emb, dim=64, scale=1000, threshold_num=2, threshold_den=5,
+        planes=8, tables=8,
+    ).orderBy("v1", "v2")
 
 
 @register("embedding_neardup", oracle=EMBED_NEARDUP_ORACLE, tags=("dedup", "similarity"))
@@ -1848,7 +1926,10 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded and total pair work is linear in n instead of n²/8.  The
     count() is the same one-off control-plane probe the IVF family pays.
     One shuffle on cluster_id for the self-join; the k-means phase is
-    the data/kmeans.py plan (broadcast assign + k-row sync)."""
+    the data/kmeans.py plan — and because k ∝ n here, its assign stage
+    runs the two-level pruned path (O(n·√k) coarse bounds, √k-row
+    broadcast, keyed fine join) instead of the O(n·k) flat broadcast,
+    so no stage in this query is super-linear in the corpus."""
     emb = dd.spread_small(_t(spark, sf_dir, "embeddings"), "vec_id")
     k = max(8, emb.count() // 512)
     assigned = km.kmeans_assignments(
