@@ -137,21 +137,22 @@ def test_ivf_pair_cell_matches_exact_integer_pairs(spark):
 
 
 def _both_paths(monkeypatch, emb, *, k, iters):
-    """Run kmeans_assignments with the flat path forced, then with the
-    two-level pruned path forced, and return both sorted row lists."""
+    """Run kmeans_assignments with the flat exact path forced, then with
+    the Arrow-matmul exact path forced, and return both sorted row
+    lists."""
     import tidb_spark.data.kmeans as km
 
     monkeypatch.setattr(km, "_FLAT_ASSIGN_K", 10_000)
     flat = km.kmeans_assignments(emb, k=k, iters=iters).orderBy("vec_id").collect()
-    monkeypatch.setattr(km, "_FLAT_ASSIGN_K", 2)
-    pruned = km.kmeans_assignments(emb, k=k, iters=iters).orderBy("vec_id").collect()
-    return flat, pruned
+    monkeypatch.setattr(km, "_FLAT_ASSIGN_K", 0)
+    matmul = km.kmeans_assignments(emb, k=k, iters=iters).orderBy("vec_id").collect()
+    return flat, matmul
 
 
-def test_kmeans_pruned_assign_bitexact_vs_flat(spark, monkeypatch):
-    """The two-level triangle-inequality assign (_assign_pruned) must be
-    bit-identical to the exhaustive flat assign — same argmin, same
-    lowest-id tie-breaks — across multiple Lloyd steps."""
+def test_kmeans_matmul_assign_bitexact_vs_flat(spark, monkeypatch):
+    """The zero-shuffle Arrow-matmul exact assign must be bit-identical
+    to the crossJoin+window flat assign — same argmin, same lowest-id
+    tie-breaks — across multiple Lloyd steps."""
     emb = spark.range(0, 120).select(
         F.col("id").alias("vec_id"),
         F.array(
@@ -160,30 +161,122 @@ def test_kmeans_pruned_assign_bitexact_vs_flat(spark, monkeypatch):
             ((F.col("id") * 3) % 5).cast("float"),
         ).alias("embedding"),
     )
-    flat, pruned = _both_paths(monkeypatch, emb, k=12, iters=3)
-    assert flat == pruned
+    flat, matmul = _both_paths(monkeypatch, emb, k=12, iters=3)
+    assert flat == matmul
     assert len(flat) == 120
 
 
-def test_kmeans_pruned_assign_preserves_tie_breaks(spark, monkeypatch):
+def test_kmeans_matmul_assign_preserves_tie_breaks(spark, monkeypatch):
     """Equidistant points (1-D grid where every odd point ties between
     its two neighbouring centroids) must keep the lowest-id winner
-    through the pruned path."""
+    through the matmul path."""
     rows = [(i, [float(i)]) for i in range(0, 32)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    # k=16 seeds are vec_id 0..15 → after quantization, point 20 is
-    # equidistant to several updated centroids; both paths must agree.
-    flat, pruned = _both_paths(monkeypatch, emb, k=16, iters=2)
-    assert flat == pruned
+    flat, matmul = _both_paths(monkeypatch, emb, k=16, iters=2)
+    assert flat == matmul
 
 
-def test_kmeans_pruned_assign_on_fixture(spark, monkeypatch):
-    """Pruned vs flat on the real embeddings fixture at a corpus-scaled
-    k (the SemDeDup shape that triggers the two-level path in prod)."""
+def test_kmeans_matmul_assign_on_fixture(spark, monkeypatch):
+    """Matmul vs flat on the real embeddings fixture at a corpus-scaled
+    k (the shape that triggers the matmul path in prod)."""
     emb = (
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         .select("vec_id", "embedding")
     )
-    flat, pruned = _both_paths(monkeypatch, emb, k=20, iters=2)
-    assert flat == pruned
+    flat, matmul = _both_paths(monkeypatch, emb, k=20, iters=2)
+    assert flat == matmul
     assert len(flat) == 500
+
+
+def _ivf_reference(V, k, iters):
+    """Pure-numpy replay of the documented ivf assign contract
+    (two-level: stride seeds, centroid->cell, point->live cell, exact
+    argmin within cell; integer floor-average updates)."""
+    import math as m
+
+    import numpy as np
+
+    Q = np.round(V * 1000).astype(np.int64)
+
+    def argmin_rows(A, B):
+        d = -2 * (A @ B.T) + np.einsum("ij,ij->i", B, B)[None, :]
+        return np.argmin(d, axis=1)
+
+    cent = [(i, Q[i].copy()) for i in range(min(k, len(Q)))]
+    for step in range(iters):
+        kk = len(cent)
+        g = m.isqrt(kk - 1) + 1 if kk > 1 else 1
+        stride = -(-kk // g)
+        C = np.vstack([v for _, v in cent])
+        ids = np.array([c for c, _ in cent])
+        seeds = C[::stride]
+        cell_of = argmin_rows(C, seeds)
+        live = np.unique(cell_of)
+        pcell = live[argmin_rows(Q, seeds[live])]
+        out = np.empty(len(Q), dtype=np.int64)
+        for cell in live:
+            members = np.where(cell_of == cell)[0]
+            pidx = np.where(pcell == cell)[0]
+            if len(pidx):
+                out[pidx] = ids[members[argmin_rows(Q[pidx], C[members])]]
+        if step == iters - 1:
+            return out
+        new = []
+        for cid in np.unique(out):
+            sel = Q[out == cid]
+            new.append((int(cid), np.floor(sel.sum(0) / len(sel)).astype(np.int64)))
+        cent = sorted(new)
+    return out
+
+
+def test_kmeans_ivf_assign_matches_numpy_reference(spark):
+    """assign="ivf" (the SemDeDup two-level contract) must reproduce the
+    pure-numpy replay of its documented semantics exactly — including
+    cell tie-breaks and the live-cell restriction — on the real
+    embeddings fixture at a corpus-scaled k."""
+    import numpy as np
+
+    from tidb_spark.data.kmeans import kmeans_assignments
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+    )
+    rows = emb.collect()
+    V = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    for k in (8, 20):
+        want = _ivf_reference(V, k, 2)
+        got = (
+            kmeans_assignments(emb, k=k, iters=2, assign="ivf")
+            .orderBy("vec_id")
+            .collect()
+        )
+        assert len(got) == len(rows)
+        assert [r.cluster_id for r in got] == [int(x) for x in want], k
+
+
+def test_kmeans_ivf_assign_deterministic(spark):
+    from tidb_spark.data.kmeans import kmeans_assignments
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    a1 = kmeans_assignments(emb, k=20, iters=2, assign="ivf").orderBy("vec_id").collect()
+    a2 = kmeans_assignments(emb, k=20, iters=2, assign="ivf").orderBy("vec_id").collect()
+    assert a1 == a2
+
+
+def test_kmeans_ivf_local_and_distributed_strategies_agree(spark, monkeypatch):
+    """The single-closure (small-k) and cogrouped (corpus-k) executions
+    of assign="ivf" are the same deterministic function — forcing the
+    distributed pipeline at tiny k must reproduce the local result."""
+    import tidb_spark.data.kmeans as km
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    local = km.kmeans_assignments(emb, k=20, iters=2, assign="ivf").orderBy("vec_id").collect()
+    monkeypatch.setattr(km, "_LOCAL_IVF_K", 0)
+    dist = km.kmeans_assignments(emb, k=20, iters=2, assign="ivf").orderBy("vec_id").collect()
+    assert local == dist

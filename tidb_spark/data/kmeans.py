@@ -7,13 +7,29 @@ Scale shape (Lloyd iteration on a cluster):
   with the corpus), so each iteration collects k rows; the data-sized
   work per iteration is one assign pass + one map-side-combined groupBy
   (update): no driver materialization of anything O(n).
-- the assign pass dispatches on k (`_FLAT_ASSIGN_K`): constant small k
-  gets the flat broadcast crossJoin (n·k candidates); corpus-scaled k
-  (SemDeDup sets k = n/512) gets the exact two-level pruned assign —
-  O(n·√k) coarse bounds against a √k-row broadcast, then a keyed join
-  with only the unprunable cells' members, so neither the broadcast nor
-  the candidate rowset ever grows O(n·k) = O(n²/512).  Both paths are
-  bit-identical (integer bounds, lowest-id ties; property-tested).
+- the EXACT assign pass dispatches on k (`_FLAT_ASSIGN_K`): constant
+  small k gets the flat broadcast crossJoin (n·k candidate rows through
+  a per-point window — all JVM, right for k ≲ 64); larger k gets a
+  zero-shuffle Arrow matmul (`_assign_matmul`, the assign_to_centroids
+  shape from data/similarity.py): n rows in, n rows out, the n·k work
+  happens inside one einsum per batch instead of materializing n·k
+  rows.  Both are bit-identical (exact int64 distances, lowest-id
+  ties; property-tested).
+- for corpus-scaled k (SemDeDup's k = n/512), even the matmul's O(n·k)
+  FLOPs and O(k) closure are super-linear once k ∝ n.  `assign="ivf"`
+  switches the CONTRACT to the deterministic two-level assign every
+  production SemDeDup runs (Abbas et al. 2023 use faiss' IVF-style
+  clustering): points go to their nearest of g = ⌈√k⌉ coarse cells
+  (cells = every ⌈k/g⌉-th centroid by rank; √k-sized closure), then to
+  the exact argmin among THAT cell's member centroids (cogrouped
+  per-cell matmul — one n-row shuffle, no O(k) broadcast).  O(n·√k)
+  work, deterministic at every step (integer math, lowest-id ties at
+  both levels), so a SQL oracle replays it bit-exactly.  NOTE: an
+  exact-pruning two-level (triangle-inequality bounds) was built and
+  measured first — on near-isotropic 64-dim embeddings concentration
+  of measure makes every bound vacuous (sf3 probe: 29.7 s pruned vs
+  13.8 s flat) — recorded negative result, hence the contract-level
+  IVF mode instead.
 - iteration count is FIXED (training-pipeline k-means is always run
   with a step budget); no convergence collect inside the loop.
 
@@ -29,36 +45,31 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 _Q = "__km_q"
 
-# Above this k the assign stage switches from the flat broadcast-crossJoin
-# (n·k candidate rows, k-row broadcast — the right plan for constant k) to
-# the exact two-level pruned assign (n·√k coarse work, √k-row broadcast —
-# the right plan once k scales with the corpus, as SemDeDup's k = n/512
-# does).  Both paths are bit-identical by construction; tests force the
-# pruned path at tiny k to prove it.
+# Above this k the exact assign switches from the flat broadcast-crossJoin
+# (n·k candidate rows through a window — the right JVM-side plan for
+# constant k) to the zero-shuffle Arrow matmul.  Bit-identical results.
 _FLAT_ASSIGN_K = 64
 
-
-def _isqrt(x: F.Column) -> F.Column:
-    """Exact floor(sqrt(x)) for non-negative longs.
-
-    Float sqrt is within 1 ulp for inputs < 2^53 (all our squared
-    distances are ≲ 2^40), so one ±1 integer correction restores the
-    exact integer floor — pure codegen, no UDF."""
-    s = F.floor(F.sqrt(x.cast("double"))).cast("long")
-    s = F.when((s + 1) * (s + 1) <= x, s + 1).otherwise(s)
-    return F.when(s * s > x, s - 1).otherwise(s)
-
-
-def _csqrt(x: F.Column) -> F.Column:
-    """Exact ceil(sqrt(x)) for non-negative longs."""
-    s = _isqrt(x)
-    return F.when(s * s < x, s + 1).otherwise(s)
+# Up to this k the ivf assign runs BOTH levels in one zero-shuffle
+# mapInPandas closure (O(k·dim) closure — cheap while k is bounded);
+# beyond it the distributed pipeline (√k closure + per-cell cogroup)
+# takes over.  Pure execution-strategy switch: the assignment function
+# is identical, so results are bit-equal (tested).
+_LOCAL_IVF_K = 4096
 
 
 def quantize(vec_col: str, *, scale: int = 1000) -> F.Column:
@@ -76,23 +87,61 @@ def _sqdist(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
-def _assign(pts: DataFrame, centroids: DataFrame, k: int) -> DataFrame:
-    """Attach cluster_id = argmin_c ||q - centroid_c||^2 (ties -> lowest id).
+def _cent_matrix(cent: list[tuple[int, np.ndarray]]) -> tuple[np.ndarray, np.ndarray]:
+    """(ids ascending, k×dim int64 matrix) from local centroid rows."""
+    ids = np.array([c for c, _ in cent], dtype=np.int64)
+    C = np.vstack([v for _, v in cent]).astype(np.int64)
+    return ids, C
 
-    Dispatches on k: flat broadcast assign while k is small (the classic
-    constant-k plan), exact two-level pruned assign once k scales with
-    the corpus (SemDeDup's k = n/512 makes the flat plan O(n²/512) rows
-    and an O(n)-sized broadcast — the one shape that cannot survive a
-    100× scale-up).  Both paths produce identical rows."""
-    if k <= _FLAT_ASSIGN_K:
-        return _assign_flat(pts, centroids)
-    return _assign_pruned(pts, centroids, k)
+
+def _argmin_dist(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Index of the nearest row of C for each row of Q, exact int64.
+
+    ||q-c||² = ||q||² - 2q·c + ||c||²; the per-point ||q||² term is
+    constant under argmin, so comparing -2q·c + ||c||² is exact and
+    overflow-safe while dim·(scale·max|x|)² < 2^62 — the same bound the
+    SQL oracles rely on.  np.argmin keeps the FIRST minimum, so with
+    rows in ascending id order ties break to the lowest id, matching
+    the flat path's ORDER BY dist, cluster_id."""
+    d = -2 * (Q @ C.T) + np.einsum("ij,ij->i", C, C)[None, :]
+    return np.argmin(d, axis=1)
+
+
+def _assign(
+    pts: DataFrame,
+    cent: list[tuple[int, np.ndarray]],
+    spark: SparkSession,
+    *,
+    mode: str = "exact",
+) -> DataFrame:
+    """Attach cluster_id per point.  mode="exact": argmin over ALL k
+    centroids (ties -> lowest id) — flat crossJoin for small k, Arrow
+    matmul beyond (identical rows).  mode="ivf": the deterministic
+    two-level contract (nearest coarse cell, then exact argmin within
+    it) — O(n·√k), the SemDeDup scale path."""
+    if mode == "ivf":
+        return _assign_ivf(pts, cent, spark)
+    if len(cent) <= _FLAT_ASSIGN_K:
+        return _assign_flat(pts, _cent_df(cent, spark))
+    return _assign_matmul(pts, cent)
+
+
+def _cent_df(cent: list[tuple[int, np.ndarray]], spark: SparkSession) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("cluster_id", IntegerType()),
+            StructField("__km_centroid", ArrayType(LongType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(c), [int(x) for x in v]) for c, v in cent], schema
+    )
 
 
 def _assign_flat(pts: DataFrame, centroids: DataFrame) -> DataFrame:
     """Flat assign: broadcast all k centroids, n·k candidates, window
     argmin.  Right plan for constant small k — zero point-side shuffle
-    beyond the per-point window."""
+    beyond the per-point window, everything JVM-side."""
     cand = pts.crossJoin(F.broadcast(centroids)).withColumn(
         "__km_dist", _sqdist(F.col(_Q), F.col("__km_centroid"))
     )
@@ -104,136 +153,135 @@ def _assign_flat(pts: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def _assign_pruned(pts: DataFrame, centroids: DataFrame, k: int) -> DataFrame:
-    """Exact two-level assign for corpus-scaled k: O(n·√k) coarse work
-    with a √k-row broadcast, then a keyed join against only the cells
-    that can contain the argmin.
+def _assign_matmul(pts: DataFrame, cent: list[tuple[int, np.ndarray]]) -> DataFrame:
+    """Exact assign as a zero-shuffle Arrow matmul (the
+    assign_to_centroids shape, data/similarity.py): the k×dim int64
+    centroid matrix rides in the closure and each Arrow batch computes
+    all k distances in one einsum — n rows in, n rows out, no n·k row
+    materialization, no window shuffle.  Bit-identical to
+    :func:`_assign_flat`.  The closure is O(k·dim) — fine for any k
+    that Lloyd's k-row driver sync already collects; for corpus-scaled
+    k use mode="ivf", whose closure is O(√k·dim)."""
+    ids, C = _cent_matrix(cent)
 
-    Shape: the k centroids are first grouped into g = ⌈√k⌉ coarse cells
-    (cell seeds = every ⌈k/g⌉-th centroid by id; membership = a recursive
-    _assign of k rows against g seeds — k-scale work, never n-scale).
-    Each non-empty cell keeps its seed vector and an integer ceiling of
-    its member radius r_j = max ‖c − g_j‖.  Every point then evaluates,
-    in ONE shuffle-free projection against a single broadcast row of g
-    structs, the exact triangle-inequality bounds
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.vstack(pdf[_Q].to_numpy()).astype(np.int64)
+            out = pdf.copy()
+            out["cluster_id"] = ids[_argmin_dist(Q, C)].astype(np.int32)
+            yield out
 
-        lb_j = ⌊‖p − g_j‖⌋ − ⌈r_j⌉      (≤ distance to ANY member of j)
-        ub   = min_j (⌈‖p − g_j‖⌉ + ⌈r_j⌉)  (≥ distance to SOME centroid)
+    schema = StructType(
+        pts.schema.fields + [StructField("cluster_id", IntegerType())]
+    )
+    return pts.mapInPandas(gen, schema=schema)
 
-    and prunes every cell with lb_j > ub: such a cell's members are all
-    strictly farther than ub ≥ d(nearest), so neither the argmin nor any
-    tie can live there — the lowest-id tie-break is preserved exactly.
-    All bounds are integers (exact ⌊√·⌋/⌈√·⌉ via _isqrt/_csqrt), so no
-    float ever decides an assignment.  Surviving (point, cell) rows join
-    the centroid frame BY KEY — a shuffle hash join at any k, no O(k)
-    broadcast — and a map-side-combinable min(struct(dist, id)) takes
-    the exact argmin.  The cell achieving ub always survives its own
-    bound, so every point keeps ≥ 1 candidate cell.
+
+def _assign_ivf(
+    pts: DataFrame, cent: list[tuple[int, np.ndarray]], spark: SparkSession
+) -> DataFrame:
+    """Deterministic two-level (IVF-style) assign — the documented
+    CONTRACT for corpus-scaled k, not an approximation of mode="exact":
+
+    1. coarse cells: every ⌈k/g⌉-th centroid of the id-sorted list,
+       g = ⌈√k⌉ (cell_id = position in that slice);
+    2. each CENTROID joins the cell of its nearest seed (exact int64
+       argmin, ties -> lowest cell) — k×g work on the already-local
+       centroid rows;
+    3. each POINT probes its nearest NON-EMPTY cell (√k-sized closure,
+       zero-shuffle Arrow matmul — empty cells are excluded so every
+       probed cell has members);
+    4. exact argmin among that cell's member centroids, ties -> lowest
+       cluster_id, via cogrouped per-cell Arrow matmuls (ONE n-row
+       shuffle on cell_id, no O(k) broadcast anywhere).
+
+    Work is O(n·(g + k/g)) = O(n·√k); every tie-break is integer and
+    ordered, so a SQL oracle replays the full assignment bit-exactly.
     """
-    g = math.isqrt(k - 1) + 1
-    stride = -(-k // g)  # ceil(k/g); cluster ids are 0..k-1 contiguous
-    seeds = centroids.where(F.col("cluster_id") % stride == 0).select(
-        (F.col("cluster_id") / stride).cast("int").alias("__km_cell"),
-        F.col("__km_centroid").alias("__km_seed"),
-    )
-    # Cell membership of each centroid — k rows vs g seeds, recursive
-    # (g ≈ √k stays under the flat threshold until k ≈ 4096; beyond that
-    # the recursion adds a third level, still exact).
-    cent_cells = _assign(
-        centroids.select(
-            F.col("cluster_id").alias("vec_id"),
-            F.col("__km_centroid").alias(_Q),
-        ),
-        seeds.select(
-            F.col("__km_cell").alias("cluster_id"),
-            F.col("__km_seed").alias("__km_centroid"),
-        ),
-        g,
-    ).select(
-        F.col("vec_id").alias("cluster_id"),
-        F.col(_Q).alias("__km_centroid"),
-        F.col("cluster_id").alias("__km_cell"),
-    )
-    # Per-cell ceil'd member radius; inner joins drop EMPTY cells from
-    # both the bounds and the fine pass (an empty cell's seed distance
-    # bounds no real centroid, so it must not contribute to ub).
-    radii = (
-        cent_cells.join(F.broadcast(seeds), "__km_cell")
-        .groupBy("__km_cell")
-        .agg(
-            F.max(
-                _csqrt(_sqdist(F.col("__km_centroid"), F.col("__km_seed")))
-            ).alias("__km_r")
+    k = len(cent)
+    g = math.isqrt(k - 1) + 1 if k > 1 else 1
+    stride = -(-k // g)
+    ids, C = _cent_matrix(cent)
+    seeds = C[::stride]  # cell_id = row position, ascending
+    cell_of = _argmin_dist(C, seeds)  # per-centroid cell, ties -> lowest
+    live = np.unique(cell_of)  # non-empty cells, ascending
+    seed_live = seeds[live]
+
+    if k <= _LOCAL_IVF_K:
+        # Same two-level function, single zero-shuffle stage: both the
+        # coarse probe and the within-cell argmin run in one closure.
+        members = {int(c): np.where(cell_of == c)[0] for c in live}
+
+        def assign_local(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.vstack(pdf[_Q].to_numpy()).astype(np.int64)
+                pc = live[_argmin_dist(Q, seed_live)]
+                res = np.empty(len(Q), dtype=np.int64)
+                for c in live:
+                    pidx = np.where(pc == c)[0]
+                    if len(pidx):
+                        m = members[int(c)]
+                        res[pidx] = ids[m[_argmin_dist(Q[pidx], C[m])]]
+                out = pdf.copy()
+                out["cluster_id"] = res.astype(np.int32)
+                yield out
+
+        schema = StructType(
+            pts.schema.fields + [StructField("cluster_id", IntegerType())]
         )
+        return pts.mapInPandas(assign_local, schema=schema)
+
+    def assign_cell(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.vstack(pdf[_Q].to_numpy()).astype(np.int64)
+            out = pdf.copy()
+            out["__km_cell"] = live[_argmin_dist(Q, seed_live)].astype(np.int32)
+            yield out
+
+    cell_schema = StructType(
+        pts.schema.fields + [StructField("__km_cell", IntegerType())]
     )
-    cells_row = (
-        seeds.join(radii, "__km_cell")
-        .agg(
-            F.collect_list(
-                F.struct("__km_cell", "__km_seed", "__km_r")
-            ).alias("__km_cells")
-        )
+    pcell = pts.mapInPandas(assign_cell, schema=cell_schema)
+    cent_df = spark.createDataFrame(
+        [
+            (int(c), [int(x) for x in v], int(cell_of[i]))
+            for i, (c, v) in enumerate(cent)
+        ],
+        "cluster_id int, __km_centroid array<bigint>, __km_cell int",
     )
-    # Coarse pass: one broadcast row of g structs, higher-order functions
-    # only — no shuffle, no row expansion until the survivor explode.
-    scored = pts.crossJoin(F.broadcast(cells_row)).withColumn(
-        "__km_cd",
-        F.transform(
-            F.col("__km_cells"),
-            lambda c: F.struct(
-                c["__km_cell"].alias("cell"),
-                _sqdist(F.col(_Q), c["__km_seed"]).alias("dsq"),
-                c["__km_r"].alias("r"),
-            ),
-        ),
-    ).drop("__km_cells")
-    scored = scored.withColumn(
-        "__km_cd",
-        F.transform(
-            F.col("__km_cd"),
-            lambda c: F.struct(
-                c["cell"].alias("cell"),
-                c["r"].alias("r"),
-                c["dsq"].alias("dsq"),
-                _isqrt(c["dsq"]).alias("fl"),
-            ),
-        ),
-    ).withColumn(
-        "__km_ub",
-        F.array_min(
-            F.transform(
-                F.col("__km_cd"),
-                lambda c: c["fl"]
-                + F.when(c["fl"] * c["fl"] < c["dsq"], F.lit(1)).otherwise(F.lit(0))
-                + c["r"],
+
+    out_cols = [f.name for f in pts.schema.fields]
+
+    def fine(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        out = lpdf[out_cols].copy()
+        if not len(lpdf):
+            out["cluster_id"] = pd.Series([], dtype="int32")
+            return out
+        if not len(rpdf):
+            raise ValueError(
+                "ivf assign: point probed an empty cell — live-cell "
+                "restriction violated"
             )
-        ),
+        r = rpdf.sort_values("cluster_id")
+        M = np.vstack(r["__km_centroid"].to_numpy()).astype(np.int64)
+        mids = r["cluster_id"].to_numpy()
+        Q = np.vstack(lpdf[_Q].to_numpy()).astype(np.int64)
+        out["cluster_id"] = mids[_argmin_dist(Q, M)].astype(np.int32)
+        return out
+
+    out_schema = StructType(
+        pts.schema.fields + [StructField("cluster_id", IntegerType())]
     )
-    cand = scored.select(
-        *pts.columns,
-        F.explode(
-            F.transform(
-                F.filter(
-                    F.col("__km_cd"),
-                    lambda c: c["fl"] - c["r"] <= F.col("__km_ub"),
-                ),
-                lambda c: c["cell"],
-            )
-        ).alias("__km_cell"),
-    )
-    fine = cand.join(cent_cells, "__km_cell").withColumn(
-        "__km_dist", _sqdist(F.col(_Q), F.col("__km_centroid"))
-    )
-    carry = [c for c in pts.columns if c != "vec_id"]
     return (
-        fine.groupBy("vec_id")
-        .agg(
-            F.min(F.struct(F.col("__km_dist"), F.col("cluster_id"))).alias(
-                "__km_best"
-            ),
-            *[F.first(c).alias(c) for c in carry],
-        )
-        .select(*pts.columns, F.col("__km_best.cluster_id").alias("cluster_id"))
+        pcell.groupBy("__km_cell")
+        .cogroup(cent_df.groupBy("__km_cell"))
+        .applyInPandas(fine, schema=out_schema)
     )
 
 
@@ -268,9 +316,15 @@ def kmeans_assignments(
     k: int = 8,
     iters: int = 2,
     scale: int = 1000,
+    assign: str = "exact",
 ) -> DataFrame:
     """Run `iters` Lloyd steps from deterministic seeds (the k rows with
     the smallest ids) and return (vec_id, cluster_id) final assignments.
+
+    ``assign="exact"`` computes the true argmin over all k centroids
+    every step; ``assign="ivf"`` is the deterministic two-level contract
+    for corpus-scaled k (see :func:`_assign_ivf`) — a DIFFERENT, equally
+    deterministic assignment function, mirrored by its own SQL oracle.
 
     NOTE on collect_list in _update: per-cluster vector lists must fit an
     executor — true for k >= parallelism-sized clusters of quantized
@@ -278,6 +332,8 @@ def kmeans_assignments(
     fold for a posexplode + (cluster, dim) groupBy (documented switch,
     same results).  Chosen default keeps ONE narrow shuffle per iter.
     """
+    if assign not in ("exact", "ivf"):
+        raise ValueError(f"unknown assign mode {assign!r}")
     spark = emb.sparkSession
     pts = emb.select(
         F.col(id_col).alias("vec_id"), quantize(vec_col, scale=scale).alias(_Q)
@@ -287,25 +343,19 @@ def kmeans_assignments(
         raise ValueError("kmeans_assignments: input has no rows")
     dim = len(probe[0])
     seeds = pts.orderBy("vec_id").limit(k).collect()  # k rows by contract
-    k = len(seeds)  # actual k (input may have < k rows)
-    cent_schema = StructType(
-        [
-            StructField("cluster_id", IntegerType()),
-            StructField("__km_centroid", ArrayType(LongType())),
-        ]
-    )
-    centroids = spark.createDataFrame(
-        [(i, list(r[_Q])) for i, r in enumerate(seeds)], cent_schema
-    )
+    cent = [
+        (i, np.asarray(list(r[_Q]), dtype=np.int64))
+        for i, r in enumerate(seeds)
+    ]
     for step in range(iters):
-        assigned = _assign(pts, centroids, k)
+        assigned = _assign(pts, cent, spark, mode=assign)
         if step == iters - 1:
             return assigned.select("vec_id", "cluster_id")
         # k rows to the driver, re-broadcast next round: the O(k) sync
         # point every distributed k-means has.
         new_rows = _update(assigned, dim).collect()
-        centroids = spark.createDataFrame(
-            [(int(r["cluster_id"]), list(r["__km_centroid"])) for r in new_rows],
-            cent_schema,
+        cent = sorted(
+            (int(r["cluster_id"]), np.asarray(list(r["__km_centroid"]), dtype=np.int64))
+            for r in new_rows
         )
-    return _assign(pts, centroids, k).select("vec_id", "cluster_id")
+    return _assign(pts, cent, spark, mode=assign).select("vec_id", "cluster_id")

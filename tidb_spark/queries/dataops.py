@@ -1835,7 +1835,18 @@ def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # SemDeDup: k-means clusters → within-cluster cosine near-dup pruning.
 
-_KM_CTES = """
+# Exact squared distance between two quantized vectors (DuckDB side).
+_SQD = "list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) FOR i IN range(1, len({a}) + 1)])"
+
+# Two-level (IVF-contract) k-means CTEs — the bit-exact DuckDB mirror of
+# kmeans_assignments(assign="ivf") in data/kmeans.py: g = ceil(sqrt(k))
+# coarse cells seeded by every ceil(k/g)-th centroid of the id-sorted
+# list, each centroid joins its nearest cell, each point probes its
+# nearest NON-EMPTY cell, then takes the exact argmin among that cell's
+# member centroids; ties break to the lowest cell / cluster id at every
+# level, exactly like np.argmin over ascending-id rows.  The final CTE
+# a2 holds (vec_id, cluster_id, qv) after 2 Lloyd steps.
+_KM_IVF_CTES = f"""
 q AS (
   SELECT vec_id,
          [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS qv
@@ -1846,14 +1857,45 @@ c0 AS (
   FROM q ORDER BY vec_id
   LIMIT (SELECT GREATEST(8, COUNT(*) // 512) FROM embeddings)
 ),
+kp0 AS (
+  SELECT CAST(ceil(k / ceil(sqrt(k))) AS BIGINT) AS stride
+  FROM (SELECT COUNT(*) AS k FROM c0)
+),
+s0 AS (
+  SELECT CAST(c0.cluster_id // kp0.stride AS INT) AS cell, c0.cv AS sv
+  FROM c0, kp0 WHERE c0.cluster_id % kp0.stride = 0
+),
+m0 AS (
+  SELECT cluster_id, cv, cell FROM (
+    SELECT c0.cluster_id, c0.cv, s0.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY c0.cluster_id
+             ORDER BY {_SQD.format(a='c0.cv', b='s0.sv')}, s0.cell
+           ) AS rn
+    FROM c0 CROSS JOIN s0)
+  WHERE rn = 1
+),
+p0 AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT q.vec_id, q.qv, s.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_SQD.format(a='q.qv', b='s.sv')}, s.cell
+           ) AS rn
+    FROM q CROSS JOIN (
+      SELECT s0.cell, s0.sv FROM s0
+      WHERE s0.cell IN (SELECT DISTINCT cell FROM m0)) s)
+  WHERE rn = 1
+),
 a1 AS (
-  SELECT vec_id, cluster_id, qv,
-         ROW_NUMBER() OVER (
-           PARTITION BY vec_id
-           ORDER BY list_sum([(qv[i] - cv[i]) * (qv[i] - cv[i]) FOR i IN range(1, len(qv) + 1)]),
-                    cluster_id
-         ) AS rn
-  FROM q CROSS JOIN c0
+  SELECT vec_id, qv, cluster_id FROM (
+    SELECT p0.vec_id, p0.qv, m0.cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p0.vec_id
+             ORDER BY {_SQD.format(a='p0.qv', b='m0.cv')}, m0.cluster_id
+           ) AS rn
+    FROM p0 JOIN m0 ON p0.cell = m0.cell)
+  WHERE rn = 1
 ),
 c1 AS (
   SELECT cluster_id, list(CAST(floor(s / n) AS BIGINT) ORDER BY i) AS cv
@@ -1861,24 +1903,59 @@ c1 AS (
     SELECT cluster_id, u.i AS i,
            SUM(qv[u.i]) AS s, COUNT(*) AS n
     FROM a1, range(1, 65) u(i)
-    WHERE rn = 1
     GROUP BY cluster_id, u.i
   )
   GROUP BY cluster_id
 ),
+r1 AS (
+  SELECT cluster_id, cv,
+         ROW_NUMBER() OVER (ORDER BY cluster_id) - 1 AS pos
+  FROM c1
+),
+kp1 AS (
+  SELECT CAST(ceil(k / ceil(sqrt(k))) AS BIGINT) AS stride
+  FROM (SELECT COUNT(*) AS k FROM c1)
+),
+s1 AS (
+  SELECT CAST(r1.pos // kp1.stride AS INT) AS cell, r1.cv AS sv
+  FROM r1, kp1 WHERE r1.pos % kp1.stride = 0
+),
+m1 AS (
+  SELECT cluster_id, cv, cell FROM (
+    SELECT r1.cluster_id, r1.cv, s1.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY r1.cluster_id
+             ORDER BY {_SQD.format(a='r1.cv', b='s1.sv')}, s1.cell
+           ) AS rn
+    FROM r1 CROSS JOIN s1)
+  WHERE rn = 1
+),
+p1 AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT q.vec_id, q.qv, s.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_SQD.format(a='q.qv', b='s.sv')}, s.cell
+           ) AS rn
+    FROM q CROSS JOIN (
+      SELECT s1.cell, s1.sv FROM s1
+      WHERE s1.cell IN (SELECT DISTINCT cell FROM m1)) s)
+  WHERE rn = 1
+),
 a2 AS (
-  SELECT vec_id, cluster_id, qv,
-         ROW_NUMBER() OVER (
-           PARTITION BY vec_id
-           ORDER BY list_sum([(qv[i] - cv[i]) * (qv[i] - cv[i]) FOR i IN range(1, len(qv) + 1)]),
-                    cluster_id
-         ) AS rn
-  FROM q CROSS JOIN c1
+  SELECT vec_id, qv, cluster_id, 1 AS rn FROM (
+    SELECT p1.vec_id, p1.qv, m1.cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p1.vec_id
+             ORDER BY {_SQD.format(a='p1.qv', b='m1.cv')}, m1.cluster_id
+           ) AS rn
+    FROM p1 JOIN m1 ON p1.cell = m1.cell)
+  WHERE rn = 1
 )
 """
 
 SEMDEDUP_ORACLE = f"""
-WITH {_KM_CTES},
+WITH {_KM_IVF_CTES},
 m AS (
   SELECT vec_id, cluster_id, qv,
          CAST(list_sum([x * x FOR x IN qv]) AS BIGINT) AS nsq
@@ -1925,15 +2002,18 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical GREATEST(8, COUNT(*)//512)), so per-cluster size stays
     bounded and total pair work is linear in n instead of n²/8.  The
     count() is the same one-off control-plane probe the IVF family pays.
-    One shuffle on cluster_id for the self-join; the k-means phase is
-    the data/kmeans.py plan — and because k ∝ n here, its assign stage
-    runs the two-level pruned path (O(n·√k) coarse bounds, √k-row
-    broadcast, keyed fine join) instead of the O(n·k) flat broadcast,
-    so no stage in this query is super-linear in the corpus."""
+    One shuffle on cluster_id for the self-join; the k-means phase runs
+    assign="ivf" (data/kmeans.py) — the deterministic two-level contract
+    production SemDeDup uses: because k ∝ n, an exhaustive assign is
+    O(n·k) = O(n²/512) work with an O(k) broadcast, while the two-level
+    assign is O(n·√k) with a √k closure and ONE n-row shuffle per Lloyd
+    step.  The oracle (_KM_IVF_CTES) replays the two-level semantics
+    bit-exactly — integer distances, lowest-id ties at both levels."""
     emb = dd.spread_small(_t(spark, sf_dir, "embeddings"), "vec_id")
     k = max(8, emb.count() // 512)
     assigned = km.kmeans_assignments(
-        emb, vec_col="embedding", id_col="vec_id", k=k, iters=2, scale=1000
+        emb, vec_col="embedding", id_col="vec_id", k=k, iters=2, scale=1000,
+        assign="ivf",
     )
     m = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
     dup = sim.within_group_cosine_pairs(
