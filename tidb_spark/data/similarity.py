@@ -243,6 +243,23 @@ def allpairs_cosine_above(
     )
 
 
+def lsh_planes_for(n: int) -> int:
+    """Sizing rule for LSH near-dup prefiltering: per-table sign bits so
+    2^planes grows with the corpus — the same rule as simhash banding
+    (COVERAGE r4: 256 buckets went quadratic at 50 k docs).  Candidate
+    pair work per table is Σ|bucket|² ≈ n²/2^planes, so planes must
+    climb with log₂(n) or the prefilter degenerates to all-pairs.
+    Thresholds keep ≥ ~16 expected rows per bucket at the step point.
+    High-similarity pairs (the near-dup contract) keep recall at any of
+    these settings: P(collide/table) = (1-θ/π)^planes with 8 tables —
+    e.g. cos ≥ 0.9 → ≥ 88% at planes=16."""
+    if n <= 4096:
+        return 8
+    if n <= 65536:
+        return 12
+    return 16
+
+
 def lsh_prefiltered_pairs_above(
     vectors: DataFrame,
     *,

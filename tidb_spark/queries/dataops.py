@@ -247,7 +247,6 @@ ORDER BY v1, v2
 
 def _lsh_verified_oracle(
     dim: int = 64,
-    planes: int = 8,
     tables: int = 8,
     scale: int = 1000,
     num2: int = 4,
@@ -259,22 +258,53 @@ def _lsh_verified_oracle(
     table, verification is the exact integer cosine algebra of
     embedding_neardup.  Buckets hash the 1e6-quantized vector (the
     lsh_bucket contract); verification uses the neardup family's 1e3
-    quantization."""
-    bucket_cols = []
-    for t in range(tables):
-        rows = sim.lsh_plane_ints(dim, planes=planes, table=t)
-        bits = []
-        for j, row in enumerate(rows):
-            consts = "[" + ", ".join(str(c) for c in row) + "]"
-            d = (
-                "CAST(list_sum(list_transform(list_zip(bqv, "
-                + consts
-                + "), p -> p[1] * p[2])) AS BIGINT)"
-            )
-            bits.append(f"CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END")
-        bucket_cols.append("(" + " + ".join(bits) + f") AS b{t}")
-    bucket_sql = ",\n         ".join(bucket_cols)
-    joins = " OR ".join(f"x.b{t} = y.b{t}" for t in range(tables))
+    quantization.
+
+    planes scales with the corpus (sim.lsh_planes_for — 8/12/16 at the
+    4096/65536 thresholds), so the oracle carries one guarded candidate
+    branch per setting and activates exactly the one the engine picks
+    for the corpus COUNT(*); the dead branches' guards are constant
+    scalar subqueries."""
+    branches = []
+    guards = {
+        8: "(SELECT COUNT(*) FROM embeddings) <= 4096",
+        12: "(SELECT COUNT(*) FROM embeddings) > 4096 AND (SELECT COUNT(*) FROM embeddings) <= 65536",
+        16: "(SELECT COUNT(*) FROM embeddings) > 65536",
+    }
+    bsql = {}
+    for planes in (8, 12, 16):
+        bucket_cols = []
+        for t in range(tables):
+            rows = sim.lsh_plane_ints(dim, planes=planes, table=t)
+            bits = []
+            for j, row in enumerate(rows):
+                consts = "[" + ", ".join(str(c) for c in row) + "]"
+                d = (
+                    "CAST(list_sum(list_transform(list_zip(bqv, "
+                    + consts
+                    + "), p -> p[1] * p[2])) AS BIGINT)"
+                )
+                bits.append(f"CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END")
+            bucket_cols.append("(" + " + ".join(bits) + f") AS b{t}")
+        bsql[planes] = ",\n         ".join(bucket_cols)
+        joins = " OR ".join(f"x.b{t} = y.b{t}" for t in range(tables))
+        branches.append(f"""
+  SELECT x.vec_id AS v1, y.vec_id AS v2,
+         CAST(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2])) AS BIGINT) AS dot,
+         x.n2 AS na2, y.n2 AS nb2
+  FROM bk{planes} x JOIN bk{planes} y ON x.vec_id < y.vec_id AND ({joins})
+  WHERE {guards[planes]}""")
+    bucket_ctes = ",\n".join(
+        f"""bk{planes} AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2,
+         {bsql[planes]}
+  FROM raw
+  WHERE {guards[planes]}
+)"""
+        for planes in (8, 12, 16)
+    )
+    all_branches = "\n  UNION ALL\n".join(branches)
     return f"""
 WITH raw AS (
   SELECT vec_id,
@@ -282,17 +312,9 @@ WITH raw AS (
          list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
   FROM embeddings
 ),
-b AS (
-  SELECT vec_id, qv,
-         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2,
-         {bucket_sql}
-  FROM raw
-),
+{bucket_ctes},
 cand AS (
-  SELECT x.vec_id AS v1, y.vec_id AS v2,
-         CAST(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2])) AS BIGINT) AS dot,
-         x.n2 AS na2, y.n2 AS nb2
-  FROM b x JOIN b y ON x.vec_id < y.vec_id AND ({joins})
+{all_branches}
 )
 SELECT v1, v2, dot
 FROM cand
@@ -309,17 +331,23 @@ ORDER BY v1, v2
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-prefilter + exact-verify near-dup pairs — what a 100 TB corpus
     actually runs instead of embedding_neardup's O(n²) exact baseline:
-    candidates from 8 random-hyperplane tables × 8 integer-exact sign
-    bits (pair work Σ|bucket|² per table, sized by 2^planes ∝ corpus),
-    then the SAME exact integer cosine test (cos ≥ 0.4 algebraized to
-    dot²·25 ≥ 4·‖a‖²·‖b‖², 1e3 quantization) applied JVM-side to the
-    candidates only.  Output ⊆ embedding_neardup by construction; recall
-    is the deterministic LSH-collision function of the fixed plane
-    constants, which the generated oracle replays bit-exactly."""
+    candidates from 8 random-hyperplane tables × planes integer-exact
+    sign bits, then the SAME exact integer cosine test (cos ≥ 0.4
+    algebraized to dot²·25 ≥ 4·‖a‖²·‖b‖², 1e3 quantization) applied
+    JVM-side to the candidates only.  planes scales with the corpus
+    (lsh_planes_for: 8/12/16 — candidate work per table is Σ|bucket|² ≈
+    n²/2^planes, so a FIXED planes degenerates to all-pairs: measured
+    65.9 s at sf3 with planes=8 vs the scaled setting's probe, the
+    simhash r4 lesson replayed).  The count() is the family-standard
+    control-plane probe.  Output ⊆ embedding_neardup by construction;
+    recall is the deterministic LSH-collision function of the plane
+    constants at the chosen planes, which the generated oracle replays
+    bit-exactly via guarded per-setting branches."""
     emb = dd.spread_small(_t(spark, sf_dir, "embeddings"), "vec_id")
+    planes = sim.lsh_planes_for(emb.count())
     return sim.lsh_prefiltered_pairs_above(
         emb, dim=64, scale=1000, threshold_num=2, threshold_den=5,
-        planes=8, tables=8,
+        planes=planes, tables=8,
     ).orderBy("v1", "v2")
 
 
