@@ -86,3 +86,26 @@ def test_lsh_singleton_and_oversized_buckets_drop(spark):
         verify_threshold=None, max_bucket=1,
     ).collect()
     assert got == []
+
+
+def test_minhash_verify_strategies_bitequal(spark):
+    """The blocked (per-cell set shipping) and join (per-pair array
+    replication) verify strategies are the same exact-Jaccard function —
+    identical pairs AND identical float jaccard values."""
+    from tidb_spark.data.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = sorted(
+        (r.d1, r.d2, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", verify_strategy="blocked"
+        ).collect()
+    )
+    b = sorted(
+        (r.d1, r.d2, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", verify_strategy="join"
+        ).collect()
+    )
+    assert len(a) > 0
+    assert a == b  # bit-equal including the IEEE division

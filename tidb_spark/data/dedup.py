@@ -291,9 +291,22 @@ def minhash_lsh_pairs(
     bands: int = 8,
     verify_threshold: float | None = 0.4,
     max_bucket: int | None = 10_000,
+    verify_strategy: str = "auto",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding; optionally
     verified with exact Jaccard.
+
+    ``verify_strategy``: "blocked" (per-cell set shipping, O(docs·2·B)
+    set traffic — the corpus-scale path, see
+    :func:`_verify_jaccard_blocked`), "join" (replicate both shingle
+    arrays per pair JVM-side — lower latency while pairs×payload is
+    small, but O(pairs·payload) shuffle that goes quadratic at
+    near-dup-dense scale: the sf10 fixture's 24.75M pairs × ~4.6 KB =
+    ~114 GB exhausted the spill disk), or "auto" (default): blocked once
+    the corpus exceeds 200k docs — the crossover where expected pairs
+    per doc passes the 2·B copies blocked ships per doc.  The probe is a
+    parquet-metadata count, control-plane at any scale.  Both
+    strategies are bit-equal (tested), so the switch is execution-only.
 
     rows = num_hashes // bands per band; two docs collide in a band iff all
     row minhashes agree → P(candidate) ≈ 1-(1-j^r)^b.  The band join
@@ -401,11 +414,31 @@ def minhash_lsh_pairs(
     # array_union materialization (an allocation per candidate pair just
     # to take its size) is algebra'd away.
     sets = sets.withColumn("n", F.size("shingles"))
+    if verify_strategy == "auto":
+        # Parquet-metadata count (footer sum) — control-plane at any
+        # scale; 200k docs is where expected pairs-per-doc on a
+        # near-dup-dense corpus passes blocked's 2·B per-doc copies.
+        verify_strategy = "blocked" if df.count() > 200_000 else "join"
+    if verify_strategy == "blocked":
+        return _verify_jaccard_blocked(cand, sets, verify_threshold)
+    # Join verify: replicate both shingle arrays onto every candidate
+    # pair and intersect JVM-side.  Fast and codegen-friendly while the
+    # PAIR×PAYLOAD product is small, but the shuffle volume is
+    # O(pairs × doc-shingles) — at the sf10 probe (24.75M pairs × ~2×8 KB
+    # arrays ≈ 400 GB) it exceeds any sane spill budget, and AQE's
+    # post-agg size estimate undershot the array payload badly enough to
+    # attempt a driver broadcast of the sets side ("Not enough memory to
+    # build and broadcast") — hence the shuffle-hash pins AND the
+    # blocked strategy above for corpus scale.
     cand = cand.join(
-        sets.withColumnsRenamed({"doc": "d1", "shingles": "s1", "n": "n1"}),
+        sets.withColumnsRenamed(
+            {"doc": "d1", "shingles": "s1", "n": "n1"}
+        ).hint("shuffle_hash"),
         on="d1",
     ).join(
-        sets.withColumnsRenamed({"doc": "d2", "shingles": "s2", "n": "n2"}),
+        sets.withColumnsRenamed(
+            {"doc": "d2", "shingles": "s2", "n": "n2"}
+        ).hint("shuffle_hash"),
         on="d2",
     )
     inter = F.size(F.array_intersect("s1", "s2")).cast("double")
@@ -413,6 +446,126 @@ def minhash_lsh_pairs(
     return (
         cand.select("d1", "d2", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= verify_threshold)
+    )
+
+
+def _verify_jaccard_blocked(
+    cand: DataFrame,
+    sets: DataFrame,
+    threshold: float,
+    *,
+    blocks: int = 8,
+) -> DataFrame:
+    """Exact-Jaccard pair verification with per-CELL set shipping — the
+    scale path for dense near-dup corpora.
+
+    The join verify replicates each doc's shingle array onto EVERY pair
+    it appears in: O(pairs × doc-payload) shuffle, which at the sf10
+    fixture (families of 100 mutual near-dups → 24.75M candidate pairs ×
+    ~8 KB arrays) is ~400 GB — it exhausted the container's spill disk.
+    Here pairs are hashed into a blocks×blocks grid by (d1, d2); each
+    doc's set ships once per ROW-cell it can meet (its d1 row, tagged
+    side=0) and once per COLUMN-cell (side=1) — ≤ 2·blocks copies per
+    DOC instead of one copy per PAIR, the allpairs_cosine_above cell
+    replication bound.  Inside a cogrouped cell the sets are sorted once
+    per doc and each pair's |∩| is a vectorized double-searchsorted
+    merge count: exact integers, and jaccard = inter/(n1+n2-inter) is
+    the identical single IEEE division the JVM form computes, so the two
+    strategies are bit-equal (tested) and the DuckDB oracle is unchanged.
+    Memory per task is one cell's sets (corpus-payload/blocks rows per
+    axis); size ``blocks`` so that fits an executor."""
+    import numpy as np
+    import pandas as pd
+
+    P = blocks
+    pairs = cand.select(
+        "d1",
+        "d2",
+        F.pmod(F.xxhash64("d1"), F.lit(P)).cast("int").alias("bi"),
+        F.pmod(F.xxhash64("d2"), F.lit(P)).cast("int").alias("bj"),
+    )
+    grid = F.explode(F.sequence(F.lit(0), F.lit(P - 1)))
+    row_side = sets.select(
+        "doc",
+        "shingles",
+        "n",
+        F.pmod(F.xxhash64("doc"), F.lit(P)).cast("int").alias("bi"),
+        grid.alias("bj"),
+        F.lit(0).alias("side"),
+    )
+    col_side = sets.select(
+        "doc",
+        "shingles",
+        "n",
+        grid.alias("bi"),
+        F.pmod(F.xxhash64("doc"), F.lit(P)).cast("int").alias("bj"),
+        F.lit(1).alias("side"),
+    )
+    tagged = row_side.unionByName(col_side)
+
+    def cell(key, ppdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"d1": pd.Series(dtype="int64"), "d2": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+        if not len(ppdf):
+            return empty
+
+        def side_maps(sdf):
+            docs = sdf["doc"].to_numpy()
+            sorted_sets = {
+                int(d): np.sort(np.asarray(s, dtype=np.int64))
+                for d, s in zip(docs, sdf["shingles"].to_numpy())
+            }
+            ns = dict(zip((int(d) for d in docs), (int(x) for x in sdf["n"])))
+            return sorted_sets, ns
+
+        s1, n1 = side_maps(spdf[spdf["side"] == 0])
+        s2, n2 = side_maps(spdf[spdf["side"] == 1])
+        # One vectorized pass per d1-GROUP, not per pair: concatenate the
+        # partners' sorted sets, a single searchsorted against d1's set,
+        # then segment-sum the hit mask with reduceat — the python-level
+        # loop is per doc (~hundreds per cell), all pair work is C-speed.
+        out_frames = []
+        gb = ppdf.groupby("d1", sort=False)["d2"]
+        for d1, partners_s in gb:
+            d1 = int(d1)
+            a = s1[d1]
+            partners = partners_s.to_numpy()
+            bs = [s2[int(d)] for d in partners]
+            lens = np.fromiter((len(x) for x in bs), dtype=np.int64, count=len(bs))
+            cat = np.concatenate(bs)
+            idx = np.searchsorted(a, cat)
+            np.minimum(idx, len(a) - 1, out=idx)
+            mask = (a[idx] == cat).astype(np.int64)
+            starts = np.zeros(len(bs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            inters = np.add.reduceat(mask, starts)
+            n2v = np.fromiter(
+                (n2[int(d)] for d in partners), dtype=np.int64, count=len(bs)
+            )
+            denom = n1[d1] + n2v - inters
+            with np.errstate(divide="ignore", invalid="ignore"):
+                j = np.where(denom > 0, inters / denom, 0.0)
+            keep = j >= threshold
+            if keep.any():
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "d1": np.full(int(keep.sum()), d1, dtype=np.int64),
+                            "d2": partners[keep].astype(np.int64),
+                            "jaccard": j[keep],
+                        }
+                    )
+                )
+        if not out_frames:
+            return empty
+        return pd.concat(out_frames, ignore_index=True)
+
+    return (
+        pairs.groupby("bi", "bj")
+        .cogroup(tagged.groupby("bi", "bj"))
+        .applyInPandas(cell, schema="d1 long, d2 long, jaccard double")
     )
 
 
