@@ -21,6 +21,78 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tidb_spark.queries import all_queries
 from tidb_spark.session import get_spark
 
+# Fixed-work control probes (r11): the corpus wall has a ±12% same-host
+# noise band and cross-session runs are confounded by hypervisor
+# neighbor load (r8→r10: three consecutive rounds where noise exceeded
+# signal and the judge had to re-adjudicate by re-running).  These
+# probes are SCALE-INDEPENDENT fixed work (synthetic ranges + the
+# never-changing sf0.001 fixture), run at sweep start AND end; their
+# ratio to the committed calibration constants is the run's
+# noise_factor, letting a reader separate host slowness from code
+# regression without re-running.  CALIBRATION values are the quiet-host
+# best-of-3 measured when the probes were introduced — they must NEVER
+# be re-measured (they are the fixed unit normalization divides by).
+_CONTROL_CALIBRATION = {
+    # 2026-08-16, load-avg 0.3 quiet window, median of 7 warm reps
+    # (one untimed warm pass first, matching _run_controls' shape).
+    "ctrl_cpu_shuffle": 0.49,
+    "ctrl_scan_agg": 0.21,
+    "ctrl_window": 0.57,
+}
+
+
+def _control_probes(spark):
+    from pyspark.sql import Window, functions as F
+
+    def cpu_shuffle():
+        (
+            spark.range(20_000_000)
+            .select((F.xxhash64("id") % 1000).alias("k"), "id")
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite").format("noop").save()
+        )
+
+    def scan_agg():
+        (
+            spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+            .where(F.col("l_quantity") > 10)
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_extendedprice").alias("s"))
+            .write.mode("overwrite").format("noop").save()
+        )
+
+    def window_probe():
+        w = Window.partitionBy(F.col("id") % 100).orderBy("id")
+        (
+            spark.range(2_000_000)
+            .select("id", F.row_number().over(w).alias("r"))
+            .groupBy().agg(F.sum("r").alias("s"))
+            .write.mode("overwrite").format("noop").save()
+        )
+
+    return {
+        "ctrl_cpu_shuffle": cpu_shuffle,
+        "ctrl_scan_agg": scan_agg,
+        "ctrl_window": window_probe,
+    }
+
+
+def _run_controls(spark) -> dict[str, float]:
+    """min-of-2 seconds per control probe (min absorbs one-off GC blips
+    while keeping sustained neighbor-load signal)."""
+    out = {}
+    for name, fn in _control_probes(spark).items():
+        fn()  # untimed warm pass: controls measure host speed, not JIT
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 4)
+    return out
+
 
 def main() -> None:
     # Self-capture stderr into bench_stderr.log NEXT TO the run's numbers:
@@ -161,6 +233,8 @@ def main() -> None:
         and os.environ.get("BENCH_PREWARM", "1") != "0"
     )
 
+    controls_start = _run_controls(spark)
+
     timings: dict[str, float] = {}
     # Raw FIRST-run readings, recorded alongside the warm best so the
     # round-over-round series stays methodology-identical: the r9
@@ -223,6 +297,25 @@ def main() -> None:
     # round 1 ("parsed": null).  So: full per-query detail goes to a sidecar
     # file, and the final stdout line is a compact JSON (family subtotals
     # only) guaranteed to fit in the driver's tail window.
+    controls_end = _run_controls(spark)
+    # noise_factor: geometric mean over probes of (this run's mean of
+    # start/end readings) / (the committed calibration constant).  1.0 =
+    # calibration-quiet host; 1.4 = everything on this host ran ~1.4×
+    # slow, divide walls by it before comparing across sessions.
+    import math
+
+    noise_factor = math.exp(
+        sum(
+            math.log(
+                ((controls_start[n] + controls_end[n]) / 2)
+                / _CONTROL_CALIBRATION[n]
+            )
+            for n in _CONTROL_CALIBRATION
+        )
+        / len(_CONTROL_CALIBRATION)
+    )
+    normalized = {n: round(s / noise_factor, 4) for n, s in timings.items()}
+
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -234,6 +327,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_first": firsts,
+                "controls": {
+                    "start": controls_start,
+                    "end": controls_end,
+                    "calibration": _CONTROL_CALIBRATION,
+                },
+                "noise_factor": round(noise_factor, 4),
+                "value_normalized": round(total / noise_factor, 4),
+                "queries_normalized": normalized,
                 "sf": sf,
             },
             fh,
@@ -248,6 +349,8 @@ def main() -> None:
     compact = {
         "metric": "corpus_total_runtime",
         "value": round(total, 2),
+        "noise_factor": round(noise_factor, 3),
+        "value_normalized": round(total / noise_factor, 2),
         "unit": "sec",
         # spec shape: "queries" maps name -> sec; the full 104-entry map is
         # in BENCH_DETAIL.json, the line carries the 5 slowest.

@@ -88,10 +88,7 @@ OUT_OF_SCOPE = {
     "validate_password_strength": "server plugin state",
     "load_file": "server-filesystem read; LOAD DATA covers ingest",
     "found_rows": "wire-protocol session state",
-    "last_insert_id": "no auto_increment allocator (keys are explicit)",
-    "nextval": "sequence objects out of scope",
-    "lastval": "sequence objects out of scope",
-    "setval": "sequence objects out of scope",
+    "last_insert_id": "no session insert-id channel (keys are explicit)",
     "name_const": "parser-internal (column naming)",
     "default_func": "parser-internal (DEFAULT keyword)",
     "tidb_bounded_staleness": "TSO/KV timestamp oracle internals",
@@ -101,6 +98,17 @@ OUT_OF_SCOPE = {
     "tidb_is_ddl_owner": "DDL-owner election internals",
     "tidb_parse_tso": "TSO internals",
     "vitess_hash": "Vitess sharding compatibility",
+}
+
+
+# Evaluated engine-side by Engine.sql() against session state BEFORE the
+# statement reaches Spark — the same control-plane posture the reference
+# gives them (per-statement allocation from a cached range,
+# table/tables.go GetSequenceNextVal; ddl/sequence.go lifecycle).
+ENGINE_SIDE = {
+    "nextval": "sequence allocation, engine.py _seq_nextval",
+    "lastval": "session last-allocated value, engine.py",
+    "setval": "counter rebase, engine.py _substitute_sequence_funcs",
 }
 
 
@@ -184,6 +192,8 @@ def main() -> int:
             cov = "operator"
         elif n in OPERATORS:
             cov = "operator"
+        elif n in ENGINE_SIDE:
+            cov = f"engine ({ENGINE_SIDE[n]})"
         elif n in OUT_OF_SCOPE:
             cov = f"out-of-scope ({OUT_OF_SCOPE[n]})"
         elif n in SQL_KEYWORD_NATIVE:
@@ -227,7 +237,10 @@ def main() -> int:
         "expression, whole-stage codegen), **pandas-udf** (Arrow-batched",
         "Python; the sanctioned escape hatch for arbitrary nested-JSON",
         "walkers), **shim-udf** (row-at-a-time Python — the slow path;",
-        "random_bytes only, whose per-row entropy IS the semantic).",
+        "random_bytes only, whose per-row entropy IS the semantic),",
+        "**engine** (evaluated by Engine.sql() against session state",
+        "before Spark sees the statement — sequences, per the",
+        "reference's cached-range allocator posture).",
         "",
         "| class | count |",
         "|---|---|",

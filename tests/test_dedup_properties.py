@@ -109,3 +109,90 @@ def test_minhash_verify_strategies_bitequal(spark):
     )
     assert len(a) > 0
     assert a == b  # bit-equal including the IEEE division
+
+
+def test_minhash_verify_strategy_validated(spark):
+    """A typo'd verify_strategy must raise immediately, not silently
+    fall through to the join path (r10 ADVICE)."""
+    import pytest
+
+    docs = _corpus(spark)
+    with pytest.raises(ValueError, match="verify_strategy"):
+        dd.minhash_lsh_pairs(docs, "text", "doc_id", verify_strategy="blokced")
+
+
+def test_blocked_verify_string_ids(spark):
+    """String doc ids through the BLOCKED verify: the r10 kernel
+    hard-coded long ids, so the silent auto-switch at 200k docs would
+    have crashed a string-keyed corpus that worked small.  Blocked and
+    join must agree pair-for-pair with string keys, and the output id
+    columns must be strings."""
+    docs = _corpus(spark).select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    kw = dict(k=8, num_hashes=32, bands=8, verify_threshold=0.4)
+    a = sorted(
+        (r.d1, r.d2, r.jaccard)
+        for r in dd.minhash_lsh_pairs(
+            docs, "text", "doc_id", verify_strategy="blocked", **kw
+        ).collect()
+    )
+    b = sorted(
+        (r.d1, r.d2, r.jaccard)
+        for r in dd.minhash_lsh_pairs(
+            docs, "text", "doc_id", verify_strategy="join", **kw
+        ).collect()
+    )
+    assert len(a) > 0 and a == b
+    assert all(isinstance(r[0], str) and isinstance(r[1], str) for r in a)
+
+
+def test_blocked_verify_empty_shingle_set(spark):
+    """A doc whose shingle array is EMPTY must verify to jaccard 0
+    against everything (dropped by any threshold > 0) instead of
+    IndexError-ing the searchsorted kernel (r10 ADVICE: the guard was
+    missing, merely unreachable through today's collect_set posting)."""
+    from tidb_spark.data.dedup import _verify_jaccard_blocked
+
+    cand = spark.createDataFrame([(0, 1), (1, 2)], "d1 long, d2 long")
+    sets = spark.createDataFrame(
+        [(0, [], 0), (1, [3, 5, 9], 3), (2, [3, 5, 7], 3)],
+        "doc long, shingles array<bigint>, n int",
+    )
+    got = sorted(
+        (r.d1, r.d2, round(r.jaccard, 6))
+        for r in _verify_jaccard_blocked(cand, sets, 0.1, blocks=2).collect()
+    )
+    assert got == [(1, 2, 0.5)]  # |{3,5}| / |{3,5,7,9}|; (0,1) dropped
+
+
+def test_size_blocks_scales_linearly_with_payload(spark):
+    """blocks grows ~linearly in corpus shingle payload (constant
+    per-cell bytes) and respects the floor/cap."""
+    from tidb_spark.data.dedup import _BLOCKED_CELL_BUDGET, _size_blocks
+
+    class FakeRow(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    class FakeDF:
+        def __init__(self, sh, docs):
+            self._row = FakeRow(sh=sh, docs=docs)
+
+        def groupBy(self):
+            return self
+
+        def agg(self, *a):
+            return self
+
+        def first(self):
+            return self._row
+
+    small = _size_blocks(FakeDF(10_000, 100))
+    assert small == 8  # floor keeps 64-cell parallelism on tiny corpora
+    one_gb_longs = (1 << 30) // 8
+    mid = _size_blocks(FakeDF(one_gb_longs, 1))
+    big = _size_blocks(FakeDF(10 * one_gb_longs, 1))
+    assert mid >= 2 * (1 << 30) * 4 // _BLOCKED_CELL_BUDGET  # ≈ 32
+    assert 9 <= round(big / mid) <= 11  # linear in payload
+    assert _size_blocks(FakeDF(10_000 * one_gb_longs, 1)) == 4096  # cap

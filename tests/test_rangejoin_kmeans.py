@@ -280,3 +280,88 @@ def test_kmeans_ivf_local_and_distributed_strategies_agree(spark, monkeypatch):
     monkeypatch.setattr(km, "_LOCAL_IVF_K", 0)
     dist = km.kmeans_assignments(emb, k=20, iters=2, assign="ivf").orderBy("vec_id").collect()
     assert local == dist
+
+
+def _blob_emb(spark, n=60, dim=3):
+    return spark.range(0, n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("float"),
+            ((F.col("id") * 13) % 11).cast("float"),
+            ((F.col("id") * 3) % 5).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def test_kmeans_update_fold_equals_posexplode(spark):
+    """The two `_update` plans (collect_list fold vs posexplode per-dim
+    sums) are the same integer function — centroids AND final
+    assignments bit-equal, so the auto dispatch is execution-only."""
+    emb = _blob_emb(spark)
+    a = kmeans_assignments(emb, k=5, iters=3, update="fold").orderBy(
+        "vec_id"
+    ).collect()
+    b = kmeans_assignments(emb, k=5, iters=3, update="posexplode").orderBy(
+        "vec_id"
+    ).collect()
+    assert a == b and len(a) == 60
+
+
+def test_kmeans_update_centroid_rows_identical(spark):
+    """_update itself: identical (cluster_id, centroid array) rows from
+    both strategies on a skewed assignment (one giant cluster)."""
+    from tidb_spark.data.kmeans import _Q, _update
+
+    assigned = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") < 190, 0).otherwise(1).alias("cluster_id"),
+        F.array(
+            F.col("id").cast("long"),
+            (F.col("id") * 3 + 1).cast("long"),
+        ).alias(_Q),
+    )
+    fold = {
+        r["cluster_id"]: list(r["__km_centroid"])
+        for r in _update(assigned, 2, strategy="fold").collect()
+    }
+    pe = {
+        r["cluster_id"]: list(r["__km_centroid"])
+        for r in _update(assigned, 2, strategy="posexplode").collect()
+    }
+    assert fold == pe and set(fold) == {0, 1}
+    # exact integer floor averages
+    assert fold[0] == [sum(range(190)) // 190, (3 * sum(range(190)) + 190) // 190]
+
+
+def test_kmeans_update_mode_validated(spark):
+    import pytest
+
+    emb = _blob_emb(spark, n=10)
+    with pytest.raises(ValueError, match="update mode"):
+        kmeans_assignments(emb, k=2, update="explode")
+
+
+def test_ivf_distributed_salted_equals_local(spark, monkeypatch):
+    """The distributed ivf fine-assign (cogrouped per-(cell, salt)
+    matmul) must produce bit-identical assignments to the zero-shuffle
+    local two-level closure — including when the skew guard salts a hot
+    cell into multiple sub-tasks.  Forced by shrinking _LOCAL_IVF_K (to
+    route small k through the distributed pipeline) and
+    _IVF_CELL_TASK_BYTES (to force salts > 1 on a 60-row fixture)."""
+    from tidb_spark.data import kmeans as km
+
+    emb = _blob_emb(spark)
+    base = kmeans_assignments(emb, k=9, iters=2, assign="ivf").orderBy(
+        "vec_id"
+    ).collect()
+    monkeypatch.setattr(km, "_LOCAL_IVF_K", 1)
+    distributed = kmeans_assignments(
+        emb, k=9, iters=2, assign="ivf"
+    ).orderBy("vec_id").collect()
+    assert distributed == base
+    # Now force real salting: budget of one vector's bytes per task.
+    monkeypatch.setattr(km, "_IVF_CELL_TASK_BYTES", 8 * 3)
+    salted = kmeans_assignments(
+        emb, k=9, iters=2, assign="ivf"
+    ).orderBy("vec_id").collect()
+    assert salted == base

@@ -319,6 +319,11 @@ def minhash_lsh_pairs(
     dropped from THAT band only — such buckets carry near-zero
     discrimination (everything matches everything), and genuinely similar
     pairs still collide in their other b-1 bands."""
+    if verify_strategy not in ("auto", "blocked", "join"):
+        raise ValueError(
+            f"unknown verify_strategy {verify_strategy!r} "
+            "(expected 'auto', 'blocked' or 'join')"
+        )
     rows = num_hashes // bands
     # The corpus-wide posting is never materialized: min() is duplicate-
     # insensitive, so the signature agg consumes the non-distinct posting
@@ -415,9 +420,11 @@ def minhash_lsh_pairs(
     # to take its size) is algebra'd away.
     sets = sets.withColumn("n", F.size("shingles"))
     if verify_strategy == "auto":
-        # Parquet-metadata count (footer sum) — control-plane at any
-        # scale; 200k docs is where expected pairs-per-doc on a
-        # near-dup-dense corpus passes blocked's 2·B per-doc copies.
+        # One count of the input (for a bare parquet scan this is the
+        # footer-metadata sum; for a derived frame it is one narrow pass
+        # — either way a rounding error next to the verify it sizes);
+        # 200k docs is where expected pairs-per-doc on a near-dup-dense
+        # corpus passes blocked's 2·B per-doc copies.
         verify_strategy = "blocked" if df.count() > 200_000 else "join"
     if verify_strategy == "blocked":
         return _verify_jaccard_blocked(cand, sets, verify_threshold)
@@ -449,12 +456,51 @@ def minhash_lsh_pairs(
     )
 
 
+#: Target python-side bytes of shingle sets held by ONE blocked-verify
+#: cell task (both axes together).  The raw int64 payload is inflated
+#: ~4× in the kernel (numpy array objects + two dict indexes + Arrow
+#: batch), so 256 MiB here keeps real task memory ≈ 1 GiB.
+_BLOCKED_CELL_BUDGET = 256 << 20
+
+
+def _size_blocks(sets: DataFrame) -> int:
+    """Grid dimension for :func:`_verify_jaccard_blocked`, sized so one
+    cell's shingle payload stays CONSTANT as the corpus grows.
+
+    A cell (i, j) holds the row-axis docs hashing to i plus the
+    column-axis docs hashing to j: 2·payload/blocks bytes for a corpus
+    whose candidate docs carry ``payload`` total shingle bytes.  So
+    blocks = ceil(2·payload·inflation / budget) — linear in the corpus,
+    which is what keeps per-task memory flat at 100 TB (the r10 fixed
+    blocks=8 merely moved the OOM from sf10 to a larger sf).  The
+    payload probe is an exact SUM over the persisted ``sets`` frame the
+    verify reads anyway, so the action warms the cache rather than
+    duplicating work; traffic grows as 2·blocks·payload, the price of
+    bounded tasks.  Floor of 8 preserves parallelism on small corpora
+    (64 cells), cap 4096 bounds the grid metadata."""
+    row = sets.groupBy().agg(
+        F.sum("n").alias("sh"), F.count(F.lit(1)).alias("docs")
+    ).first()
+    if row is None or row["sh"] is None:
+        return 8
+    inflation = 4
+    payload = int(row["sh"]) * 8 * inflation + int(row["docs"]) * 200
+    return max(8, min(4096, -(-2 * payload // _BLOCKED_CELL_BUDGET)))
+
+
+_PD_DTYPE = {
+    "bigint": "int64", "int": "int32", "smallint": "int16",
+    "tinyint": "int8", "double": "float64", "float": "float32",
+    "string": "object",
+}
+
+
 def _verify_jaccard_blocked(
     cand: DataFrame,
     sets: DataFrame,
     threshold: float,
     *,
-    blocks: int = 8,
+    blocks: int | None = None,
 ) -> DataFrame:
     """Exact-Jaccard pair verification with per-CELL set shipping — the
     scale path for dense near-dup corpora.
@@ -473,11 +519,24 @@ def _verify_jaccard_blocked(
     the identical single IEEE division the JVM form computes, so the two
     strategies are bit-equal (tested) and the DuckDB oracle is unchanged.
     Memory per task is one cell's sets (corpus-payload/blocks rows per
-    axis); size ``blocks`` so that fits an executor."""
+    axis); ``blocks=None`` (the default) sizes the grid from an exact
+    payload probe via :func:`_size_blocks` so a cell always fits an
+    executor — pass an explicit ``blocks`` only in tests.
+
+    Doc ids are generic: the output d1/d2 types mirror the candidate
+    frame's, and the kernel keys its maps on the raw id values, so
+    string-keyed corpora take this path unchanged (the r10 version
+    hard-coded longs, so the silent auto-switch at 200k docs would have
+    crashed a string-id corpus that worked at small scale)."""
     import numpy as np
     import pandas as pd
 
-    P = blocks
+    P = blocks if blocks is not None else _size_blocks(sets)
+    d1_t = cand.schema["d1"].dataType.simpleString()
+    d2_t = cand.schema["d2"].dataType.simpleString()
+    out_schema = f"d1 {d1_t}, d2 {d2_t}, jaccard double"
+    d1_dtype = _PD_DTYPE.get(d1_t, "object")
+    d2_dtype = _PD_DTYPE.get(d2_t, "object")
     pairs = cand.select(
         "d1",
         "d2",
@@ -505,7 +564,7 @@ def _verify_jaccard_blocked(
 
     def cell(key, ppdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
-            {"d1": pd.Series(dtype="int64"), "d2": pd.Series(dtype="int64"),
+            {"d1": pd.Series(dtype=d1_dtype), "d2": pd.Series(dtype=d2_dtype),
              "jaccard": pd.Series(dtype="float64")}
         )
         if not len(ppdf):
@@ -514,10 +573,10 @@ def _verify_jaccard_blocked(
         def side_maps(sdf):
             docs = sdf["doc"].to_numpy()
             sorted_sets = {
-                int(d): np.sort(np.asarray(s, dtype=np.int64))
+                d: np.sort(np.asarray(s, dtype=np.int64))
                 for d, s in zip(docs, sdf["shingles"].to_numpy())
             }
-            ns = dict(zip((int(d) for d in docs), (int(x) for x in sdf["n"])))
+            ns = dict(zip(docs, (int(x) for x in sdf["n"])))
             return sorted_sets, ns
 
         s1, n1 = side_maps(spdf[spdf["side"] == 0])
@@ -529,20 +588,30 @@ def _verify_jaccard_blocked(
         out_frames = []
         gb = ppdf.groupby("d1", sort=False)["d2"]
         for d1, partners_s in gb:
-            d1 = int(d1)
             a = s1[d1]
             partners = partners_s.to_numpy()
-            bs = [s2[int(d)] for d in partners]
+            bs = [s2[d] for d in partners]
             lens = np.fromiter((len(x) for x in bs), dtype=np.int64, count=len(bs))
-            cat = np.concatenate(bs)
-            idx = np.searchsorted(a, cat)
-            np.minimum(idx, len(a) - 1, out=idx)
-            mask = (a[idx] == cat).astype(np.int64)
-            starts = np.zeros(len(bs), dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            inters = np.add.reduceat(mask, starts)
+            cat = np.concatenate(bs) if bs else np.empty(0, dtype=np.int64)
+            if len(a) == 0 or cat.size == 0:
+                # Empty shingle set on either axis: every intersection is
+                # zero (the join strategy yields the same), and the
+                # searchsorted kernel below would index a[-1] on an empty
+                # array — short-circuit instead of relying on the current
+                # collect_set-over-posting invariant that sets are
+                # non-empty.
+                inters = np.zeros(len(bs), dtype=np.int64)
+            else:
+                idx = np.searchsorted(a, cat)
+                np.minimum(idx, len(a) - 1, out=idx)
+                mask = (a[idx] == cat).astype(np.int64)
+                starts = np.zeros(len(bs), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                inters = np.add.reduceat(mask, starts)
+                inters[lens == 0] = 0  # reduceat on a 0-len segment
+                # sums the NEXT segment's first element; zero it.
             n2v = np.fromiter(
-                (n2[int(d)] for d in partners), dtype=np.int64, count=len(bs)
+                (n2[d] for d in partners), dtype=np.int64, count=len(bs)
             )
             denom = n1[d1] + n2v - inters
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -552,8 +621,10 @@ def _verify_jaccard_blocked(
                 out_frames.append(
                     pd.DataFrame(
                         {
-                            "d1": np.full(int(keep.sum()), d1, dtype=np.int64),
-                            "d2": partners[keep].astype(np.int64),
+                            "d1": pd.Series(
+                                [d1] * int(keep.sum()), dtype=d1_dtype
+                            ),
+                            "d2": pd.Series(partners[keep], dtype=d2_dtype),
                             "jaccard": j[keep],
                         }
                     )
@@ -565,7 +636,7 @@ def _verify_jaccard_blocked(
     return (
         pairs.groupby("bi", "bj")
         .cogroup(tagged.groupby("bi", "bj"))
-        .applyInPandas(cell, schema="d1 long, d2 long, jaccard double")
+        .applyInPandas(cell, schema=out_schema)
     )
 
 

@@ -62,69 +62,70 @@ _LOADED = False
 # representative per SURVEY §2 family so every family gets driver rows;
 # everything not listed keeps its natural (import) order after slot 50.
 _PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 10 window (50 slots the driver verifies) ---
-    # Built by replaying CORRECTNESS_r0{1..9}.json: the one never-
-    # driver-checked query (the r10 addition dedup_lsh_verified) leads,
-    # then the 43 rows whose latest green check is r6 (the stalest tier
-    # — after this rotation no query's latest check predates r7), then
-    # the two queries whose physical plan changed this round (the
-    # k-means two-level pruned assign), then the 4 stalest r7 rows.
-    # --- never driver-checked (must lead) ---
-    "dedup_lsh_verified",  # r10 addition: LSH-prefilter + exact verify
-    # --- the 43 r6-latest rows (stalest tier) ---
-    "tpch_q3",
-    "join_full_outer",
-    "join_null_safe",
-    "setop_intersect_all",
-    "window_range_frame",
-    "limit_offset",
-    "sample_deterministic",
-    "agg_rollup",
-    "cte_nonrecursive",
-    "func_math",
-    "func_control",
-    "func_like_regexp",
-    "graph_match_out",
-    "graph_match_in",
-    "graph_match_both",
-    "graph_match_2hop",
-    "graph_match_multipath",
-    "graph_match_edge_props",
-    "graph_any_shortest",
-    "graph_any_shortest_len",
-    "graph_all_shortest",
-    "graph_top_k_shortest",
-    "graph_any_cheapest",
-    "graph_pagerank",
-    "graph_wcc",
-    "dedup_simhash",
-    "sim_topk_cosine",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "text_winnowing",
-    "multimodal_features",
-    "mysqlsql_date_funcs",
-    "mysqlsql_string_misc",
-    "mysqlsql_json_read",
-    "mysqlsql_datetime_longtail",
-    "mysqlsql_string_longtail",
-    "mysqlsql_hint_join",
-    "mysqlsql_view_join",
-    "stream_tumbling_hour",
-    "stream_sliding_1h_15m",
-    "stream_session_30m",
-    "stream_dedup_keys",
-    "stream_interval_join",
-    # --- r10 plan changes (k-means assign dispatch; flat at sf0.01 but
-    # the dispatch + callers changed, so re-green them) ---
-    "dedup_semantic_kmeans",
+    # --- round 11 window (50 slots the driver verifies) ---
+    # Built by replaying CORRECTNESS_r0{1..10}.json: all 39 rows whose
+    # latest green check is r7 (the stalest tier — after this rotation
+    # no query's latest check predates r8), then the 4 queries whose
+    # implementation modules changed this round (the k-means update
+    # dispatch + ivf salt, and the LSH blocked-verify sizing), then the
+    # 7 stalest r8 rows in registry order.
+    # --- the 39 r7-latest rows (stalest tier) ---
+    "ts_sessionize",
+    "ts_rollup_gapfill",
+    "agg_mode",
+    "join_skew_salted",
+    "ts_ewma",
+    "ts_funnel",
+    "ts_retention_cohort",
+    "window_exclude_current",
+    "subq_quantified",
+    "graph_triangles",
+    "text_pii_scrub",
+    "text_tfidf_topterms",
+    "text_chunking",
+    "data_mixture",
+    "dedup_containment",
+    "text_unigram_rarity",
+    "dedup_substring",
+    "text_bm25_topk",
+    "dedup_bloom_decontam",
+    "sample_weighted",
+    "dedup_url_canonical",
+    "text_nb_filter",
+    "sim_pq_topk",
+    "dedup_edit_verify",
+    "text_boilerplate_strip",
+    "sample_split",
+    "dedup_ensemble_cluster",
+    "mysqlsql_match_1hop",
+    "mysqlsql_match_multipath",
+    "mysqlsql_collation_ci",
+    "mysqlsql_collation_unicode",
+    "mysqlsql_collation_unicode_uca",
+    "mysqlsql_collation_groupby",
+    "mysqlsql_window_named",
+    "mysqlsql_lateral",
+    "mysqlsql_with_rollup",
+    "mysqlsql_recursive_union",
+    "stream_cascade_rollup",
+    "stream_left_outer_join",
+    # --- r11 code-touched modules (kmeans.py update dispatch + ivf
+    # cell salting; dedup.py blocked-verify stats sizing) — plans at
+    # sf0.01 resolve to the same strategies, but the dispatch changed,
+    # so re-green their queries ---
     "embedding_kmeans",
-    # --- 4 stalest r7 rows (registry order) ---
-    "cte_recursive",
-    "join_asof",
-    "agg_histogram",
-    "join_range",
-    # (r11 rotation plan: the remaining 41 r7-latest rows are the next
+    "dedup_semantic_kmeans",
+    "sim_ivf_topk",
+    "dedup_minhash_lsh",
+    # --- 7 stalest r8 rows (registry order) ---
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q19",
+    # (r12 rotation plan: the remaining 41 r8-latest rows are the next
     # stalest tier.  Regenerate from the CORRECTNESS files, not this
     # comment.)
 )
