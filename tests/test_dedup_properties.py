@@ -89,26 +89,49 @@ def test_lsh_singleton_and_oversized_buckets_drop(spark):
 
 
 def test_minhash_verify_strategies_bitequal(spark):
-    """The blocked (per-cell set shipping) and join (per-pair array
-    replication) verify strategies are the same exact-Jaccard function —
-    identical pairs AND identical float jaccard values."""
+    """The bucket (owner-bucket co-location), blocked (per-cell set
+    shipping) and join (per-pair array replication) verify strategies
+    are the same exact-Jaccard function — identical pairs AND identical
+    float jaccard values."""
     from tidb_spark.data.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    a = sorted(
-        (r.d1, r.d2, r.jaccard)
-        for r in minhash_lsh_pairs(
-            docs, "text", "doc_id", verify_strategy="blocked"
-        ).collect()
-    )
-    b = sorted(
-        (r.d1, r.d2, r.jaccard)
-        for r in minhash_lsh_pairs(
-            docs, "text", "doc_id", verify_strategy="join"
-        ).collect()
-    )
+
+    def run(strategy):
+        return sorted(
+            (r.d1, r.d2, r.jaccard)
+            for r in minhash_lsh_pairs(
+                docs, "text", "doc_id", verify_strategy=strategy
+            ).collect()
+        )
+
+    a, b, c = run("blocked"), run("join"), run("bucket")
     assert len(a) > 0
-    assert a == b  # bit-equal including the IEEE division
+    assert a == b == c  # bit-equal including the IEEE division
+
+
+def test_minhash_bucket_verify_salted_bitequal(spark, monkeypatch):
+    """Owner buckets whose pair count exceeds the salt budget split into
+    sub-tasks with the bucket's sets replicated per salt — forcing
+    pair_budget=2 must leave the result bit-identical to the unsalted
+    run (per-task CPU/memory is the only thing salting may change)."""
+    import tidb_spark.data.dedup as dd_mod
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def run():
+        return sorted(
+            (r.d1, r.d2, r.jaccard)
+            for r in dd_mod.minhash_lsh_pairs(
+                docs, "text", "doc_id", verify_strategy="bucket"
+            ).collect()
+        )
+
+    base = run()
+    monkeypatch.setattr(dd_mod, "_BUCKET_PAIR_BUDGET", 2)
+    salted = run()
+    assert len(base) > 0
+    assert base == salted
 
 
 def test_minhash_verify_strategy_validated(spark):
@@ -164,6 +187,29 @@ def test_blocked_verify_empty_shingle_set(spark):
         for r in _verify_jaccard_blocked(cand, sets, 0.1, blocks=2).collect()
     )
     assert got == [(1, 2, 0.5)]  # |{3,5}| / |{3,5,7,9}|; (0,1) dropped
+
+
+def test_blocked_verify_ships_pair_pruned(spark):
+    """The blocked verify ships a doc's set only to cells where one of
+    its candidate pairs actually lands — never via explode(sequence(0,
+    P-1)) over the full grid row/column.  With `_size_blocks` growing P
+    linearly in the corpus, the full-grid shape (r10) made verify
+    traffic 2·P·payload ∝ corpus² — pair-pruned shipping bounds it by
+    the candidate structure instead.  Pinned at the plan level (no
+    sequence/explode generator in the verify subtree) plus a value
+    check that a huge grid still verifies correctly."""
+    from tidb_spark.data.dedup import _verify_jaccard_blocked
+
+    cand = spark.createDataFrame([(0, 1)], "d1 long, d2 long")
+    sets = spark.createDataFrame(
+        [(0, [3, 5], 2), (1, [3, 5, 7], 3)],
+        "doc long, shingles array<bigint>, n int",
+    )
+    out = _verify_jaccard_blocked(cand, sets, 0.1, blocks=97)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "sequence(" not in plan
+    got = [(r.d1, r.d2, round(r.jaccard, 6)) for r in out.collect()]
+    assert got == [(0, 1, round(2 / 3, 6))]
 
 
 def test_size_blocks_scales_linearly_with_payload(spark):

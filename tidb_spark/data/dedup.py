@@ -296,16 +296,19 @@ def minhash_lsh_pairs(
     """Near-duplicate candidate pairs via MinHash banding; optionally
     verified with exact Jaccard.
 
-    ``verify_strategy``: "blocked" (per-cell set shipping, O(docs·2·B)
-    set traffic — the corpus-scale path, see
+    ``verify_strategy``: "bucket" (verify each pair inside its owner
+    LSH bucket — ≤ ``bands`` set copies per doc, corpus-independent;
+    the corpus-scale path, see :func:`_verify_jaccard_bucket`),
+    "blocked" (hash pairs into a sized grid of cells — generic over any
+    candidate frame but its traffic grows with the grid, see
     :func:`_verify_jaccard_blocked`), "join" (replicate both shingle
     arrays per pair JVM-side — lower latency while pairs×payload is
     small, but O(pairs·payload) shuffle that goes quadratic at
     near-dup-dense scale: the sf10 fixture's 24.75M pairs × ~4.6 KB =
-    ~114 GB exhausted the spill disk), or "auto" (default): blocked once
+    ~114 GB exhausted the spill disk), or "auto" (default): bucket once
     the corpus exceeds 200k docs — the crossover where expected pairs
-    per doc passes the 2·B copies blocked ships per doc.  The probe is a
-    parquet-metadata count, control-plane at any scale.  Both
+    per doc passes the ≤bands copies bucket ships per doc.  The probe
+    is a parquet-metadata count, control-plane at any scale.  All
     strategies are bit-equal (tested), so the switch is execution-only.
 
     rows = num_hashes // bands per band; two docs collide in a band iff all
@@ -319,10 +322,10 @@ def minhash_lsh_pairs(
     dropped from THAT band only — such buckets carry near-zero
     discrimination (everything matches everything), and genuinely similar
     pairs still collide in their other b-1 bands."""
-    if verify_strategy not in ("auto", "blocked", "join"):
+    if verify_strategy not in ("auto", "bucket", "blocked", "join"):
         raise ValueError(
             f"unknown verify_strategy {verify_strategy!r} "
-            "(expected 'auto', 'blocked' or 'join')"
+            "(expected 'auto', 'bucket', 'blocked' or 'join')"
         )
     rows = num_hashes // bands
     # The corpus-wide posting is never materialized: min() is duplicate-
@@ -382,22 +385,33 @@ def minhash_lsh_pairs(
     buckets = buckets.repartition(
         banded.sparkSession.sparkContext.defaultParallelism
     )
-    cand = (
-        buckets.select(F.posexplode("ds").alias("i", "d1"), "ds")
+    # The grid keeps its (band_id, band_hash) provenance: the same
+    # shuffle that dedups pairs also assigns each pair its OWNER bucket
+    # (minimum surviving bucket that caught it), which the bucket verify
+    # strategy co-locates pairs and sets by.  min(struct) costs a
+    # 20-byte agg state over the distinct() this replaces.
+    cand_owner = (
+        buckets.select(
+            "band_id", "band_hash", F.posexplode("ds").alias("i", "d1"), "ds"
+        )
         .select(
+            "band_id",
+            "band_hash",
             "d1",
             F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("d2"),
         )
-        .distinct()
+        .groupBy("d1", "d2")
+        .agg(F.min(F.struct("band_id", "band_hash")).alias("__owner"))
     )
     if verify_threshold is None:
-        return cand
+        return cand_owner.select("d1", "d2")
     # Exact-Jaccard verification touches only docs that appear in some
     # candidate pair: semi-join the raw corpus down first, then shingle just
     # that slice.  At scale this is the difference between re-scanning the
     # corpus and a lookup of a few thousand texts (AQE broadcasts the
     # candidate-id side once runtime stats show it's small).
-    cand = cand.persist()
+    cand_owner = cand_owner.persist()
+    cand = cand_owner.select("d1", "d2")
     in_cand = cand.select(F.col("d1").alias("doc")).union(
         cand.select(F.col("d2").alias("doc"))
     )
@@ -424,8 +438,12 @@ def minhash_lsh_pairs(
         # footer-metadata sum; for a derived frame it is one narrow pass
         # — either way a rounding error next to the verify it sizes);
         # 200k docs is where expected pairs-per-doc on a near-dup-dense
-        # corpus passes blocked's 2·B per-doc copies.
-        verify_strategy = "blocked" if df.count() > 200_000 else "join"
+        # corpus passes bucket's ≤bands per-doc copies.
+        verify_strategy = "bucket" if df.count() > 200_000 else "join"
+    if verify_strategy == "bucket":
+        return _verify_jaccard_bucket(
+            cand_owner, sets, banded, verify_threshold
+        )
     if verify_strategy == "blocked":
         return _verify_jaccard_blocked(cand, sets, verify_threshold)
     # Join verify: replicate both shingle arrays onto every candidate
@@ -475,9 +493,10 @@ def _size_blocks(sets: DataFrame) -> int:
     blocks=8 merely moved the OOM from sf10 to a larger sf).  The
     payload probe is an exact SUM over the persisted ``sets`` frame the
     verify reads anyway, so the action warms the cache rather than
-    duplicating work; traffic grows as 2·blocks·payload, the price of
-    bounded tasks.  Floor of 8 preserves parallelism on small corpora
-    (64 cells), cap 4096 bounds the grid metadata."""
+    duplicating work; shipping is pair-pruned (see the verify body), so
+    growing the grid costs at most the candidate structure's cell
+    spread, not 2·blocks·payload.  Floor of 8 preserves parallelism on
+    small corpora (64 cells), cap 4096 bounds the grid metadata."""
     row = sets.groupBy().agg(
         F.sum("n").alias("sh"), F.count(F.lit(1)).alias("docs")
     ).first()
@@ -495,6 +514,74 @@ _PD_DTYPE = {
 }
 
 
+def _jaccard_pairs_kernel(ppdf, s1, n1, s2, n2, threshold, d1_dtype, d2_dtype):
+    """Vectorized exact-Jaccard over one co-located group of pairs.
+
+    ``s1``/``n1`` map d1-axis doc ids to their sorted shingle arrays /
+    distinct counts; ``s2``/``n2`` the d2 axis (the two may be the SAME
+    dict — the bucket verify co-locates one membership copy per doc).
+    One python-level iteration per d1 GROUP, not per pair: concatenate
+    the partners' sorted sets, a single searchsorted against d1's set,
+    then segment-sum the hit mask with reduceat — all pair work is
+    C-speed.  jaccard = inter/(n1+n2-inter) is the identical single
+    IEEE division the JVM join verify computes, so every strategy is
+    bit-equal (tested)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {"d1": pd.Series(dtype=d1_dtype), "d2": pd.Series(dtype=d2_dtype),
+         "jaccard": pd.Series(dtype="float64")}
+    )
+    if not len(ppdf):
+        return empty
+    out_frames = []
+    gb = ppdf.groupby("d1", sort=False)["d2"]
+    for d1, partners_s in gb:
+        a = s1[d1]
+        partners = partners_s.to_numpy()
+        bs = [s2[d] for d in partners]
+        lens = np.fromiter((len(x) for x in bs), dtype=np.int64, count=len(bs))
+        cat = np.concatenate(bs) if bs else np.empty(0, dtype=np.int64)
+        if len(a) == 0 or cat.size == 0:
+            # Empty shingle set on either axis: every intersection is
+            # zero (the join strategy yields the same), and the
+            # searchsorted kernel below would index a[-1] on an empty
+            # array — short-circuit instead of relying on the current
+            # collect_set-over-posting invariant that sets are
+            # non-empty.
+            inters = np.zeros(len(bs), dtype=np.int64)
+        else:
+            idx = np.searchsorted(a, cat)
+            np.minimum(idx, len(a) - 1, out=idx)
+            mask = (a[idx] == cat).astype(np.int64)
+            starts = np.zeros(len(bs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            inters = np.add.reduceat(mask, starts)
+            inters[lens == 0] = 0  # reduceat on a 0-len segment
+            # sums the NEXT segment's first element; zero it.
+        n2v = np.fromiter(
+            (n2[d] for d in partners), dtype=np.int64, count=len(bs)
+        )
+        denom = n1[d1] + n2v - inters
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(denom > 0, inters / denom, 0.0)
+        keep = j >= threshold
+        if keep.any():
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        "d1": pd.Series([d1] * int(keep.sum()), dtype=d1_dtype),
+                        "d2": pd.Series(partners[keep], dtype=d2_dtype),
+                        "jaccard": j[keep],
+                    }
+                )
+            )
+    if not out_frames:
+        return empty
+    return pd.concat(out_frames, ignore_index=True)
+
+
 def _verify_jaccard_blocked(
     cand: DataFrame,
     sets: DataFrame,
@@ -510,10 +597,11 @@ def _verify_jaccard_blocked(
     fixture (families of 100 mutual near-dups → 24.75M candidate pairs ×
     ~8 KB arrays) is ~400 GB — it exhausted the container's spill disk.
     Here pairs are hashed into a blocks×blocks grid by (d1, d2); each
-    doc's set ships once per ROW-cell it can meet (its d1 row, tagged
-    side=0) and once per COLUMN-cell (side=1) — ≤ 2·blocks copies per
-    DOC instead of one copy per PAIR, the allpairs_cosine_above cell
-    replication bound.  Inside a cogrouped cell the sets are sorted once
+    doc's set ships once per cell where one of ITS candidate pairs
+    lands (the distinct (doc, cell) projection of the pair grid, tagged
+    side=0 for the d1 axis, side=1 for d2) — ≤ min(2·blocks, its pair
+    count) copies per DOC instead of one copy per PAIR, and never to
+    pair-free cells.  Inside a cogrouped cell the sets are sorted once
     per doc and each pair's |∩| is a vectorized double-searchsorted
     merge count: exact integers, and jaccard = inter/(n1+n2-inter) is
     the identical single IEEE division the JVM form computes, so the two
@@ -529,7 +617,6 @@ def _verify_jaccard_blocked(
     hard-coded longs, so the silent auto-switch at 200k docs would have
     crashed a string-id corpus that worked at small scale)."""
     import numpy as np
-    import pandas as pd
 
     P = blocks if blocks is not None else _size_blocks(sets)
     d1_t = cand.schema["d1"].dataType.simpleString()
@@ -543,33 +630,40 @@ def _verify_jaccard_blocked(
         F.pmod(F.xxhash64("d1"), F.lit(P)).cast("int").alias("bi"),
         F.pmod(F.xxhash64("d2"), F.lit(P)).cast("int").alias("bj"),
     )
-    grid = F.explode(F.sequence(F.lit(0), F.lit(P - 1)))
-    row_side = sets.select(
-        "doc",
-        "shingles",
-        "n",
-        F.pmod(F.xxhash64("doc"), F.lit(P)).cast("int").alias("bi"),
-        grid.alias("bj"),
-        F.lit(0).alias("side"),
+
+    # Pair-pruned set shipping: a doc's set goes ONLY to the cells where
+    # one of its candidate pairs actually lands — the distinct (d1, bj)
+    # / (d2, bi) projections of the pair grid — never to the full row /
+    # column of P cells.  Shipping `explode(sequence(0, P-1))` instead
+    # (the r10 shape) costs 2·P·payload bytes, and with `_size_blocks`
+    # growing P linearly in the corpus that traffic is QUADRATIC in
+    # corpus size; pair-pruned traffic is Σ_doc |distinct partner
+    # cells| ≤ min(2·P, pairs) copies — bounded by the candidate
+    # structure the LSH already pruned, and identical cells receive
+    # identical sets, so results are unchanged.  The distinct is one
+    # narrow (id, int, int) shuffle over `cand` (persisted by the
+    # caller).  The pmods are recomputed from `cand` rather than
+    # projected off `pairs` so the cogroup's two sides carry disjoint
+    # attribute ids (projecting shares exprIds and trips Spark's
+    # ambiguous-self-join analyzer).
+    def _cells_of(side: str):
+        return cand.select(
+            F.col(side).alias("doc"),
+            F.pmod(F.xxhash64("d1"), F.lit(P)).cast("int").alias("bi"),
+            F.pmod(F.xxhash64("d2"), F.lit(P)).cast("int").alias("bj"),
+        ).distinct()
+
+    row_cells = _cells_of("d1")
+    col_cells = _cells_of("d2")
+    row_side = sets.join(row_cells, "doc").select(
+        "doc", "shingles", "n", "bi", "bj", F.lit(0).alias("side")
     )
-    col_side = sets.select(
-        "doc",
-        "shingles",
-        "n",
-        grid.alias("bi"),
-        F.pmod(F.xxhash64("doc"), F.lit(P)).cast("int").alias("bj"),
-        F.lit(1).alias("side"),
+    col_side = sets.join(col_cells, "doc").select(
+        "doc", "shingles", "n", "bi", "bj", F.lit(1).alias("side")
     )
     tagged = row_side.unionByName(col_side)
 
-    def cell(key, ppdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"d1": pd.Series(dtype=d1_dtype), "d2": pd.Series(dtype=d2_dtype),
-             "jaccard": pd.Series(dtype="float64")}
-        )
-        if not len(ppdf):
-            return empty
-
+    def cell(key, ppdf, spdf):
         def side_maps(sdf):
             docs = sdf["doc"].to_numpy()
             sorted_sets = {
@@ -581,62 +675,134 @@ def _verify_jaccard_blocked(
 
         s1, n1 = side_maps(spdf[spdf["side"] == 0])
         s2, n2 = side_maps(spdf[spdf["side"] == 1])
-        # One vectorized pass per d1-GROUP, not per pair: concatenate the
-        # partners' sorted sets, a single searchsorted against d1's set,
-        # then segment-sum the hit mask with reduceat — the python-level
-        # loop is per doc (~hundreds per cell), all pair work is C-speed.
-        out_frames = []
-        gb = ppdf.groupby("d1", sort=False)["d2"]
-        for d1, partners_s in gb:
-            a = s1[d1]
-            partners = partners_s.to_numpy()
-            bs = [s2[d] for d in partners]
-            lens = np.fromiter((len(x) for x in bs), dtype=np.int64, count=len(bs))
-            cat = np.concatenate(bs) if bs else np.empty(0, dtype=np.int64)
-            if len(a) == 0 or cat.size == 0:
-                # Empty shingle set on either axis: every intersection is
-                # zero (the join strategy yields the same), and the
-                # searchsorted kernel below would index a[-1] on an empty
-                # array — short-circuit instead of relying on the current
-                # collect_set-over-posting invariant that sets are
-                # non-empty.
-                inters = np.zeros(len(bs), dtype=np.int64)
-            else:
-                idx = np.searchsorted(a, cat)
-                np.minimum(idx, len(a) - 1, out=idx)
-                mask = (a[idx] == cat).astype(np.int64)
-                starts = np.zeros(len(bs), dtype=np.int64)
-                np.cumsum(lens[:-1], out=starts[1:])
-                inters = np.add.reduceat(mask, starts)
-                inters[lens == 0] = 0  # reduceat on a 0-len segment
-                # sums the NEXT segment's first element; zero it.
-            n2v = np.fromiter(
-                (n2[d] for d in partners), dtype=np.int64, count=len(bs)
-            )
-            denom = n1[d1] + n2v - inters
-            with np.errstate(divide="ignore", invalid="ignore"):
-                j = np.where(denom > 0, inters / denom, 0.0)
-            keep = j >= threshold
-            if keep.any():
-                out_frames.append(
-                    pd.DataFrame(
-                        {
-                            "d1": pd.Series(
-                                [d1] * int(keep.sum()), dtype=d1_dtype
-                            ),
-                            "d2": pd.Series(partners[keep], dtype=d2_dtype),
-                            "jaccard": j[keep],
-                        }
-                    )
-                )
-        if not out_frames:
-            return empty
-        return pd.concat(out_frames, ignore_index=True)
+        return _jaccard_pairs_kernel(
+            ppdf, s1, n1, s2, n2, threshold, d1_dtype, d2_dtype
+        )
 
     return (
         pairs.groupby("bi", "bj")
         .cogroup(tagged.groupby("bi", "bj"))
         .applyInPandas(cell, schema=out_schema)
+    )
+
+
+#: Pairs one bucket-verify task is asked to score before the owner
+#: bucket is salted into sub-tasks.  2M pair rows ≈ tens of MB of ids
+#: plus the per-pair kernel work — small against the per-task set
+#: payload the max_bucket cap already bounds.
+_BUCKET_PAIR_BUDGET = 2_000_000
+
+
+def _verify_jaccard_bucket(
+    cand_owner: DataFrame,
+    sets: DataFrame,
+    banded: DataFrame,
+    threshold: float,
+    *,
+    pair_budget: int | None = None,
+) -> DataFrame:
+    """Exact-Jaccard pair verification INSIDE the LSH owner bucket — the
+    corpus-scale path.
+
+    Every candidate pair collided in at least one surviving band bucket,
+    so both docs' sets are already co-locatable there: ship each
+    candidate doc's set once per (band_id, band_hash) membership —
+    ≤ ``bands`` copies per doc, a corpus-independent constant — and
+    verify each pair in its OWNER bucket (the minimum (band_id,
+    band_hash) that caught it, computed in the same shuffle that dedups
+    the pair grid).  Contrast the alternatives: the join verify ships
+    one set copy per PAIR (O(pairs·payload) — 114 GB at the sf10
+    fixture), and the blocked grid ships ≤ 2·blocks copies per doc,
+    which with `_size_blocks` growing blocks ∝ corpus is quadratic
+    traffic on a near-dup-dense corpus (the sf10 re-probe filled 75 GB
+    of spill and died).  Bucket shipping is Θ(bands · payload) — linear
+    — and needs no sizing probe at all.
+
+    Per-task memory is one bucket's sets, already capped by
+    ``max_bucket``; per-task CPU is capped by salting owner buckets
+    whose pair count exceeds ``pair_budget`` into deterministic
+    sub-groups (pmod of the pair hash), with the bucket's sets
+    replicated per salt — the kmeans IVF cell-skew guard's shape.
+    Results are bit-equal to the join/blocked strategies (shared
+    kernel, tested); the DuckDB oracle is unchanged."""
+    import numpy as np
+
+    if pair_budget is None:  # module constant read late so tests can patch
+        pair_budget = _BUCKET_PAIR_BUDGET
+    d1_t = cand_owner.schema["d1"].dataType.simpleString()
+    d2_t = cand_owner.schema["d2"].dataType.simpleString()
+    out_schema = f"d1 {d1_t}, d2 {d2_t}, jaccard double"
+    d1_dtype = _PD_DTYPE.get(d1_t, "object")
+    d2_dtype = _PD_DTYPE.get(d2_t, "object")
+
+    owners = cand_owner.select(
+        "d1",
+        "d2",
+        F.col("__owner.band_id").alias("band_id"),
+        F.col("__owner.band_hash").alias("band_hash"),
+    )
+    # Per-owner pair counts -> salt fan-out.  The count is one map-side-
+    # combined agg over the persisted candidate frame; the salts frame
+    # has one row per non-singleton owner bucket (small), so the joins
+    # below broadcast under AQE.
+    salts = (
+        owners.groupBy("band_id", "band_hash")
+        .agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(pair_budget))
+            .cast("int")
+            .alias("__salts")
+        )
+    )
+    pairs_s = owners.join(salts, ["band_id", "band_hash"]).withColumn(
+        "__salt",
+        F.pmod(F.xxhash64("d1", "d2"), F.col("__salts")).cast("int"),
+    ).drop("__salts")
+    # Membership of candidate docs in owner buckets, re-derived from the
+    # banded frame with fresh expression ids (the cogroup's two sides
+    # must not share attributes).  Inner-joining `sets` both restricts
+    # membership to candidate docs and attaches the payload.
+    members = (
+        banded.select(
+            F.col("doc").alias("__m_doc"),
+            F.col("band_id").alias("__m_band"),
+            F.col("band_hash").alias("__m_hash"),
+        )
+        .join(
+            salts.select(
+                F.col("band_id").alias("__m_band"),
+                F.col("band_hash").alias("__m_hash"),
+                "__salts",
+            ),
+            ["__m_band", "__m_hash"],
+        )
+        .join(sets.withColumnRenamed("doc", "__m_doc"), "__m_doc")
+        .select(
+            F.col("__m_doc").alias("doc"),
+            "shingles",
+            "n",
+            F.col("__m_band").alias("band_id"),
+            F.col("__m_hash").alias("band_hash"),
+            F.explode(F.sequence(F.lit(0), F.col("__salts") - 1)).alias(
+                "__salt"
+            ),
+        )
+    )
+
+    def bucket_cell(key, ppdf, spdf):
+        docs = spdf["doc"].to_numpy()
+        s = {
+            d: np.sort(np.asarray(v, dtype=np.int64))
+            for d, v in zip(docs, spdf["shingles"].to_numpy())
+        }
+        ns = dict(zip(docs, (int(x) for x in spdf["n"])))
+        return _jaccard_pairs_kernel(
+            ppdf, s, ns, s, ns, threshold, d1_dtype, d2_dtype
+        )
+
+    return (
+        pairs_s.groupby("band_id", "band_hash", "__salt")
+        .cogroup(members.groupby("band_id", "band_hash", "__salt"))
+        .applyInPandas(bucket_cell, schema=out_schema)
     )
 
 
