@@ -655,10 +655,13 @@ def _verify_jaccard_blocked(
 
     row_cells = _cells_of("d1")
     col_cells = _cells_of("d2")
-    row_side = sets.join(row_cells, "doc").select(
+    # shuffle_hash pins: sets' post-collect_set size estimate undershoots
+    # its array payload (see _verify_jaccard_bucket) — never let AQE try
+    # to driver-broadcast the sets side.
+    row_side = sets.hint("shuffle_hash").join(row_cells, "doc").select(
         "doc", "shingles", "n", "bi", "bj", F.lit(0).alias("side")
     )
-    col_side = sets.join(col_cells, "doc").select(
+    col_side = sets.hint("shuffle_hash").join(col_cells, "doc").select(
         "doc", "shingles", "n", "bi", "bj", F.lit(1).alias("side")
     )
     tagged = row_side.unionByName(col_side)
@@ -775,7 +778,16 @@ def _verify_jaccard_bucket(
             ),
             ["__m_band", "__m_hash"],
         )
-        .join(sets.withColumnRenamed("doc", "__m_doc"), "__m_doc")
+        # shuffle_hash pin: sets' post-collect_set size ESTIMATE can
+        # undershoot its array payload badly enough that AQE attempts a
+        # driver broadcast of the whole sets side — the r10 join-verify
+        # failure replayed (observed again at sf30: 1 GB driver collect
+        # > maxResultSize).  The membership side is always the bigger
+        # frame, so a shuffle hash join is the right plan anyway.
+        .join(
+            sets.withColumnRenamed("doc", "__m_doc").hint("shuffle_hash"),
+            "__m_doc",
+        )
         .select(
             F.col("__m_doc").alias("doc"),
             "shingles",
