@@ -412,8 +412,18 @@ def minhash_lsh_pairs(
     # candidate-id side once runtime stats show it's small).
     cand_owner = cand_owner.persist()
     cand = cand_owner.select("d1", "d2")
-    in_cand = cand.select(F.col("d1").alias("doc")).union(
-        cand.select(F.col("d2").alias("doc"))
+    # distinct() before the semi-join is load-bearing at scale: without
+    # it the static planner broadcast-builds the RAW pair union (2 rows
+    # per pair — 448M rows at the sf30 probe, ~1 GB of serialized task
+    # results > driver maxResultSize).  Deduped, the id list is one
+    # map-side-combined shuffle and its broadcast is genuinely right
+    # (distinct candidate docs ≪ pairs); if even that outgrows the
+    # threshold, AQE sees the distinct's REAL runtime size at the stage
+    # boundary and plans a shuffled semi-join instead.
+    in_cand = (
+        cand.select(F.col("d1").alias("doc"))
+        .union(cand.select(F.col("d2").alias("doc")))
+        .distinct()
     )
     sub = df.join(
         in_cand.withColumnRenamed("doc", "__cand_id"),
