@@ -37,13 +37,18 @@ def main() -> int:
     for name in names:
         q = reg[name]
         # Exact-plan JIT prewarm at toy scale, same as bench.py, so the
-        # recorded reps are warm-throughput numbers.
+        # recorded reps are warm-throughput numbers.  A failed prewarm is
+        # NOT silent (r11 ADVICE): rep 0 would then carry cold-JVM JIT
+        # cost that the artifact would report as a warm best — print the
+        # cause and flag the result row so cross-round diffs can see it.
+        prewarmed = True
         try:
             q.spark(spark, "/root/testdata/sf0.001").write.mode(
                 "overwrite"
             ).format("noop").save()
-        except Exception:
-            pass
+        except Exception as e:
+            prewarmed = False
+            print(f"PREWARM FAILED for {name}: {e!r}", file=sys.stderr, flush=True)
         walls = []
         for r in range(reps):
             # The dedup/similarity entries persist() intermediates and
@@ -58,7 +63,9 @@ def main() -> int:
             df.write.mode("overwrite").format("noop").save()
             walls.append(round(time.monotonic() - t0, 4))
             print(f"{name} rep{r}: {walls[-1]}s", flush=True)
-        results[name] = {"walls": walls, "best": min(walls)}
+        results[name] = {
+            "walls": walls, "best": min(walls), "prewarmed": prewarmed,
+        }
     controls_end = _run_controls(spark)
     payload = {
         "sf_dir": sf_dir,

@@ -89,11 +89,13 @@ def test_lsh_singleton_and_oversized_buckets_drop(spark):
 
 
 def test_minhash_verify_strategies_bitequal(spark):
-    """The bucket (owner-bucket co-location), blocked (per-cell set
-    shipping) and join (per-pair array replication) verify strategies
-    are the same exact-Jaccard function — identical pairs AND identical
-    float jaccard values."""
-    from tidb_spark.data.dedup import minhash_lsh_pairs
+    """The bucket (owner-bucket co-location) and join (per-pair array
+    replication) verify strategies are the same exact-Jaccard function —
+    identical pairs AND identical float jaccard values — and both agree
+    with the test-only blocked grid implementation (an independent
+    kernel-based evaluation of the same candidates, demoted from the
+    public API in r12 but kept as this cross-check)."""
+    from tidb_spark.data.dedup import _verify_jaccard_blocked, minhash_lsh_pairs
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
 
@@ -105,9 +107,30 @@ def test_minhash_verify_strategies_bitequal(spark):
             ).collect()
         )
 
-    a, b, c = run("blocked"), run("join"), run("bucket")
-    assert len(a) > 0
-    assert a == b == c  # bit-equal including the IEEE division
+    b, c = run("join"), run("bucket")
+    assert len(b) > 0
+    assert b == c  # bit-equal including the IEEE division
+    a = sorted(
+        (r.d1, r.d2, r.jaccard)
+        for r in _verify_jaccard_blocked(
+            minhash_lsh_pairs(docs, "text", "doc_id", verify_threshold=None),
+            _shingle_sets(docs),
+            0.4,
+        ).collect()
+    )
+    assert a == b
+
+
+def _shingle_sets(docs, k=8):
+    """(doc, shingles, n) frame exactly as minhash_lsh_pairs builds it
+    for its verify tier (unrestricted: every doc, not just candidates —
+    the blocked verify only reads docs its candidate pairs name)."""
+    return (
+        dd.shingle_posting(docs, "text", "doc_id", k=k, distinct=False)
+        .groupBy("doc")
+        .agg(F.collect_set("g").alias("shingles"))
+        .withColumn("n", F.size("shingles"))
+    )
 
 
 def test_minhash_bucket_verify_salted_bitequal(spark, monkeypatch):
@@ -142,28 +165,39 @@ def test_minhash_verify_strategy_validated(spark):
     docs = _corpus(spark)
     with pytest.raises(ValueError, match="verify_strategy"):
         dd.minhash_lsh_pairs(docs, "text", "doc_id", verify_strategy="blokced")
+    # "blocked" was a public strategy until r12; it must now be rejected
+    # loudly, not silently fall through to the join path.
+    with pytest.raises(ValueError, match="verify_strategy"):
+        dd.minhash_lsh_pairs(docs, "text", "doc_id", verify_strategy="blocked")
 
 
 def test_blocked_verify_string_ids(spark):
     """String doc ids through the BLOCKED verify: the r10 kernel
-    hard-coded long ids, so the silent auto-switch at 200k docs would
-    have crashed a string-keyed corpus that worked small.  Blocked and
-    join must agree pair-for-pair with string keys, and the output id
-    columns must be strings."""
+    hard-coded long ids, so a switch onto this path would have crashed a
+    string-keyed corpus that worked small.  Blocked (test-only) and the
+    public join strategy must agree pair-for-pair with string keys, and
+    the output id columns must be strings."""
+    from tidb_spark.data.dedup import _verify_jaccard_blocked
+
     docs = _corpus(spark).select(
         F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "text"
     )
-    kw = dict(k=8, num_hashes=32, bands=8, verify_threshold=0.4)
+    kw = dict(k=8, num_hashes=32, bands=8)
     a = sorted(
         (r.d1, r.d2, r.jaccard)
-        for r in dd.minhash_lsh_pairs(
-            docs, "text", "doc_id", verify_strategy="blocked", **kw
+        for r in _verify_jaccard_blocked(
+            dd.minhash_lsh_pairs(
+                docs, "text", "doc_id", verify_threshold=None, **kw
+            ),
+            _shingle_sets(docs),
+            0.4,
         ).collect()
     )
     b = sorted(
         (r.d1, r.d2, r.jaccard)
         for r in dd.minhash_lsh_pairs(
-            docs, "text", "doc_id", verify_strategy="join", **kw
+            docs, "text", "doc_id", verify_strategy="join",
+            verify_threshold=0.4, **kw
         ).collect()
     )
     assert len(a) > 0 and a == b
@@ -242,3 +276,62 @@ def test_size_blocks_scales_linearly_with_payload(spark):
     assert mid >= 2 * (1 << 30) * 4 // _BLOCKED_CELL_BUDGET  # ≈ 32
     assert 9 <= round(big / mid) <= 11  # linear in payload
     assert _size_blocks(FakeDF(10_000 * one_gb_longs, 1)) == 4096  # cap
+
+
+def test_jaccard_kernel_trailing_empty_partner():
+    """A zero-length partner set that sorts LAST in its d1 group used to
+    put starts[-1] == len(mask) and IndexError np.add.reduceat (r11
+    ADVICE) — the non-trailing case was masked by the inters[lens==0]=0
+    fix-up.  Empty partners must score 0 wherever they appear."""
+    import numpy as np
+    import pandas as pd
+
+    from tidb_spark.data.dedup import _jaccard_pairs_kernel
+
+    s1 = {1: np.array([3, 5], dtype=np.int64)}
+    n1 = {1: 2}
+    s2 = {
+        2: np.array([3], dtype=np.int64),
+        0: np.array([], dtype=np.int64),
+    }
+    n2 = {2: 1, 0: 0}
+    # partner order (2, 0): the empty set is the TRAILING segment.
+    ppdf = pd.DataFrame({"d1": [1, 1], "d2": [2, 0]})
+    out = _jaccard_pairs_kernel(ppdf, s1, n1, s2, n2, 0.1, "int64", "int64")
+    assert sorted(zip(out["d1"], out["d2"], out["jaccard"])) == [(1, 2, 0.5)]
+    # Empty set LEADING, and an all-empty partner list.
+    ppdf = pd.DataFrame({"d1": [1, 1], "d2": [0, 2]})
+    out = _jaccard_pairs_kernel(ppdf, s1, n1, s2, n2, 0.1, "int64", "int64")
+    assert sorted(zip(out["d1"], out["d2"], out["jaccard"])) == [(1, 2, 0.5)]
+    ppdf = pd.DataFrame({"d1": [1], "d2": [0]})
+    out = _jaccard_pairs_kernel(ppdf, s1, n1, s2, n2, 0.1, "int64", "int64")
+    assert len(out) == 0
+
+
+def test_dedup_releases_cached_rdds(spark):
+    """The persist()ed verify intermediates (candidate frame + shingle
+    sets; simhash signatures) must not outlive the result handle: a
+    long-lived engine session issuing many dedup calls would otherwise
+    accrete StorageLevel debt without bound (r11 verdict #4).  Dropping
+    the result releases the cache (CPython refcount → weakref.finalize
+    → unpersist)."""
+    import gc
+
+    docs = _corpus(spark)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+
+    res = dd.minhash_lsh_pairs(docs, "text", "doc_id", verify_threshold=0.4)
+    res.count()
+    assert not cm.isEmpty()  # intermediates cached while the result lives
+    del res
+    gc.collect()
+    assert cm.isEmpty()
+
+    res = dd.simhash_pairs(docs, "text", "doc_id")
+    res.count()
+    assert not cm.isEmpty()
+    del res
+    gc.collect()
+    assert cm.isEmpty()

@@ -44,6 +44,37 @@ def _parse_byte_size(v) -> int | None:
     return int(m.group(1)) << shift[m.group(2).lower()]
 
 
+def _release_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Unpersist ``cached`` intermediates when ``result`` is garbage-
+    collected.
+
+    The persisted frames feed the (lazy) returned DataFrame, so they
+    cannot be unpersisted inside the function — but leaving them cached
+    forever accretes StorageLevel debt in a long-lived session issuing
+    many dedup calls (r11 verdict #4).  Tying their lifetime to the
+    RESULT handle releases them as soon as the caller drops the result
+    (for CPython, deterministically at refcount zero — pinned by
+    ``tests/test_dedup_properties.py::test_dedup_releases_cached_rdds``).
+    Unpersist after release is safe: downstream frames derived from the
+    result merely recompute instead of reading cache.  The finalizer
+    captures only the JVM handles (not the Python DataFrames, which
+    would resurrect them) and swallows errors from an already-stopped
+    session."""
+    import weakref
+
+    jdfs = [c._jdf for c in cached]
+
+    def _release(jdfs=jdfs):
+        for j in jdfs:
+            try:
+                j.unpersist(False)
+            except Exception:
+                pass
+
+    weakref.finalize(result, _release)
+    return result
+
+
 def _hash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal-hash family
     h_i(x) = (a_i * x + b_i) mod p."""
@@ -299,17 +330,19 @@ def minhash_lsh_pairs(
     ``verify_strategy``: "bucket" (verify each pair inside its owner
     LSH bucket — ≤ ``bands`` set copies per doc, corpus-independent;
     the corpus-scale path, see :func:`_verify_jaccard_bucket`),
-    "blocked" (hash pairs into a sized grid of cells — generic over any
-    candidate frame but its traffic grows with the grid, see
-    :func:`_verify_jaccard_blocked`), "join" (replicate both shingle
-    arrays per pair JVM-side — lower latency while pairs×payload is
-    small, but O(pairs·payload) shuffle that goes quadratic at
-    near-dup-dense scale: the sf10 fixture's 24.75M pairs × ~4.6 KB =
-    ~114 GB exhausted the spill disk), or "auto" (default): bucket once
-    the corpus exceeds 200k docs — the crossover where expected pairs
-    per doc passes the ≤bands copies bucket ships per doc.  The probe
-    is a parquet-metadata count, control-plane at any scale.  All
-    strategies are bit-equal (tested), so the switch is execution-only.
+    "join" (replicate both shingle arrays per pair JVM-side — lower
+    latency while pairs×payload is small, but O(pairs·payload) shuffle
+    that goes quadratic at near-dup-dense scale: the sf10 fixture's
+    24.75M pairs × ~4.6 KB = ~114 GB exhausted the spill disk), or
+    "auto" (default): bucket once the corpus exceeds 200k docs — the
+    crossover where expected pairs per doc passes the ≤bands copies
+    bucket ships per doc.  The probe is a parquet-metadata count,
+    control-plane at any scale.  The strategies are bit-equal (tested),
+    so the switch is execution-only.  (A third "blocked" grid strategy
+    was demoted to test-only in r12: its pair-pruned set traffic is
+    still quadratic on dense corpora — the sf10 re-probe filled 75 GB
+    of spill — and `auto` never selected it; see
+    :func:`_verify_jaccard_blocked`.)
 
     rows = num_hashes // bands per band; two docs collide in a band iff all
     row minhashes agree → P(candidate) ≈ 1-(1-j^r)^b.  The band join
@@ -322,10 +355,10 @@ def minhash_lsh_pairs(
     dropped from THAT band only — such buckets carry near-zero
     discrimination (everything matches everything), and genuinely similar
     pairs still collide in their other b-1 bands."""
-    if verify_strategy not in ("auto", "bucket", "blocked", "join"):
+    if verify_strategy not in ("auto", "bucket", "join"):
         raise ValueError(
             f"unknown verify_strategy {verify_strategy!r} "
-            "(expected 'auto', 'bucket', 'blocked' or 'join')"
+            "(expected 'auto', 'bucket' or 'join')"
         )
     rows = num_hashes // bands
     # The corpus-wide posting is never materialized: min() is duplicate-
@@ -432,7 +465,7 @@ def minhash_lsh_pairs(
     )
     # Persisted because it feeds both the d1 and d2 joins below — without
     # it the semi-join + explode subtree would evaluate once per side.
-    sets = (
+    sets_cached = (
         shingle_posting(sub, text_col, id_col, k=k, distinct=False)
         .groupBy("doc")
         .agg(F.collect_set("g").alias("shingles"))
@@ -441,8 +474,10 @@ def minhash_lsh_pairs(
     # Per-doc distinct-shingle counts ride along once; |∪| is then
     # n1 + n2 - |∩|, so the per-pair work is ONE array_intersect — the
     # array_union materialization (an allocation per candidate pair just
-    # to take its size) is algebra'd away.
-    sets = sets.withColumn("n", F.size("shingles"))
+    # to take its size) is algebra'd away.  The pre-withColumn handle is
+    # kept separately: unpersist matches by plan, so releasing the
+    # derived frame would miss the cached aggregate.
+    sets = sets_cached.withColumn("n", F.size("shingles"))
     if verify_strategy == "auto":
         # One count of the input (for a bare parquet scan this is the
         # footer-metadata sum; for a derived frame it is one narrow pass
@@ -451,11 +486,11 @@ def minhash_lsh_pairs(
         # corpus passes bucket's ≤bands per-doc copies.
         verify_strategy = "bucket" if df.count() > 200_000 else "join"
     if verify_strategy == "bucket":
-        return _verify_jaccard_bucket(
-            cand_owner, sets, banded, verify_threshold
+        return _release_on_gc(
+            _verify_jaccard_bucket(cand_owner, sets, banded, verify_threshold),
+            cand_owner,
+            sets_cached,
         )
-    if verify_strategy == "blocked":
-        return _verify_jaccard_blocked(cand, sets, verify_threshold)
     # Join verify: replicate both shingle arrays onto every candidate
     # pair and intersect JVM-side.  Fast and codegen-friendly while the
     # PAIR×PAYLOAD product is small, but the shuffle volume is
@@ -478,9 +513,11 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("s1", "s2")).cast("double")
     union = (F.col("n1") + F.col("n2")).cast("double") - inter
-    return (
+    return _release_on_gc(
         cand.select("d1", "d2", (inter / union).alias("jaccard"))
-        .where(F.col("jaccard") >= verify_threshold)
+        .where(F.col("jaccard") >= verify_threshold),
+        cand_owner,
+        sets_cached,
     )
 
 
@@ -552,24 +589,27 @@ def _jaccard_pairs_kernel(ppdf, s1, n1, s2, n2, threshold, d1_dtype, d2_dtype):
         partners = partners_s.to_numpy()
         bs = [s2[d] for d in partners]
         lens = np.fromiter((len(x) for x in bs), dtype=np.int64, count=len(bs))
-        cat = np.concatenate(bs) if bs else np.empty(0, dtype=np.int64)
-        if len(a) == 0 or cat.size == 0:
-            # Empty shingle set on either axis: every intersection is
-            # zero (the join strategy yields the same), and the
-            # searchsorted kernel below would index a[-1] on an empty
-            # array — short-circuit instead of relying on the current
-            # collect_set-over-posting invariant that sets are
-            # non-empty.
-            inters = np.zeros(len(bs), dtype=np.int64)
-        else:
+        # Zero-length partner sets are dropped BEFORE concatenation (their
+        # intersection is 0 by definition) and re-inserted as zeros after:
+        # keeping them in-line breaks reduceat two ways — a 0-len segment
+        # sums the NEXT segment's first element, and a TRAILING 0-len
+        # segment puts starts[-1] == len(mask), which raises IndexError.
+        # The kernel therefore does not rely on the collect_set-over-
+        # posting invariant that sets are non-empty.
+        nz = np.flatnonzero(lens)
+        inters = np.zeros(len(bs), dtype=np.int64)
+        if len(a) != 0 and nz.size != 0:
+            cat = (
+                np.concatenate([bs[i] for i in nz])
+                if nz.size != len(bs)
+                else np.concatenate(bs)
+            )
             idx = np.searchsorted(a, cat)
             np.minimum(idx, len(a) - 1, out=idx)
             mask = (a[idx] == cat).astype(np.int64)
-            starts = np.zeros(len(bs), dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            inters = np.add.reduceat(mask, starts)
-            inters[lens == 0] = 0  # reduceat on a 0-len segment
-            # sums the NEXT segment's first element; zero it.
+            starts = np.zeros(nz.size, dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            inters[nz] = np.add.reduceat(mask, starts)
         n2v = np.fromiter(
             (n2[d] for d in partners), dtype=np.int64, count=len(bs)
         )
@@ -599,8 +639,16 @@ def _verify_jaccard_blocked(
     *,
     blocks: int | None = None,
 ) -> DataFrame:
-    """Exact-Jaccard pair verification with per-CELL set shipping — the
-    scale path for dense near-dup corpora.
+    """Exact-Jaccard pair verification with per-CELL set shipping.
+
+    .. warning:: TEST-ONLY since r12 — not reachable from
+       :func:`minhash_lsh_pairs`.  Even pair-pruned, its set traffic
+       grows with the grid (`_size_blocks` scales blocks ∝ corpus, so
+       dense corpora go quadratic: the sf10 re-probe filled 75 GB of
+       spill and died), and the owner-bucket strategy dominates it at
+       every scale (Θ(bands·payload) traffic, no sizing probe).  It is
+       kept as an independent exact-Jaccard implementation the property
+       tests cross-check the shipped strategies against.
 
     The join verify replicates each doc's shingle array onto EVERY pair
     it appears in: O(pairs × doc-payload) shuffle, which at the sf10
@@ -941,7 +989,7 @@ def simhash_pairs(
     # shuffle: the banded join can emit ~bucket² candidate rows, but only
     # true near-dups (a tiny fraction) reach dropDuplicates, so the second
     # shuffle is proportional to the answer, not the collision count.
-    return (
+    return _release_on_gc(
         a.join(b, on=["chunk_id", "chunk_val"])
         .where(F.col("d1") < F.col("d2"))
         .select(
@@ -952,7 +1000,8 @@ def simhash_pairs(
             ).cast("int").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["d1", "d2"])
+        .dropDuplicates(["d1", "d2"]),
+        sig,
     )
 
 
