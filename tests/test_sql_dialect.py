@@ -2251,3 +2251,86 @@ def test_optimize_zorder_three_columns(engine, spark, tmp_path):
     after = eng.sql("SELECT SUM(id) AS s, COUNT(*) AS n FROM z3").collect()[0]
     assert (after.s, after.n) == (before, 1024)
     eng.sql("DROP TABLE IF EXISTS z3")
+
+
+def test_sequence_insert_select_per_row(engine):
+    """NEXTVAL inside INSERT … SELECT allocates once per SOURCE ROW via
+    batch reservation + a row_number() expression (ddl/sequence.go
+    allocator driven per row from executor/insert_common.go) — the r11
+    residual named-parity gap.  Covers: per-row values, LASTVAL after
+    the statement, multiple sites per row, CYCLE wrap mid-batch,
+    non-CYCLE exhaustion raising before any row lands, and the
+    still-rejected SETVAL form."""
+    import pytest as _pytest
+
+    engine.sql("CREATE SEQUENCE iss START WITH 10 INCREMENT BY 5")
+    engine.sql("CREATE TABLE iss_t (id BIGINT PRIMARY KEY, nk BIGINT)")
+    engine.sql(
+        "INSERT INTO iss_t SELECT NEXTVAL(iss), n_nationkey FROM nation "
+        "WHERE n_regionkey = 0 ORDER BY n_nationkey"
+    )
+    got = sorted(r.id for r in engine.sql("SELECT id FROM iss_t").collect())
+    n = len(got)
+    assert n == 5  # 5 AFRICA nations in the TPC-H fixture
+    assert got == [10 + 5 * i for i in range(n)]  # distinct, stepped by 5
+    # The session counter advanced past the batch; LASTVAL is the last
+    # reserved value.
+    assert engine.sql("SELECT LASTVAL(iss) AS v").collect()[0].v == 30
+    assert engine.sql("SELECT NEXTVAL(iss) AS v").collect()[0].v == 35
+
+    # Two sites in one row: row i takes reservations 2i and 2i+1.
+    engine.sql("CREATE TABLE iss_2 (a BIGINT, b BIGINT)")
+    engine.sql(
+        "INSERT INTO iss_2 SELECT NEXTVAL(iss), NEXTVAL(iss) FROM nation "
+        "WHERE n_regionkey = 1"
+    )
+    rows = engine.sql("SELECT a, b FROM iss_2").collect()
+    vals = sorted(v for r in rows for v in (r.a, r.b))
+    assert vals == [40 + 5 * i for i in range(2 * len(rows))]
+    assert all(r.b - r.a == 5 for r in rows)  # sites are adjacent per row
+
+    # CYCLE wraps mid-batch; non-CYCLE raises BEFORE writing anything.
+    engine.sql("CREATE SEQUENCE cyc START WITH 4 MAXVALUE 5 CYCLE")
+    engine.sql("CREATE TABLE cyc_t (id BIGINT, nk BIGINT)")
+    engine.sql(
+        "INSERT INTO cyc_t SELECT NEXTVAL(cyc), n_nationkey FROM nation "
+        "WHERE n_regionkey = 0"
+    )
+    ids = sorted(r.id for r in engine.sql("SELECT id FROM cyc_t").collect())
+    assert ids == [1, 2, 3, 4, 5]  # 4,5 then wrap to 1,2,3
+    assert engine.sql("SELECT NEXTVAL(cyc) AS v").collect()[0].v == 4
+    engine.sql("CREATE SEQUENCE short MAXVALUE 3")
+    with _pytest.raises(ValueError, match="run out"):
+        engine.sql(
+            "INSERT INTO cyc_t SELECT NEXTVAL(short), n_nationkey "
+            "FROM nation WHERE n_regionkey = 0"
+        )
+    # atomic: the failed statement inserted nothing and burned nothing
+    assert engine.sql("SELECT COUNT(*) AS c FROM cyc_t").collect()[0].c == 5
+    assert engine.sql("SELECT NEXTVAL(short) AS v").collect()[0].v == 1
+
+    # Zero-row source: valid statement, counter untouched (the iss_2
+    # two-site batch over 5 rows left lastval at 40 + 5*9 = 85).
+    assert engine.sql("SELECT LASTVAL(iss) AS v").collect()[0].v == 85
+    engine.sql(
+        "INSERT INTO iss_t SELECT NEXTVAL(iss), n_nationkey FROM nation "
+        "WHERE n_regionkey = 99"
+    )
+    assert engine.sql("SELECT LASTVAL(iss) AS v").collect()[0].v == 85
+
+    # A string literal mentioning 'NEXTVAL(iss)' must not allocate.
+    engine.sql("CREATE TABLE iss_s (t VARCHAR(32), id BIGINT)")
+    engine.sql(
+        "INSERT INTO iss_s SELECT 'NEXTVAL(iss) literal', NEXTVAL(iss) "
+        "FROM nation WHERE n_nationkey = 0"
+    )
+    assert [r.id for r in engine.sql("SELECT id FROM iss_s").collect()] == [90]
+
+    with _pytest.raises(ValueError, match="SETVAL"):
+        engine.sql(
+            "INSERT INTO iss_t SELECT SETVAL(iss, 9), n_nationkey FROM nation"
+        )
+    for ddl in ("DROP SEQUENCE iss", "DROP SEQUENCE cyc",
+                "DROP SEQUENCE short", "DROP TABLE iss_t",
+                "DROP TABLE iss_2", "DROP TABLE cyc_t", "DROP TABLE iss_s"):
+        engine.sql(ddl)

@@ -1409,16 +1409,12 @@ class Engine:
                 r"(?is)^\s*(?:INSERT|REPLACE)\b.*?\b(?:SELECT|WITH|TABLE)\b",
                 _seq_masked,
             ):
-                # Substitution splices ONE literal per textual occurrence;
-                # a SELECT source would stamp every row with the same
-                # value — reference sequences allocate per row.  Reject
-                # rather than silently duplicate (use AUTO_INCREMENT for
-                # bulk loads).
-                raise ValueError(
-                    "NEXTVAL/SETVAL inside INSERT ... SELECT is not "
-                    "supported (one allocation per statement occurrence, "
-                    "not per row); use an AUTO_INCREMENT column instead"
-                )
+                # Literal splicing would stamp every SELECT row with one
+                # value; the reference allocates per row
+                # (ddl/sequence.go allocator driven from
+                # executor/insert_common.go) — take the batch-reserved
+                # per-row path instead.
+                return self._run_seq_insert_select(query)
             query = self._substitute_sequence_funcs(query)
         query = _SELECT_LOCK_RE.sub(r"\1", query)
         # Plan bindings fire before hint extraction so a binding-injected
@@ -3146,6 +3142,141 @@ class Engine:
             return _SEQ_FUNC_RE.sub(repl, code)
 
         return _map_code(query, sub)
+
+    def _run_seq_insert_select(self, query: str) -> DataFrame:
+        """NEXTVAL per-row allocation inside INSERT/REPLACE … SELECT
+        (ddl/sequence.go allocator + executor/insert_common.go evaluate
+        sequence builtins once per inserted row).
+
+        Batch reservation: the source SELECT is counted once (sequence
+        calls replaced by 0 — cardinality only), n × sites values are
+        reserved from the engine counter ANALYTICALLY, and each NEXTVAL
+        site is spliced with a closed-form value expression over
+        ``row_number()`` so the allocation itself runs JVM-side — no
+        driver loop, no Python UDF.  The window is unpartitioned: a
+        sequence is one global counter, so the serialization is
+        semantic (the reference funnels every insert through one KV
+        allocator the same way); bulk loads that only need unique ids
+        should use AUTO_INCREMENT, which block-allocates without a
+        global order.  With k sites for one sequence, row i's site j
+        takes reservation index i·k + j (left-to-right per row, the
+        reference's evaluation order).  CYCLE wraps fold into the
+        expression; non-CYCLE exhaustion raises BEFORE any row is
+        written (statement-atomic, ErrSequenceRunOut).  LASTVAL splices
+        the pre-statement session value; SETVAL per source row is
+        rejected (last-writer-wins noise, no reference use case)."""
+        from tidb_spark.sqlshim.translate import _map_code
+
+        masked = merge_clause._STRING_RE.sub("''", query)
+        for fm in _SEQ_FUNC_RE.finditer(masked):
+            if fm.group("fn").upper() == "SETVAL":
+                raise ValueError(
+                    "SETVAL inside INSERT ... SELECT is not supported "
+                    "(it would re-set the counter once per source row)"
+                )
+        om = re.search(r"(?i)\bON\s+DUPLICATE\s+KEY\s+UPDATE\b", masked)
+        if om and _SEQ_FUNC_RE.search(masked[om.start():]):
+            raise ValueError(
+                "sequence functions in the ON DUPLICATE KEY UPDATE "
+                "clause of INSERT ... SELECT are not supported"
+            )
+        sm = re.match(
+            r"(?is)^\s*(?:INSERT|REPLACE)(?:\s+IGNORE)?\s+INTO\s+`?\w+`?\s*"
+            r"(?:\([^)]*\)\s*)?((?:SELECT|WITH)\b.*)$",
+            query,
+        )
+        if sm is None:
+            # Not a plain SELECT source (e.g. a scalar subquery inside
+            # VALUES tripped the dispatch regex): per-STATEMENT splicing
+            # is correct there — each textual site allocates once.
+            return self.sql(self._substitute_sequence_funcs(query))
+        sel = sm.group(1)
+        obm = _ODKU_RE.match(sel)
+        if obm:
+            sel = obm.group(1)
+
+        # Pass 1: index the NEXTVAL sites per sequence (string-literal
+        # aware) and splice LASTVAL as its pre-statement value.
+        sites: dict[str, int] = {}
+
+        def index_sites(code: str) -> str:
+            def repl(fm: re.Match) -> str:
+                seq = fm.group("seq")
+                if seq not in self.sequences:
+                    raise ValueError(f"Unknown SEQUENCE {seq!r}")
+                if fm.group("fn").upper() == "LASTVAL":
+                    last = self.sequences[seq]["lastval"]
+                    return "NULL" if last is None else str(last)
+                j = sites.get(seq, 0)
+                sites[seq] = j + 1
+                return f"__SEQ_SITE__{seq}__{j}__"
+            return _SEQ_FUNC_RE.sub(repl, code)
+
+        rewritten = _map_code(query, index_sites)
+        if not sites:  # LASTVAL-only statement: nothing row-dependent
+            return self.sql(rewritten)
+
+        # Cardinality probe: the SELECT with every site zeroed.  One
+        # extra evaluation of the source (a count, so column-pruned to
+        # nothing); the reference instead pre-reserves allocator cache
+        # batches per chunk — same idea, reservation before write.
+        n = self.sql(
+            _map_code(sel, lambda code: _SEQ_FUNC_RE.sub("0", code))
+        ).count()
+
+        rn = "(ROW_NUMBER() OVER (ORDER BY 1) - 1)"
+        advances: list[tuple[str, int, int]] = []  # (seq, last_val, total)
+        for seq, k in sites.items():
+            s = self.sequences[seq]
+            inc, minv, maxv = s["increment"], s["min"], s["max"]
+            total = n * k
+            cur = s["next"]
+            if cur > maxv or cur < minv:  # counter parked past the bound
+                if not s["cycle"] and total:
+                    raise ValueError(f"Sequence {seq!r} has run out")
+                if s["cycle"]:
+                    cur = minv if inc > 0 else maxv
+            if inc > 0:
+                c0 = (maxv - cur) // inc + 1
+                cycle_len = (maxv - minv) // inc + 1
+                wrap = minv
+            else:
+                c0 = (cur - minv) // (-inc) + 1
+                cycle_len = (maxv - minv) // (-inc) + 1
+                wrap = maxv
+            if total and total > c0 and not s["cycle"]:
+                raise ValueError(f"Sequence {seq!r} has run out")
+
+            def val_of(mm: int) -> int:
+                if mm < c0:
+                    return cur + mm * inc
+                return wrap + ((mm - c0) % cycle_len) * inc
+
+            for j in range(k):
+                m_expr = f"({rn} * {k} + {j})" if k > 1 else rn
+                if total <= c0:
+                    formula = f"CAST({cur} + {m_expr} * {inc} AS BIGINT)"
+                else:
+                    formula = (
+                        f"CAST(CASE WHEN {m_expr} < {c0} "
+                        f"THEN {cur} + {m_expr} * {inc} "
+                        f"ELSE {wrap} + pmod({m_expr} - {c0}, {cycle_len})"
+                        f" * {inc} END AS BIGINT)"
+                    )
+                rewritten = rewritten.replace(
+                    f"__SEQ_SITE__{seq}__{j}__", formula
+                )
+            if total:
+                advances.append((seq, val_of(total - 1), total))
+
+        result = self.sql(rewritten)
+        # Counters advance only after the insert succeeded — a failed
+        # statement must not burn reservations (statement-atomic, like
+        # the reference's txn-scoped allocator rollback).
+        for seq, last, _total in advances:
+            self.sequences[seq]["next"] = last + self.sequences[seq]["increment"]
+            self.sequences[seq]["lastval"] = last
+        return result
 
     def _run_set(self, m: re.Match) -> DataFrame:
         """SET @var = expr / SET @@sysvar = value (executor/set.go:41-96).
