@@ -17,7 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def latest_green() -> dict[str, int]:
     latest: dict[str, int] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r0*.json")):
+    # NB: r* not r0* — two-digit rounds (r10+) carry no leading zero.
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r0*(\d+)", path).group(1))
         data = json.load(open(path))
         rows = data.get("queries", data)

@@ -62,70 +62,65 @@ _LOADED = False
 # representative per SURVEY §2 family so every family gets driver rows;
 # everything not listed keeps its natural (import) order after slot 50.
 _PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 11 window (50 slots the driver verifies) ---
-    # Built by replaying CORRECTNESS_r0{1..10}.json: all 39 rows whose
-    # latest green check is r7 (the stalest tier — after this rotation
-    # no query's latest check predates r8), then the 4 queries whose
-    # implementation modules changed this round (the k-means update
-    # dispatch + ivf salt, and the LSH blocked-verify sizing), then the
-    # 7 stalest r8 rows in registry order.
-    # --- the 39 r7-latest rows (stalest tier) ---
-    "ts_sessionize",
-    "ts_rollup_gapfill",
-    "agg_mode",
-    "join_skew_salted",
-    "ts_ewma",
-    "ts_funnel",
-    "ts_retention_cohort",
-    "window_exclude_current",
-    "subq_quantified",
-    "graph_triangles",
-    "text_pii_scrub",
-    "text_tfidf_topterms",
-    "text_chunking",
-    "data_mixture",
-    "dedup_containment",
-    "text_unigram_rarity",
-    "dedup_substring",
-    "text_bm25_topk",
-    "dedup_bloom_decontam",
-    "sample_weighted",
-    "dedup_url_canonical",
-    "text_nb_filter",
-    "sim_pq_topk",
-    "dedup_edit_verify",
-    "text_boilerplate_strip",
-    "sample_split",
-    "dedup_ensemble_cluster",
-    "mysqlsql_match_1hop",
-    "mysqlsql_match_multipath",
-    "mysqlsql_collation_ci",
-    "mysqlsql_collation_unicode",
-    "mysqlsql_collation_unicode_uca",
-    "mysqlsql_collation_groupby",
-    "mysqlsql_window_named",
-    "mysqlsql_lateral",
-    "mysqlsql_with_rollup",
-    "mysqlsql_recursive_union",
-    "stream_cascade_rollup",
-    "stream_left_outer_join",
-    # --- r11 code-touched modules (kmeans.py update dispatch + ivf
-    # cell salting; dedup.py blocked-verify stats sizing) — plans at
-    # sf0.01 resolve to the same strategies, but the dispatch changed,
-    # so re-green their queries ---
-    "embedding_kmeans",
-    "dedup_semantic_kmeans",
-    "sim_ivf_topk",
-    "dedup_minhash_lsh",
-    # --- 7 stalest r8 rows (registry order) ---
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q19",
-    # (r12 rotation plan: the remaining 41 r8-latest rows are the next
+    # --- round 12 window (50 slots the driver verifies) ---
+    # Built by replaying CORRECTNESS_r0{1..11}.json: all 41 rows whose
+    # latest green check is r8 (the stalest tier — after this rotation
+    # no query's latest check predates r9), then the 9 stalest
+    # r9-latest rows in registry order.  Post-r11 staleness histogram
+    # was r8:41, r9:49, r10:47, r11:50.
+    # --- the 41 r8-latest rows (stalest tier) ---
+    "tpch_q22",
+    "tpch_q11",
+    "tpch_q20",
+    "join_inner_nonequi",
+    "join_left_outer",
+    "join_right_outer",
+    "join_cross",
+    "setop_union_distinct",
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "window_rank_family",
+    "window_lead_lag",
+    "window_rows_frame",
+    "window_partition_agg",
+    "distinct_op",
+    "agg_group_concat",
+    "agg_bit_ops",
+    "agg_var_stddev",
+    "agg_count_distinct",
+    "agg_minmax_first",
+    "agg_approx_sketches",
+    "agg_grouping_sets",
+    "graph_common_neighbors",
+    "graph_kcore",
+    "dedup_ngram_jaccard",
+    "multimodal_frames",
+    "dedup_decontaminate",
+    "sample_stratified",
+    "text_seq_packing",
+    "text_pipeline_e2e",
+    "text_top_tokens",
+    "retrieval_hybrid_rrf",
+    "multimodal_jpeg_decode",
+    "mysqlsql_prepare",
+    "mysqlsql_collation_gbk",
+    "mysqlsql_json_table",
+    "mysqlsql_json_table_nested",
+    "mysqlsql_fulltext_match",
+    "mysqlsql_fulltext_boolean",
+    "mysqlsql_plan_cache",
+    # --- 9 stalest r9-latest rows (registry order) ---
+    "tpch_q1",
+    "tpch_q6",
+    "tpch_q9",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q12",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q21",
+    # (r13 rotation plan: the remaining 40 r9-latest rows are the next
     # stalest tier.  Regenerate from the CORRECTNESS files, not this
     # comment.)
 )
