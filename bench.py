@@ -96,6 +96,45 @@ def _run_controls(spark) -> dict[str, float]:
     return out
 
 
+#: Queries between interleaved control probes.  r11's start/end-only
+#: controls could say "this run was 1.7× slow" but not WHICH queries a
+#: mid-sweep neighbor storm hit — graph_match_out read 8.7× its true
+#: cost in the r11 driver artifact and only isolated re-runs could
+#: prove it was noise (the fourth consecutive round of noise
+#: adjudication).  A cheap single-probe checkpoint every ~20 queries
+#: (~0.5 s each, ~5 s per 187-query sweep) gives each query a NEARBY
+#: host-speed reading to normalize by.
+_CONTROL_INTERVAL = 20
+
+
+def _quick_control(spark) -> float:
+    """min-of-2 of the cpu_shuffle probe only — the interleaved
+    checkpoint.  No warm pass: the start-of-sweep full controls warmed
+    the probe's plan, and mid-sweep JIT state is exactly what the
+    nearby queries experience."""
+    fn = _control_probes(spark)["ctrl_cpu_shuffle"]
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
+def _geomean_factor(readings: dict[str, float]) -> float:
+    import math
+
+    return math.exp(
+        sum(
+            math.log(readings[n] / _CONTROL_CALIBRATION[n])
+            for n in _CONTROL_CALIBRATION
+            if n in readings
+        )
+        / sum(1 for n in _CONTROL_CALIBRATION if n in readings)
+    )
+
+
 def main() -> None:
     # Self-capture stderr into bench_stderr.log NEXT TO the run's numbers:
     # the artifact is then always from the same invocation as
@@ -236,6 +275,19 @@ def main() -> None:
     )
 
     controls_start = _run_controls(spark)
+    sweep_t0 = time.perf_counter()
+    # Control time-series: one entry per checkpoint, positioned by how
+    # many queries had completed when it ran.  Start/end carry the full
+    # 3-probe reading; interleaved checkpoints the cpu_shuffle probe
+    # only (factor = reading / its calibration).
+    control_series: list[dict] = [
+        {
+            "pos": 0,
+            "elapsed": 0.0,
+            "factor": round(_geomean_factor(controls_start), 4),
+            "readings": controls_start,
+        }
+    ]
 
     timings: dict[str, float] = {}
     # Raw FIRST-run readings, recorded alongside the warm best so the
@@ -248,7 +300,19 @@ def main() -> None:
     # changed between rounds).
     firsts: dict[str, float] = {}
     total = 0.0
-    for name in names:
+    for qi, name in enumerate(names):
+        if qi and qi % _CONTROL_INTERVAL == 0:
+            reading = _quick_control(spark)
+            control_series.append(
+                {
+                    "pos": qi,
+                    "elapsed": round(time.perf_counter() - sweep_t0, 2),
+                    "factor": round(
+                        reading / _CONTROL_CALIBRATION["ctrl_cpu_shuffle"], 4
+                    ),
+                    "readings": {"ctrl_cpu_shuffle": reading},
+                }
+            )
         q = registry[name]
         if prewarm:
             try:
@@ -300,10 +364,20 @@ def main() -> None:
     # file, and the final stdout line is a compact JSON (family subtotals
     # only) guaranteed to fit in the driver's tail window.
     controls_end = _run_controls(spark)
+    control_series.append(
+        {
+            "pos": len(names),
+            "elapsed": round(time.perf_counter() - sweep_t0, 2),
+            "factor": round(_geomean_factor(controls_end), 4),
+            "readings": controls_end,
+        }
+    )
     # noise_factor: geometric mean over probes of (this run's mean of
     # start/end readings) / (the committed calibration constant).  1.0 =
     # calibration-quiet host; 1.4 = everything on this host ran ~1.4×
-    # slow, divide walls by it before comparing across sessions.
+    # slow.  Kept for round-over-round continuity of the scalar; the
+    # per-query series below is the one that can LOCALIZE a mid-sweep
+    # storm.
     import math
 
     noise_factor = math.exp(
@@ -316,7 +390,21 @@ def main() -> None:
         )
         / len(_CONTROL_CALIBRATION)
     )
-    normalized = {n: round(s / noise_factor, 4) for n, s in timings.items()}
+    # Per-query normalization by the NEAREST control checkpoint (by
+    # sweep position): a query measured while the host ran 2× slow is
+    # divided by ~2, one measured in a quiet stretch by ~1 — so a
+    # mid-sweep neighbor storm no longer reads as a regression of
+    # whichever family it landed on.  Factors are floored at 1.0: a
+    # checkpoint FASTER than calibration is probe jitter, and dividing
+    # by <1 would inflate quiet-window readings above their raw walls.
+    factors = [
+        (ck["pos"], max(1.0, ck["factor"])) for ck in control_series
+    ]
+    normalized = {}
+    for qi, name in enumerate(names):
+        pos = qi + 0.5
+        f = min(factors, key=lambda pf: abs(pf[0] - pos))[1]
+        normalized[name] = round(timings[name] / f, 4)
 
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -334,9 +422,19 @@ def main() -> None:
                     "end": controls_end,
                     "calibration": _CONTROL_CALIBRATION,
                 },
+                "control_series": control_series,
                 "noise_factor": round(noise_factor, 4),
-                "value_normalized": round(total / noise_factor, 4),
+                "value_normalized": round(
+                    sum(normalized.values()), 4
+                ),
                 "queries_normalized": normalized,
+                "normalization": (
+                    "each query divided by max(1, factor) of its "
+                    "nearest control checkpoint (control_series; one "
+                    f"cpu_shuffle probe every {_CONTROL_INTERVAL} "
+                    "queries + full 3-probe start/end); noise_factor "
+                    "is the legacy start/end scalar"
+                ),
                 "sf": sf,
             },
             fh,
@@ -352,7 +450,11 @@ def main() -> None:
         "metric": "corpus_total_runtime",
         "value": round(total, 2),
         "noise_factor": round(noise_factor, 3),
-        "value_normalized": round(total / noise_factor, 2),
+        "noise_range": [
+            round(min(f for _, f in factors), 2),
+            round(max(f for _, f in factors), 2),
+        ],
+        "value_normalized": round(sum(normalized.values()), 2),
         "unit": "sec",
         # spec shape: "queries" maps name -> sec; the full 104-entry map is
         # in BENCH_DETAIL.json, the line carries the 5 slowest.
