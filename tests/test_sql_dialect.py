@@ -945,21 +945,25 @@ def test_multi_update_key_assignment_rejected(engine):
     engine.sql("DROP TABLE mu_t")
 
 
-def test_nextval_insert_select_rejected(engine):
-    import pytest as _pytest
-
+def test_nextval_insert_select_and_values(engine):
+    """r12: NEXTVAL in INSERT … SELECT allocates per row (was rejected
+    through r11 — the full semantics are pinned by
+    test_sequence_insert_select_per_row); multi-row VALUES keeps its
+    one-allocation-per-occurrence splicing."""
     engine.sql("CREATE SEQUENCE bulk_seq")
     engine.sql("CREATE TABLE ns_t (id BIGINT PRIMARY KEY, v BIGINT)")
-    with _pytest.raises(ValueError, match="per row"):
-        engine.sql(
-            "INSERT INTO ns_t SELECT NEXTVAL(bulk_seq), n_nationkey FROM nation"
-        )
+    engine.sql(
+        "INSERT INTO ns_t SELECT NEXTVAL(bulk_seq), n_nationkey FROM nation"
+    )
+    n = engine.sql("SELECT COUNT(*) AS c FROM nation").collect()[0].c
+    ids = sorted(r.id for r in engine.sql("SELECT id FROM ns_t").collect())
+    assert ids == list(range(1, n + 1))
     # Multi-row VALUES (one occurrence per row) still allocates correctly.
     engine.sql(
         "INSERT INTO ns_t VALUES (NEXTVAL(bulk_seq), 1), (NEXTVAL(bulk_seq), 2)"
     )
     ids = sorted(r.id for r in engine.sql("SELECT id FROM ns_t").collect())
-    assert ids == [1, 2]
+    assert ids == list(range(1, n + 3))
     engine.sql("DROP TABLE ns_t"); engine.sql("DROP SEQUENCE bulk_seq")
 
 
