@@ -308,30 +308,33 @@ def test_jaccard_kernel_trailing_empty_partner():
     assert len(out) == 0
 
 
-def test_dedup_releases_cached_rdds(spark):
+def test_dedup_cache_debt_bounded(spark):
     """The persist()ed verify intermediates (candidate frame + shingle
-    sets; simhash signatures) must not outlive the result handle: a
-    long-lived engine session issuing many dedup calls would otherwise
-    accrete StorageLevel debt without bound (r11 verdict #4).  Dropping
-    the result releases the cache (CPython refcount → weakref.finalize
-    → unpersist)."""
-    import gc
-
+    sets; simhash signatures) must not accrete without bound in a
+    long-lived session issuing many dedup calls (r11 verdict #4).  The
+    FIFO debt registry keeps at most _CACHE_DEBT_LIMIT calls' caches
+    (recent results stay fast to consume — releasing on result-handle
+    GC was tried and unpersisted the cache BEFORE execution whenever a
+    caller derived a new frame from the result, recomputing the
+    candidate grid); release_cached() flushes everything."""
     docs = _corpus(spark)
     cm = spark._jsparkSession.sharedState().cacheManager()
     spark.catalog.clearCache()
+    dd.release_cached()
     assert cm.isEmpty()
 
     res = dd.minhash_lsh_pairs(docs, "text", "doc_id", verify_threshold=0.4)
     res.count()
-    assert not cm.isEmpty()  # intermediates cached while the result lives
-    del res
-    gc.collect()
-    assert cm.isEmpty()
+    assert not cm.isEmpty()  # intermediates cached while recent
+    per_call = cm.cachedData().size()  # entries one call registers
 
-    res = dd.simhash_pairs(docs, "text", "doc_id")
-    res.count()
-    assert not cm.isEmpty()
-    del res
-    gc.collect()
+    for _ in range(dd._CACHE_DEBT_LIMIT + 1):
+        dd.simhash_pairs(docs, "text", "doc_id").count()
+    # The registry holds the newest LIMIT calls only; the cacheManager
+    # can never exceed LIMIT × the largest per-call entry count.
+    assert len(dd._cache_debt) == dd._CACHE_DEBT_LIMIT
+    assert cm.cachedData().size() <= dd._CACHE_DEBT_LIMIT * per_call
+    # The oldest call (the minhash one) was evicted along the way.
+    dd.release_cached()
     assert cm.isEmpty()
+    assert dd._cache_debt == []

@@ -44,35 +44,50 @@ def _parse_byte_size(v) -> int | None:
     return int(m.group(1)) << shift[m.group(2).lower()]
 
 
-def _release_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Unpersist ``cached`` intermediates when ``result`` is garbage-
-    collected.
+#: How many dedup calls' persisted intermediates may stay cached at
+#: once.  The frames feed the LAZY returned DataFrame, so they cannot
+#: be unpersisted inside the operator (the caller's action hasn't run
+#: yet — an r12 attempt to key release off result-handle GC unpersisted
+#: them BEFORE execution whenever the caller derived a new frame from
+#: the result, recomputing the candidate grid ~3× and quadrupling the
+#: sf3 probe wall).  Instead each call registers its handles in a FIFO
+#: debt registry: the newest ``_CACHE_DEBT_LIMIT`` calls keep their
+#: cache (covering any sane consume-after-build window), older entries
+#: are unpersisted — a long-lived engine session issuing thousands of
+#: dedup calls carries bounded cache debt (r11 verdict #4) instead of
+#: unbounded accretion.  Evicting an entry that is somehow STILL being
+#: consumed is a recompute, never a wrong answer.
+_CACHE_DEBT_LIMIT = 4
 
-    The persisted frames feed the (lazy) returned DataFrame, so they
-    cannot be unpersisted inside the function — but leaving them cached
-    forever accretes StorageLevel debt in a long-lived session issuing
-    many dedup calls (r11 verdict #4).  Tying their lifetime to the
-    RESULT handle releases them as soon as the caller drops the result
-    (for CPython, deterministically at refcount zero — pinned by
-    ``tests/test_dedup_properties.py::test_dedup_releases_cached_rdds``).
-    Unpersist after release is safe: downstream frames derived from the
-    result merely recompute instead of reading cache.  The finalizer
-    captures only the JVM handles (not the Python DataFrames, which
-    would resurrect them) and swallows errors from an already-stopped
-    session."""
-    import weakref
+_cache_debt: list[list] = []  # FIFO of per-call JVM Dataset handles
 
-    jdfs = [c._jdf for c in cached]
 
-    def _release(jdfs=jdfs):
-        for j in jdfs:
-            try:
-                j.unpersist(False)
-            except Exception:
-                pass
+def _unpersist_group(group: list) -> None:
+    for j in group:
+        try:
+            j.unpersist(False)
+        except Exception:
+            pass  # session already stopped — nothing to release
 
-    weakref.finalize(result, _release)
+
+def _register_persisted(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Track ``cached`` (persisted intermediates of one dedup call) in
+    the bounded debt registry, evicting the oldest call's entries once
+    more than ``_CACHE_DEBT_LIMIT`` calls are outstanding.  Call
+    :func:`release_cached` to flush everything eagerly (e.g. at session
+    teardown or between pipeline stages)."""
+    _cache_debt.append([c._jdf for c in cached])
+    while len(_cache_debt) > _CACHE_DEBT_LIMIT:
+        _unpersist_group(_cache_debt.pop(0))
     return result
+
+
+def release_cached() -> None:
+    """Unpersist every intermediate the dedup operators have registered
+    (see ``_CACHE_DEBT_LIMIT``).  Safe to call at any time: consumers
+    of still-live results recompute instead of reading cache."""
+    while _cache_debt:
+        _unpersist_group(_cache_debt.pop(0))
 
 
 def _hash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -486,7 +501,7 @@ def minhash_lsh_pairs(
         # corpus passes bucket's ≤bands per-doc copies.
         verify_strategy = "bucket" if df.count() > 200_000 else "join"
     if verify_strategy == "bucket":
-        return _release_on_gc(
+        return _register_persisted(
             _verify_jaccard_bucket(cand_owner, sets, banded, verify_threshold),
             cand_owner,
             sets_cached,
@@ -513,7 +528,7 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("s1", "s2")).cast("double")
     union = (F.col("n1") + F.col("n2")).cast("double") - inter
-    return _release_on_gc(
+    return _register_persisted(
         cand.select("d1", "d2", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= verify_threshold),
         cand_owner,
@@ -989,7 +1004,7 @@ def simhash_pairs(
     # shuffle: the banded join can emit ~bucket² candidate rows, but only
     # true near-dups (a tiny fraction) reach dropDuplicates, so the second
     # shuffle is proportional to the answer, not the collision count.
-    return _release_on_gc(
+    return _register_persisted(
         a.join(b, on=["chunk_id", "chunk_val"])
         .where(F.col("d1") < F.col("d2"))
         .select(
