@@ -453,15 +453,16 @@ def kmeans_assignments(
     pts = emb.select(
         F.col(id_col).alias("vec_id"), quantize(vec_col, scale=scale).alias(_Q)
     )
-    probe = pts.select(_Q).first()
-    if probe is None:
+    seeds = pts.orderBy("vec_id").limit(k).collect()  # k rows by contract
+    if not seeds:
         raise ValueError("kmeans_assignments: input has no rows")
-    dim = len(probe[0])
+    # dim read off the seeds — the former separate first() probe was one
+    # whole extra job per call (r12; the seeds collect already scans).
+    dim = len(seeds[0][_Q])
     if update == "auto":
         n_est = _est_rows(emb, dim)
         fold_bytes = (n_est / max(k, 1)) * dim * 8
         update = "fold" if fold_bytes <= _FOLD_CLUSTER_BYTES else "posexplode"
-    seeds = pts.orderBy("vec_id").limit(k).collect()  # k rows by contract
     cent = [
         (i, np.asarray(list(r[_Q]), dtype=np.int64))
         for i, r in enumerate(seeds)

@@ -924,10 +924,12 @@ def pq_adc_topk(
         F.col(id_col).alias("vec_id"),
         km.quantize(vec_col, scale=scale).alias("qv"),
     )
-    probe = pts.select("qv").first()
-    if probe is None:
+    seeds = pts.orderBy("vec_id").limit(k).collect()  # k rows by contract
+    if not seeds:
         raise ValueError("pq_adc_topk: input has no rows")
-    dim = len(probe[0])
+    # dim read off the seeds — the former separate first() probe was one
+    # whole extra job per call (r12; the seeds collect already scans).
+    dim = len(seeds[0]["qv"])
     if dim % m:
         raise ValueError(f"pq_adc_topk: dim {dim} not divisible by m={m}")
     sub_d = dim // m
@@ -954,7 +956,6 @@ def pq_adc_topk(
             StructField("cv", ArrayType(LongType())),
         ]
     )
-    seeds = pts.orderBy("vec_id").limit(k).collect()  # k rows by contract
     codebook = spark.createDataFrame(
         [
             (j, i, list(r["qv"][j * sub_d : (j + 1) * sub_d]))

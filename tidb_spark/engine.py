@@ -389,6 +389,7 @@ class Engine:
         domains: dict[str, tuple[str, tuple[str, ...]]] | None = None,
         generated: dict[str, str] | None = None,
         auto_col: str | None = None,
+        df_known_empty: bool = False,
     ) -> ManagedTable:
         """Create a writable (managed, copy-on-write parquet) table in the
         engine workspace and expose it to SQL — the DML target surface
@@ -408,6 +409,7 @@ class Engine:
             domains=domains,
             generated=generated,
             auto_col=auto_col,
+            df_known_empty=df_known_empty,
         )
         self.managed[name] = mt
         self._refresh_view(name)
@@ -451,6 +453,7 @@ class Engine:
                 domains=dict(smt.domains) if smt.domains else None,
                 generated=dict(smt.generated) if smt.generated else None,
                 auto_col=smt.auto_col,
+                df_known_empty=True,
             )
             defaults = getattr(self, "_defaults_by_table", {}).get(src)
             if defaults:
@@ -465,7 +468,7 @@ class Engine:
             empty = self.spark.createDataFrame(
                 [], schema=self.tables[src].schema
             )
-            self.create_table(name, empty, key_cols=[])
+            self.create_table(name, empty, key_cols=[], df_known_empty=True)
         else:
             raise ValueError(f"CREATE TABLE LIKE: unknown table {src!r}")
 
@@ -591,12 +594,14 @@ class Engine:
                 stmt.name, empty, key_cols=stmt.pk_cols,
                 partition_spec=stmt.partition_spec, domains=domains,
                 generated=generated, auto_col=auto_col,
+                df_known_empty=True,
             )
             return
         self.create_table(
             stmt.name, empty, key_cols=stmt.pk_cols,
             partition_spec=stmt.partition_spec, domains=domains,
             generated=generated, auto_col=auto_col,
+            df_known_empty=True,
         )
         if len(stmt.pk_cols) == 1:
             pk = next(c for c in stmt.columns if c.name == stmt.pk_cols[0])

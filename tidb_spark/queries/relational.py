@@ -889,8 +889,14 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 @register("agg_rollup", oracle=AGG_ROLLUP_ORACLE, tags=("agg",))
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ROLLUP — beyond reference parity (no GROUPING SETS support
-    there, SURVEY §2.4); native in Spark."""
-    lineitem = _t(spark, sf_dir, "lineitem")
+    there, SURVEY §2.4); native in Spark.  The scan is spread on
+    l_orderkey first (tpch._t_spread): ROLLUP's Expand triples the rows
+    BEFORE the partial aggregate, and on the single-row-group fixture
+    that all runs on one core (measured 1.25 → 0.71 s at sf0.1; no-op at
+    cluster scale)."""
+    from tidb_spark.queries.tpch import _t_spread
+
+    lineitem = _t_spread(spark, sf_dir, "lineitem", "l_orderkey")
     return (
         lineitem.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -924,8 +930,12 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling (beyond reference parity, SURVEY §2.4; native in Spark: one
     Expand + one aggregate, each grouping set a map-side-combined lane,
     so the cost is #sets × one shuffle's worth of partial rows, never
-    #sets scans)."""
-    lineitem = _t(spark, sf_dir, "lineitem")
+    #sets scans).  Spread on l_orderkey (tpch._t_spread): the 4-lane
+    Expand + decimal partial agg otherwise pipeline into the fixture's
+    single scan split (measured 1.76 → 0.74 s at sf0.1)."""
+    from tidb_spark.queries.tpch import _t_spread
+
+    lineitem = _t_spread(spark, sf_dir, "lineitem", "l_orderkey")
     return spark.sql(
         """SELECT l_returnflag, l_linenumber,
                   GROUPING(l_returnflag) AS g_flag,

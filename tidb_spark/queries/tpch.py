@@ -39,6 +39,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _t_spread(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Scan with a stats-gated repartition on ``key`` (dedup.spread_small).
+
+    The fixture tables are single-row-group parquet files, so a scan
+    yields ONE split and everything pipelined into it (decimal partial
+    aggregates, Expand lanes) runs on one core — guide §2.5's
+    "unsplittable input" case.  spread_small repartitions only when the
+    optimizer's size estimate says the scan cannot fill the cores
+    (never at cluster scale), and hashing on the query's own grouping /
+    join key means the exchange it adds REPLACES the exchange the
+    downstream aggregate or join would have inserted anyway.
+
+    Applied per query, not in the catalog: measured r12, the spread is
+    a win only where the first stage carries heavy compute (q1 1.32 →
+    0.75 s, q18 1.30 → 0.92 s, rollup/grouping-sets in relational.py);
+    scan-light queries (q6 0.16 → 0.46 s) and multi-branch self-join
+    plans (q21 1.30 → 3.8 s: the per-branch repartitions defeat
+    exchange reuse) regress, so they keep the bare scan."""
+    import tidb_spark.data.dedup as dd
+
+    return dd.spread_small(load_table(spark, sf_dir, name), key)
+
+
 def _ts(s: str) -> str:
     return f"TIMESTAMP '{s} 00:00:00'"
 
@@ -68,8 +91,13 @@ ORDER BY l_returnflag, l_linestatus
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary. Filter is pushed to the parquet scan; the aggregate
     runs partial (map-side) + final — same split as the reference's
-    HashAggExec partial/final workers (executor/aggregate.go:127-163)."""
-    lineitem = _t(spark, sf_dir, "lineitem")
+    HashAggExec partial/final workers (executor/aggregate.go:127-163).
+    The scan is spread on l_orderkey first (see ``_t_spread``): the eight
+    decimal partial aggregates are the whole query, and on the
+    single-row-group fixture they otherwise run on one core (measured
+    1.32 → 0.75 s at sf0.1; plan: one added round-trip-free Exchange,
+    partial/final agg split unchanged)."""
+    lineitem = _t_spread(spark, sf_dir, "lineitem", "l_orderkey")
     return (
         lineitem.where(F.col("l_shipdate") <= F.expr(_ts("2000-12-01")))
         .groupBy("l_returnflag", "l_linestatus")
@@ -565,10 +593,15 @@ LIMIT 100
 @register("tpch_q18", oracle=Q18_ORACLE, tags=("tpch", "semijoin", "having"))
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-volume customers. The IN-subquery becomes an aggregate + semi
-    join, mirroring the reference's decorrelation (rule_decorrelate.go)."""
+    join, mirroring the reference's decorrelation (rule_decorrelate.go).
+    lineitem is spread on l_orderkey (``_t_spread``): the big-order
+    aggregate AND the final join both key on l_orderkey, so the one
+    spread exchange serves both (guide §2.4) while lifting the decimal
+    partial agg off the fixture's single scan core (measured
+    1.30 → 0.92 s at sf0.1)."""
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    lineitem = _t(spark, sf_dir, "lineitem")
+    lineitem = _t_spread(spark, sf_dir, "lineitem", "l_orderkey")
     big_orders = (
         lineitem.groupBy("l_orderkey")
         .agg(F.expr(f"SUM({QTY})").alias("total_qty"))

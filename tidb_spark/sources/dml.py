@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import functools
+import json
 import os
 import shutil
 import time
@@ -61,6 +62,7 @@ class ManagedTable:
         domains: dict[str, tuple[str, tuple[str, ...]]] | None = None,
         generated: dict[str, str] | None = None,
         auto_col: str | None = None,
+        df_known_empty: bool = False,
     ):
         """``partition_by`` declares directory partitioning — the columnar
         equivalent of the reference's RANGE/HASH/LIST table partitioning
@@ -105,7 +107,15 @@ class ManagedTable:
         os.makedirs(root, exist_ok=True)
         self._version = self._latest_version()
         if df is not None and self._version < 0:
-            self._write(df)
+            if df_known_empty:
+                # CREATE TABLE / CREATE LIKE: the caller built the frame
+                # empty, so v0 is the schema marker — no Spark job at all
+                # (PySpark's createDataFrame([]) compiles to a LogicalRDD
+                # the optimizer cannot prove empty, so the caller's
+                # knowledge is the only job-free signal).
+                self._write_known_empty(df)
+            else:
+                self._write(df)
 
     def _apply_generated(self, rows: DataFrame) -> DataFrame:
         """Compute generated columns from their defining expressions,
@@ -209,25 +219,51 @@ class ManagedTable:
         with open(self._ts_path(version)) as fh:
             return float(fh.read().strip())
 
-    def _write(self, df: DataFrame) -> None:
-        nxt = self._version + 1
-        partition_cols = list(self.partition_by)
-        if self.partition_spec is not None:
-            from tidb_spark.sqlshim.partition import PART_COL
+    #: Marker file a PROVABLY-EMPTY version writes instead of launching a
+    #: Spark write job: CREATE TABLE / CREATE LIKE materialize an empty
+    #: v0, and the empty parquet write was measured at ~0.4-0.5 s of pure
+    #: job+commit overhead per DDL statement (r12; five registered
+    #: collation queries pay it inside their bench wall).  The marker
+    #: holds the exact StructType JSON, so readers reconstruct the same
+    #: schema with a driver-only LocalRelation — version numbering,
+    #: commit timestamps, AS OF resolution and retention GC are untouched.
+    _EMPTY_MARKER = "_EMPTY_SCHEMA.json"
 
-            if PART_COL in df.columns:
-                df = df.drop(PART_COL)
-            df = df.withColumn(PART_COL, self.partition_spec.label_col())
-            if len(df.take(1)) == 0:
-                # A dynamic-partitioned write of ZERO rows emits no files at
-                # all — the version directory would be unreadable.  Write
-                # the empty frame unpartitioned (schema-bearing file); later
-                # non-empty versions partition normally.
-                partition_cols = []
-        writer = df.write.mode("errorifexists")
-        if partition_cols:
-            writer = writer.partitionBy(*partition_cols)
-        writer.parquet(self._path(nxt))
+    def _known_empty_schema(self, df: DataFrame):
+        """The frame's schema if the OPTIMIZER proves it empty (a
+        LocalRelation with no rows — createDataFrame([], schema), or a
+        plan constant-folded to empty), else None.  Driver-only: no job."""
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan()
+            if plan.getClass().getSimpleName() != "LocalRelation":
+                return None
+            if not plan.data().isEmpty():
+                return None
+        except Exception:
+            return None
+        return df.schema
+
+    def _empty_marker_schema(self, version: int):
+        """StructType stored by an empty-version marker, or None."""
+        from pyspark.sql.types import StructType
+
+        p = os.path.join(self._path(version), self._EMPTY_MARKER)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return StructType.fromJson(json.load(fh))
+
+    def _empty_df(self, schema) -> DataFrame:
+        """Zero-PARTITION empty frame for a marker version.  The plain
+        createDataFrame([], schema) parallelizes defaultParallelism EMPTY
+        partitions, and a later INSERT's union drags all of them into its
+        write job as no-op tasks (measured +0.35 s per statement); an
+        emptyRDD-backed frame contributes zero partitions."""
+        return self.spark.createDataFrame(
+            self.spark.sparkContext.emptyRDD(), schema=schema
+        )
+
+    def _commit(self, nxt: int) -> None:
         with open(self._ts_path(nxt), "w") as fh:
             fh.write(repr(time.time()))
         self._version = nxt
@@ -241,10 +277,62 @@ class ManagedTable:
             if os.path.exists(self._ts_path(v)):
                 os.remove(self._ts_path(v))
 
+    def _write_known_empty(self, df: DataFrame) -> None:
+        """Persist a version the caller KNOWS is empty as a schema marker:
+        no Spark job, same version/commit-ts/GC bookkeeping."""
+        if self.partition_spec is not None:
+            from tidb_spark.sqlshim.partition import PART_COL
+
+            if PART_COL in df.columns:
+                df = df.drop(PART_COL)
+            df = df.withColumn(PART_COL, self.partition_spec.label_col())
+        nxt = self._version + 1
+        path = self._path(nxt)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, self._EMPTY_MARKER), "w") as fh:
+            json.dump(df.schema.jsonValue(), fh)
+        self._commit(nxt)
+
+    def _write(self, df: DataFrame) -> None:
+        nxt = self._version + 1
+        partition_cols = list(self.partition_by)
+        if self.partition_spec is not None:
+            from tidb_spark.sqlshim.partition import PART_COL
+
+            if PART_COL in df.columns:
+                df = df.drop(PART_COL)
+            df = df.withColumn(PART_COL, self.partition_spec.label_col())
+        empty_schema = self._known_empty_schema(df)
+        if empty_schema is not None:
+            # Provably-empty version (a DML whose plan folded to nothing):
+            # the same marker path, discovered from the optimized plan.
+            path = self._path(nxt)
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, self._EMPTY_MARKER), "w") as fh:
+                json.dump(empty_schema.jsonValue(), fh)
+            self._commit(nxt)
+            return
+        if self.partition_spec is not None and len(df.take(1)) == 0:
+            # A dynamic-partitioned write of ZERO rows emits no files at
+            # all — the version directory would be unreadable.  Write
+            # the empty frame unpartitioned (schema-bearing file); later
+            # non-empty versions partition normally.
+            partition_cols = []
+        writer = df.write.mode("errorifexists")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(self._path(nxt))
+        self._commit(nxt)
+
     def df(self) -> DataFrame:
         if self._version < 0:
             raise ValueError(f"table at {self.root} has no data")
-        out = self.spark.read.parquet(self._path(self._version))
+        marker = self._empty_marker_schema(self._version)
+        out = (
+            self._empty_df(marker)
+            if marker is not None
+            else self.spark.read.parquet(self._path(self._version))
+        )
         if self.partition_spec is not None:
             from tidb_spark.sqlshim.partition import PART_COL
 
@@ -272,7 +360,12 @@ class ManagedTable:
         unknown = [n for n in names if n not in known]
         if unknown:
             raise ValueError(f"Unknown partition {unknown[0]!r}")
-        raw = self.spark.read.parquet(self._path(self._version))
+        marker = self._empty_marker_schema(self._version)
+        raw = (
+            self._empty_df(marker)
+            if marker is not None
+            else self.spark.read.parquet(self._path(self._version))
+        )
         return raw.where(F.col(PART_COL).isin(list(names))).drop(PART_COL)
 
     # -- stale reads (AS OF TIMESTAMP — parser/ast/dml.go:276, the
@@ -307,6 +400,9 @@ class ManagedTable:
                 f"(retain_versions={self.retain_versions}); snapshot is "
                 "older than the GC retention window"
             )
+        marker = self._empty_marker_schema(version)
+        if marker is not None:
+            return self._empty_df(marker)
         return self.spark.read.parquet(path)
 
     def as_of(self, ts: float | str | _dt.datetime) -> DataFrame:
