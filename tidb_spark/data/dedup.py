@@ -314,11 +314,14 @@ def minhash_signatures(
     (persisted) posting table instead of recomputing it."""
     if posting is None:
         posting = shingle_posting(df, text_col, id_col, k=k, distinct=False)
+    # SQL-string expressions (one py4j parse per hash) instead of
+    # Column-by-Column construction — the simhash_signatures py4j
+    # finding (r12) applied to the 32 universal-hash mins; SQL %/*/+
+    # share Python's precedence, so the tree is identical.
+    p = _MERSENNE_PRIME
     mins = posting.groupBy("doc").agg(
         *[
-            F.min((F.col("g") % _MERSENNE_PRIME * a + b) % _MERSENNE_PRIME).alias(
-                f"h{i}"
-            )
+            F.expr(f"min((g % {p}L * {a}L + {b}L) % {p}L)").alias(f"h{i}")
             for i, (a, b) in enumerate(_hash_params(num_hashes))
         ]
     )
@@ -938,20 +941,23 @@ def simhash_signatures(
         "doc",
         F.explode(F.split(normalize_text(F.col("_txt")), " ")).alias("t"),
     ).select("doc", _token_hash(F.col("t"), hash).alias("h"))
+    # The per-bit expressions are built as SQL strings, ONE py4j parse
+    # each, not as Column-by-Column py4j construction: the 48-bit
+    # signature's vote+fold tree took ~7000 gateway round trips ≈ 1.7 s
+    # of pure driver latency per call (r12 cProfile) — identical
+    # expressions, identical results, driver-side cost only.
     votes = tok.groupBy("doc").agg(
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (h & {1 << i}L) != 0 THEN 1 ELSE -1 END)"
             ).alias(f"v{i}")
             for i in range(bits)
         ]
     )
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0)
-        )
-    return votes.select("doc", sig.alias("sig"))
+    sig_sql = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i}L ELSE 0L END" for i in range(bits)
+    )
+    return votes.select("doc", F.expr(sig_sql).alias("sig"))
 
 
 def simhash_pairs(

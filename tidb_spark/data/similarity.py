@@ -293,20 +293,37 @@ def lsh_prefiltered_pairs_above(
     """
     num2 = threshold_num * threshold_num
     den2 = threshold_den * threshold_den
-    # All tables' buckets in one Arrow matmul, then ONE self-join on the
-    # composite (table, bucket) key — versus a per-table join+union loop,
-    # this is 1 scan + 1 shuffle instead of `tables` of each.
+    # All tables' buckets in one Arrow matmul, then ONE shuffle groups
+    # each (table, bucket) and streams the i<j pair grid out of the
+    # sorted id array (posexplode + per-row tail slice, both pipelined
+    # in codegen) — the r8 minhash-band rewrite applied here in r12:
+    # versus the bucket self-join it drops one whole exchange of the
+    # banded frame plus the join build side, and the Arrow bucket UDF
+    # runs once instead of once per join side (measured 3.13 → 2.72 s
+    # for the registered query at sf0.1; candidate set bit-identical).
     b = vectors.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
             lsh_bucket_multi(F.col(vec_col), dim, planes=planes, tables=tables)
         ).alias("_tbl", "_bkt"),
     )
+    # Singleton buckets (the vast majority) cannot form a pair; the
+    # repartition re-spreads the small surviving-bucket frame before the
+    # quadratic-in-bucket-size pair explode, so AQE's input-sized
+    # coalescing cannot serialize the expensive stage (the dedup.py
+    # minhash lesson, scripts/aqe_audit.py).
+    buckets = (
+        b.groupBy("_tbl", "_bkt")
+        .agg(F.sort_array(F.collect_set("_id")).alias("ds"))
+        .where(F.size("ds") >= 2)
+        .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+    )
     cand = (
-        b.select(F.col("_id").alias("v1"), "_tbl", "_bkt")
-        .join(b.select(F.col("_id").alias("v2"), "_tbl", "_bkt"), ["_tbl", "_bkt"])
-        .where(F.col("v1") < F.col("v2"))
-        .select("v1", "v2")
+        buckets.select(F.posexplode("ds").alias("i", "v1"), "ds")
+        .select(
+            "v1",
+            F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("v2"),
+        )
         .dropDuplicates(["v1", "v2"])
     )
     q = F.transform(

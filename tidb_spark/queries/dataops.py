@@ -344,7 +344,9 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     constants at the chosen planes, which the generated oracle replays
     bit-exactly via guarded per-setting branches."""
     emb = dd.spread_small(_t(spark, sf_dir, "embeddings"), "vec_id")
-    planes = sim.lsh_planes_for(emb.count())
+    # Probe the RAW scan, not the spread frame: the bare parquet count is
+    # footer metadata, the spread plan would execute its exchange (r12).
+    planes = sim.lsh_planes_for(_t(spark, sf_dir, "embeddings").count())
     return sim.lsh_prefiltered_pairs_above(
         emb, dim=64, scale=1000, threshold_num=2, threshold_den=5,
         planes=planes, tables=8,
@@ -2038,7 +2040,8 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     step.  The oracle (_KM_IVF_CTES) replays the two-level semantics
     bit-exactly — integer distances, lowest-id ties at both levels."""
     emb = dd.spread_small(_t(spark, sf_dir, "embeddings"), "vec_id")
-    k = max(8, emb.count() // 512)
+    # Raw-scan probe (footer metadata), not the spread plan (r12).
+    k = max(8, _t(spark, sf_dir, "embeddings").count() // 512)
     assigned = km.kmeans_assignments(
         emb, vec_col="embedding", id_col="vec_id", k=k, iters=2, scale=1000,
         assign="ivf",
