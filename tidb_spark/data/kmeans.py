@@ -450,9 +450,21 @@ def kmeans_assignments(
     if update not in ("auto", "fold", "posexplode"):
         raise ValueError(f"unknown update mode {update!r}")
     spark = emb.sparkSession
+    # Persist the quantized projection: every Lloyd-step action (seeds
+    # collect, per-step centroid collect, IVF cell-count probe, the final
+    # assignment the caller executes) otherwise re-runs the source scan +
+    # spread exchange + quantize — 3-4 repeats per call (r12 interleaved
+    # A/B: 1.68 → 1.43 s on the semantic-kmeans shape).  This is the
+    # standard distributed-Lloyd posture (cache the training points);
+    # release is the same bounded FIFO debt registry the dedup operators
+    # use, so long-lived sessions carry bounded cache, and an evicted
+    # entry recomputes — never a wrong answer.
+    from tidb_spark.data.dedup import _register_persisted
+
     pts = emb.select(
         F.col(id_col).alias("vec_id"), quantize(vec_col, scale=scale).alias(_Q)
-    )
+    ).persist()
+    _register_persisted(pts, pts)
     seeds = pts.orderBy("vec_id").limit(k).collect()  # k rows by contract
     if not seeds:
         raise ValueError("kmeans_assignments: input has no rows")

@@ -1551,7 +1551,18 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("n", " ")).alias("term"))
         .where(F.length("term") >= 3)
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the per-doc ranking and the document-frequency
+    # aggregate; checkpointing it tokenizes the corpus ONCE instead of
+    # twice (r12 — the before-plan scanned + exploded the documents in
+    # two separate subtrees, one per consumer).  The spread exchange on
+    # doc_id already clusters (doc_id, term), so tf materializes
+    # partitioned by doc_id and the final window needs no exchange;
+    # at 100 TB this is "write the tokenized projection once".
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), "term"
@@ -2254,6 +2265,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, t in enumerate(BM25_TERMS, 1)
         ],
     )
+    # Same double-consumer shape as retrieval_hybrid_rrf: checkpoint the
+    # narrow (doc_id, dl, tf…) frame so the stats aggregate and the
+    # scoring branch tokenize the corpus once (r12).
+    per = per.localCheckpoint(eager=False)
     tot = per.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("dl").alias("a"),
@@ -2379,7 +2394,19 @@ def dedup_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window grams; materialize the posting once instead of re-running
     # the explode+md5 scan per branch.
     post = post.localCheckpoint(eager=False)
-    ev = post.where(F.col("source") == "src0").select("g").distinct()
+    # The held-out distinct gram set feeds THREE plan branches (the two
+    # Bloom-word broadcasts and the exact-containment rescore); without
+    # its own checkpoint each branch re-runs the distinct over the full
+    # posting — 3 exchanges of the src0 grams for one logical frame
+    # (r12; the plan showed the subtree verbatim three times).  At scale:
+    # materialize the held-out fingerprint set once, it is the small side
+    # by construction.
+    ev = (
+        post.where(F.col("source") == "src0")
+        .select("g")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
     def _h(col, start: int):
         return F.conv(F.substring(col, start, 15), 16, 10).cast("long") % _BLOOM_M
@@ -3097,6 +3124,13 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, t in enumerate(RRF_TERMS, 1)
         ],
     )
+    # `per` feeds BOTH the corpus-stats aggregate and the scoring branch;
+    # checkpointing it tokenizes + tf-counts the corpus ONCE instead of
+    # twice (r12, same shape as text_tfidf_topterms — the before-plan
+    # carried the split+filter subtree verbatim in two branches).  The
+    # materialized frame is (doc_id, 4 longs) — far narrower than the
+    # text it replaces recomputing.
+    per = per.localCheckpoint(eager=False)
     tot = per.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("dl").alias("a"),

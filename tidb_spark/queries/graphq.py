@@ -911,6 +911,12 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         nbr.withColumn("d", F.count(F.lit(1)).over(wd))
         .where(F.col("d") <= 1000)
         .select("v", "n")
+        # NOT checkpointed (r12 negative result): the wedge join's two
+        # sides re-derive this subtree, but at runtime AQE's
+        # ReusedExchange shares the one n-shuffle and the count-window
+        # re-run is cheap — an interleaved A/B of a localCheckpoint here
+        # measured 1.10 → 2.07 s (materialization barrier + RDD
+        # serialization cost more than the duplicated window).
     )
     x = ok.select(F.col("v").alias("a"), "n")
     y = ok.select(F.col("v").alias("b"), "n")
