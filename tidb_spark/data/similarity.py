@@ -513,29 +513,49 @@ def lsh_topk(
     metric: str = "cosine",
 ) -> DataFrame:
     """Approximate top-k: exact rescoring restricted to LSH bucket matches
-    across ``tables`` independent hash tables."""
+    across ``tables`` independent hash tables.
+
+    One corpus pass (r12; guide §2.4/§4): all ``tables`` bucket ids come
+    from a single stacked-matmul Arrow UDF (:func:`lsh_bucket_multi`,
+    bit-identical per table) and are posexploded to (table, bucket) rows,
+    so ONE broadcast join on (table, bucket) replaces the per-table union
+    of joins — the before-plan scanned the corpus once per table and ran
+    2·tables Arrow UDF nodes (8 scans / 16 ArrowEvalPython at tables=4);
+    a bucket match in table t is the same candidate either way and the
+    dropDuplicates below collapses multi-table hits identically."""
     rescorer = {
         "cosine": cosine_pd,
         "cosine_micros": cosine_micros_pd(),
     }[metric]
-    cand = None
-    for t in range(tables):
-        v = vectors.select(
-            F.col(id_col),
-            F.col(vec_col),
-            lsh_bucket(F.col(vec_col), dim, planes=planes, table=t).alias("bucket"),
-        )
-        q = queries.select(
-            F.col(query_id_col),
-            F.col(query_vec_col),
-            lsh_bucket(F.col(query_vec_col), dim, planes=planes, table=t).alias(
-                "bucket"
-            ),
-        )
-        hits = v.join(F.broadcast(q), on="bucket").select(
-            query_id_col, id_col, query_vec_col, vec_col
-        )
-        cand = hits if cand is None else cand.unionByName(hits)
+    v = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_multi(
+            F.col(vec_col), dim, planes=planes, tables=tables
+        ).alias("bks"),
+    ).select(
+        # posexplode_outer, NOT posexplode: the non-outer form adds an
+        # implicit `size(bks) > 0` filter that Catalyst pushes below the
+        # UDF projection, DUPLICATING the bucket matmul per row (two
+        # stacked ArrowEvalPython nodes in the plan — guide §4.4).  The
+        # outer form needs no filter; its null (t, bucket) rows for
+        # empty arrays can never satisfy the inner equi-join below, so
+        # the candidate set is unchanged.
+        id_col, vec_col, F.posexplode_outer("bks").alias("t", "bucket")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        lsh_bucket_multi(
+            F.col(query_vec_col), dim, planes=planes, tables=tables
+        ).alias("bks"),
+    ).select(
+        query_id_col, query_vec_col,
+        F.posexplode_outer("bks").alias("t", "bucket"),
+    )
+    cand = v.join(F.broadcast(q), on=["t", "bucket"]).select(
+        query_id_col, id_col, query_vec_col, vec_col
+    )
     cand = cand.dropDuplicates([query_id_col, id_col])
     scored = cand.select(
         query_id_col,
