@@ -329,10 +329,15 @@ def lsh_prefiltered_pairs_above(
     q = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long")
     )
+    # The quantized projection is joined TWICE (v1 payload, v2 payload);
+    # without the checkpoint each join side re-runs scan + quantize +
+    # norm (two identical subtrees in the plan).  Materialize it once —
+    # at scale this is "write the quantized projection once, attach it
+    # twice" (r12; interleaved A/B means 2.68 → 2.41 s, rows identical).
     side = vectors.select(F.col(id_col).alias("_id"), q.alias("_qv")).withColumn(
         "_n2",
         F.aggregate("_qv", F.lit(0).cast("long"), lambda a, x: a + x * x),
-    )
+    ).localCheckpoint(eager=False)
     verified = (
         cand.join(
             side.select(
