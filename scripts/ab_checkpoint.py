@@ -10,6 +10,8 @@ Usage: python scripts/ab_checkpoint.py q1[,q2...] [reps] [--mode checkpoint|spre
 --mode spread instead patches dedup.spread_small to a pass-through for the
 "old" variant (valid only for queries whose ONLY spread is the r12
 addition under test).
+--mode persist patches DataFrame.persist to a no-op for the "old"
+variant (valid only when the query's ONLY persist is the r12 addition).
 """
 
 from __future__ import annotations
@@ -50,12 +52,21 @@ def main() -> None:
     def noop_spread(df, key, **kw):
         return df
 
+    real_persist = DataFrame.persist
+
+    def noop_persist(self, *a, **kw):
+        return self
+
     for name in names:
         q = reg[name]
 
         def build(variant):
             if mode == "spread":
                 dd.spread_small = noop_spread if variant == "old" else real_spread
+            elif mode == "persist":
+                DataFrame.persist = (
+                    noop_persist if variant == "old" else real_persist
+                )
             else:
                 DataFrame.localCheckpoint = (
                     noop_lc if variant == "old" else real_lc
@@ -65,6 +76,7 @@ def main() -> None:
             finally:
                 DataFrame.localCheckpoint = real_lc
                 dd.spread_small = real_spread
+                DataFrame.persist = real_persist
 
         a = sorted(map(tuple, build("old").collect()))
         b = sorted(map(tuple, build("new").collect()))
@@ -78,6 +90,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 build(variant).write.mode("overwrite").format("noop").save()
                 times[variant].append(round(time.perf_counter() - t0, 3))
+            dd.release_cached()
         for v, ts in times.items():
             print(f"{name} {v}: best={min(ts)} all={ts}", flush=True)
 

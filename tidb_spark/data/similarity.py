@@ -962,10 +962,17 @@ def pq_adc_topk(
     from tidb_spark.data import kmeans as km
 
     spark = emb.sparkSession
+    # Persist the quantized projection: seeds collect, the Lloyd assign,
+    # the final encode and the query-distance branch otherwise each
+    # re-run scan + quantize (4 passes; same pattern and bounded FIFO
+    # release as kmeans_assignments — r12).
+    from tidb_spark.data.dedup import _register_persisted
+
     pts = emb.select(
         F.col(id_col).alias("vec_id"),
         km.quantize(vec_col, scale=scale).alias("qv"),
-    )
+    ).persist()
+    _register_persisted(pts, pts)
     seeds = pts.orderBy("vec_id").limit(k).collect()  # k rows by contract
     if not seeds:
         raise ValueError("pq_adc_topk: input has no rows")
