@@ -100,7 +100,15 @@ def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user gap-based session windows (session_window, gap 30 min);
     oracle sessionizes with the classic lag/cumsum pattern and mirrors
     Spark's end = last event + gap."""
-    df = load_table(spark, sf_dir, "events")
+    # Spread the single-split events scan on the session key: the
+    # repartition it adds REPLACES the exchange the session-window
+    # aggregate needed (hashpartitioning(user_id) satisfies it), so the
+    # per-row session state partial no longer runs on one core (r12,
+    # guide §2.5 unsplittable input; stats-gated — never fires at
+    # cluster scale).
+    import tidb_spark.data.dedup as dd
+
+    df = dd.spread_small(load_table(spark, sf_dir, "events"), "user_id")
     return ev.session_agg(df, "30 minutes").orderBy("user_id", "session_start")
 
 
@@ -166,6 +174,11 @@ def stream_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minute→hour cascading rollup (streaming/events.py cascade_rollup);
     the oracle aggregates hours DIRECTLY from raw events, pinning that
     re-aggregating decomposable partials is lossless."""
+    # NOT spread (r12 negative result): repartitioning the raw scan on
+    # ts to parallelize the minute-tier partial measured 0.77 → 1.00 s
+    # interleaved — the raw-row exchange costs more than the one-core
+    # decimal partial it parallelizes (the partial compresses 60× before
+    # the existing exchange, so the shuffle it feeds is already tiny).
     df = load_table(spark, sf_dir, "events")
     return ev.cascade_rollup(df).orderBy("window_start", "event_type")
 
