@@ -342,12 +342,19 @@ def main() -> None:
         # 1.5 s isolated / self-repeat-stable, but 3-6.6 s as the first
         # sf0.1 run after ~130 other plans — and back to ~1.5 s on the
         # very next run).  One extra run for readings above the
-        # threshold records warm throughput instead of JVM state noise,
-        # at ~+30 s corpus wall; genuine heavy queries repeat their
-        # honest time.  Disable with BENCH_RETRY_SLOW=0.
+        # threshold records warm throughput instead of JVM state noise;
+        # genuine heavy queries repeat their honest time.  Threshold
+        # 2.0 → 1.2 s in r12: the same phantom measurably hits mid-pack
+        # queries (dedup_simhash 1.81 s in-sweep vs 1.08 s interleaved-
+        # isolated the same day; ~18 queries sat in [1.2, 2.0] beyond
+        # retry reach, ~27 s of corpus wall).  `queries_first` still
+        # records every untouched first reading, so the raw
+        # methodology-stable series is unchanged — only the warm-
+        # throughput `queries` map benefits.  Disable with
+        # BENCH_RETRY_SLOW=0.
         if (
             repeat == 1
-            and best > 2.0
+            and best > 1.2
             and os.environ.get("BENCH_RETRY_SLOW", "1") != "0"
         ):
             start = time.perf_counter()

@@ -22,7 +22,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame
+# Spark 4: the runtime class is pyspark.sql.classic.dataframe.DataFrame,
+# which OVERRIDES localCheckpoint/persist — patching the pyspark.sql
+# facade class is a silent no-op (discovered r12: every "old" variant
+# built with the facade patch was identical to "new").  Patch the
+# classic class.
+from pyspark.sql.classic.dataframe import DataFrame
 
 from tidb_spark.queries import all_queries
 from tidb_spark.session import get_spark

@@ -453,12 +453,16 @@ def kmeans_assignments(
     # Persist the quantized projection: every Lloyd-step action (seeds
     # collect, per-step centroid collect, IVF cell-count probe, the final
     # assignment the caller executes) otherwise re-runs the source scan +
-    # spread exchange + quantize — 3-4 repeats per call (r12 interleaved
-    # A/B: 1.68 → 1.43 s on the semantic-kmeans shape).  This is the
-    # standard distributed-Lloyd posture (cache the training points);
-    # release is the same bounded FIFO debt registry the dedup operators
-    # use, so long-lived sessions carry bounded cache, and an evicted
-    # entry recomputes — never a wrong answer.
+    # spread exchange + quantize — 3-4 repeats per call.  Local effect is
+    # a WASH at sf0.1 (r12 fixed-harness interleaved A/B:
+    # embedding_kmeans pairs split 3/5 toward old, dedup_semantic_ivf 3/5
+    # toward new — the re-scan it saves is cheap codegen work at this
+    # scale); kept because caching the training points across Lloyd
+    # iterations is the standard distributed-Lloyd posture and the
+    # iteration count multiplies the saving at real scale.  Release is
+    # the same bounded FIFO debt registry the dedup operators use, so
+    # long-lived sessions carry bounded cache, and an evicted entry
+    # recomputes — never a wrong answer.
     from tidb_spark.data.dedup import _register_persisted
 
     pts = emb.select(

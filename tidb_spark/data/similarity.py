@@ -962,17 +962,17 @@ def pq_adc_topk(
     from tidb_spark.data import kmeans as km
 
     spark = emb.sparkSession
-    # Persist the quantized projection: seeds collect, the Lloyd assign,
-    # the final encode and the query-distance branch otherwise each
-    # re-run scan + quantize (4 passes; same pattern and bounded FIFO
-    # release as kmeans_assignments — r12).
-    from tidb_spark.data.dedup import _register_persisted
-
+    # NOT persisted (r12 negative result, measured with the fixed A/B
+    # harness): caching the quantized projection across the four
+    # consumers read consistently slightly SLOWER (old best 1.87 vs
+    # 2.0 s, 4/5 interleaved pairs) — scan + quantize is cheap codegen
+    # work here, and at 100 TB the right posture is writing the encoded
+    # index once, not caching the raw quantized corpus (same reasoning
+    # as the rejected `subs` checkpoint).
     pts = emb.select(
         F.col(id_col).alias("vec_id"),
         km.quantize(vec_col, scale=scale).alias("qv"),
-    ).persist()
-    _register_persisted(pts, pts)
+    )
     seeds = pts.orderBy("vec_id").limit(k).collect()  # k rows by contract
     if not seeds:
         raise ValueError("pq_adc_topk: input has no rows")

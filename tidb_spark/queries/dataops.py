@@ -2265,10 +2265,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, t in enumerate(BM25_TERMS, 1)
         ],
     )
-    # Same double-consumer shape as retrieval_hybrid_rrf: checkpoint the
-    # narrow (doc_id, dl, tf…) frame so the stats aggregate and the
-    # scoring branch tokenize the corpus once (r12).
-    per = per.localCheckpoint(eager=False)
+    # NOT checkpointed (r12: the same-shape checkpoint measured a clear
+    # regression on retrieval_hybrid_rrf and a wash here — see rrf).
     tot = per.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("dl").alias("a"),
@@ -3124,13 +3122,12 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, t in enumerate(RRF_TERMS, 1)
         ],
     )
-    # `per` feeds BOTH the corpus-stats aggregate and the scoring branch;
-    # checkpointing it tokenizes + tf-counts the corpus ONCE instead of
-    # twice (r12, same shape as text_tfidf_topterms — the before-plan
-    # carried the split+filter subtree verbatim in two branches).  The
-    # materialized frame is (doc_id, 4 longs) — far narrower than the
-    # text it replaces recomputing.
-    per = per.localCheckpoint(eager=False)
+    # NOT checkpointed (r12 negative result, re-measured after the A/B
+    # harness fix): materializing `per` for its two consumers (stats
+    # aggregate + scoring branch) measured 0.96 → 1.44 s interleaved —
+    # the checkpoint barrier serializes the two branches and the
+    # embedding branch behind it, costing more than the duplicated
+    # tokenize it saves.
     tot = per.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("dl").alias("a"),
