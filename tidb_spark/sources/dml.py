@@ -106,6 +106,13 @@ class ManagedTable:
         self.retain_versions = max(1, retain_versions)
         os.makedirs(root, exist_ok=True)
         self._version = self._latest_version()
+        # Per-version DataFrame cache for df(): versions are immutable
+        # (append-only + GC of OLD versions only), so the current
+        # version's frame is the same plan every time — and one DML
+        # statement asks for it repeatedly (the r12 profile showed 6
+        # df() calls ≈ 0.23 s per INSERT, all py4j createDataFrame /
+        # read.parquet overhead).  Invalidation is by version number.
+        self._df_cache: tuple[int, DataFrame] | None = None
         if df is not None and self._version < 0:
             if df_known_empty:
                 # CREATE TABLE / CREATE LIKE: the caller built the frame
@@ -327,6 +334,8 @@ class ManagedTable:
     def df(self) -> DataFrame:
         if self._version < 0:
             raise ValueError(f"table at {self.root} has no data")
+        if self._df_cache is not None and self._df_cache[0] == self._version:
+            return self._df_cache[1]
         marker = self._empty_marker_schema(self._version)
         out = (
             self._empty_df(marker)
@@ -337,6 +346,7 @@ class ManagedTable:
             from tidb_spark.sqlshim.partition import PART_COL
 
             out = out.drop(PART_COL)
+        self._df_cache = (self._version, out)
         return out
 
     # -- partitioned scans (rule_partition_processor.go analogue) ----------
