@@ -396,3 +396,82 @@ def test_commutativity_cross_check_demotes_unsound_lowering(engine):
         )
         == 0
     )
+
+
+# ---- Direct-statement DataFrame cache (r13; the reference's NON-prepared
+# plan cache, planner/core/plan_cache_non_prepared.go) --------------------
+
+
+def test_stmt_cache_hit_same_results_and_invalidation(engine):
+    """A plain SELECT re-issued verbatim replays its analyzed DataFrame
+    (hit counter moves) with identical results; any mutation statement
+    bumps the epoch and forces re-analysis.  @@last_plan_from_cache stays
+    prepared-statement-only (the reference ships the non-prepared cache
+    off by default; observability tests pin 0 for plain statements)."""
+    q = "SELECT n_name FROM nation WHERE n_regionkey = 2 ORDER BY n_name"
+    r1 = [tuple(r) for r in engine.sql(q).collect()]
+    h0 = engine._stmt_cache_hits
+    r2 = [tuple(r) for r in engine.sql(q).collect()]
+    assert engine._stmt_cache_hits == h0 + 1
+    assert r1 == r2
+    assert (
+        int(engine.sql("SELECT @@last_plan_from_cache AS c").collect()[0].c)
+        == 0
+    )
+    engine.sql("CREATE TABLE stmt_cache_tt (x BIGINT)")
+    engine.sql(q).collect()
+    assert engine._stmt_cache_hits == h0 + 1  # re-analyzed, not replayed
+
+
+def test_stmt_cache_skips_sideeffect_and_volatile_statements(engine):
+    """NEXTVAL allocates per statement and RAND/NOW are volatile: none may
+    be replayed from the DataFrame cache."""
+    engine.sql("CREATE SEQUENCE stmt_cache_seq")
+    v1 = engine.sql("SELECT NEXTVAL(stmt_cache_seq) AS v").collect()[0].v
+    v2 = engine.sql("SELECT NEXTVAL(stmt_cache_seq) AS v").collect()[0].v
+    assert (v1, v2) == (1, 2)
+    h0 = engine._stmt_cache_hits
+    engine.sql("SELECT RAND() AS r FROM nation LIMIT 1").collect()
+    engine.sql("SELECT RAND() AS r FROM nation LIMIT 1").collect()
+    assert engine._stmt_cache_hits == h0
+
+
+def test_stmt_cache_recursive_cte_sees_fresh_frontier(engine):
+    """The recursive step's SQL text is byte-identical every round while
+    the frontier view is rebound underneath it — the step must never be
+    replayed from the cache (regression: a cached round-1 plan made the
+    fixpoint converge one round early)."""
+    out = engine.sql(
+        "WITH RECURSIVE r(n) AS ("
+        "SELECT 1 UNION SELECT (n % 4) + 1 FROM r) "
+        "SELECT n FROM r ORDER BY n"
+    ).collect()
+    assert [x.n for x in out] == [1, 2, 3, 4]
+    # And run it TWICE: the outer statement itself must not be cached
+    # (WITH RECURSIVE is excluded from the cacheable heads).
+    out = engine.sql(
+        "WITH RECURSIVE r(n) AS ("
+        "SELECT 1 UNION SELECT (n % 4) + 1 FROM r) "
+        "SELECT n FROM r ORDER BY n"
+    ).collect()
+    assert [x.n for x in out] == [1, 2, 3, 4]
+
+
+def test_stmt_cache_direct_api_mutation_invalidates(engine, spark):
+    """create_table called through the Python API (not SQL) must also
+    invalidate: the analyzed plan in the cache resolved the table's OLD
+    temp view."""
+    from pyspark.sql import functions as F
+
+    engine.create_table(
+        "stmt_cache_api", spark.range(3).select(F.col("id").alias("x")),
+        key_cols=["x"],
+    )
+    q = "SELECT COUNT(*) AS n FROM stmt_cache_api"
+    assert engine.sql(q).collect()[0].n == 3
+    engine.sql(q).collect()
+    engine.create_table(
+        "stmt_cache_api", spark.range(5).select(F.col("id").alias("x")),
+        key_cols=["x"],
+    )
+    assert engine.sql(q).collect()[0].n == 5

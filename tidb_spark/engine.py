@@ -155,6 +155,24 @@ _CACHE_SKIP_RE = re.compile(
     r"|\bINTO\s+(?:OUTFILE|DUMPFILE)\b"
 )
 
+# Extra skip conditions for the DIRECT-statement DataFrame cache (r13,
+# the reference's non-prepared plan cache,
+# planner/core/plan_cache_non_prepared.go — latency-only here: the
+# @@last_plan_from_cache flag stays prepared-statement-only because the
+# reference ships the non-prepared cache OFF by default and the engine's
+# observability tests pin that): constructs whose lowering or evaluation
+# is time- or randomness-dependent, so replaying an analyzed DataFrame
+# could change RESULTS, not just latency.
+_STMT_CACHE_SKIP_RE = re.compile(
+    r"(?i)\bRAND\s*\(|\bUUID\s*\(|\bNOW\s*\(|\bCURRENT_|\bCURDATE\b"
+    r"|\bCURTIME\b|\bSYSDATE\b|\bUNIX_TIMESTAMP\s*\(\s*\)"
+    r"|\bAS\s+OF\b|\bFLASHBACK\b|\bTABLESAMPLE\b"
+)
+
+#: Direct-statement DataFrame cache capacity (LRU) — same default as the
+#: prepared-statement plan cache.
+_STMT_CACHE_CAP = 100
+
 # Sequence objects (ddl/sequence.go; NEXTVAL/LASTVAL/SETVAL in the builtin
 # registry, expression/builtin.go).  Counter state is engine-side like the
 # AUTO_INCREMENT counter: allocation is a 1-row control-plane action, never
@@ -324,6 +342,18 @@ class Engine:
         # Non-None only during a _lower_for_cache pass: the final
         # spark.sql site appends the lowered text here instead of running.
         self._lower_capture: list[str] | None = None
+        # Direct-statement DataFrame cache (r13; the reference's
+        # NON-prepared plan cache, plan_cache_non_prepared.go): raw
+        # statement text -> (analyzed DataFrame, catalog epoch).  A hit
+        # skips the whole dialect-lowering pipeline AND Catalyst
+        # analysis; epoch gating gives the same invalidation as the
+        # prepared cache (every catalog/data/sysvar mutation bumps it).
+        # DataFrames are immutable analyzed plans, so replaying one is
+        # execution-only — results recompute from storage every time.
+        self._stmt_df_cache: "OrderedDict[str, tuple[DataFrame, int]]" = (
+            OrderedDict()
+        )
+        self._stmt_cache_hits = 0
         # SQL plan bindings (bindinfo/): digest -> (original display text,
         # USING template with literals as :bN markers, n_literals).
         self.bindings: dict[str, tuple[str, str, int]] = {}
@@ -364,6 +394,7 @@ class Engine:
         SURVEY §1.4) and expose it to SQL."""
         self.graph.add_vertex_table(name, df, id_col)
         df.createOrReplaceTempView(name)
+        self._catalog_epoch += 1  # direct-API catalog mutation
 
     def create_edge_table(
         self,
@@ -379,6 +410,7 @@ class Engine:
         REFERENCES t`` (ddl/ddl_api.go:1946-2025)."""
         self.graph.add_edge_table(name, df, src_col, dst_col, src_table, dst_table)
         df.createOrReplaceTempView(name)
+        self._catalog_epoch += 1  # direct-API catalog mutation
 
     def create_table(
         self,
@@ -508,6 +540,10 @@ class Engine:
     def _refresh_view(self, name: str) -> None:
         df = self.managed[name].df()
         df.createOrReplaceTempView(name)
+        # SQL-path mutations already bumped the epoch at statement entry;
+        # this covers DIRECT Python-API mutations (create_table & friends)
+        # so plan/DataFrame caches never replay a stale view binding.
+        self._catalog_epoch += 1
         self.tables[name] = df
         # Keep graph-schema registrations live: a MATCH over an edge table
         # created (then INSERTed into) via SQL must see the current version.
@@ -1314,6 +1350,29 @@ class Engine:
             # (sysvars steer lowering, e.g. @@graph_topk_beam).
             if not re.match(r"(?is)^\s*SET\s+@[A-Za-z_]", query):
                 self._catalog_epoch += 1
+        # Direct-statement DataFrame cache (non-prepared plan cache): a
+        # read-shaped statement the gates admit, re-issued at the same
+        # catalog epoch, replays its already-analyzed DataFrame — the
+        # ~20 regex passes, dialect lowering and Catalyst analysis run
+        # once per (text, epoch).  Latency-only: execution still plans
+        # (AQE) and computes from storage per run, and the provenance
+        # flags are untouched (see _STMT_CACHE_SKIP_RE note).
+        stmt_cacheable = False
+        df_key = query  # the PRE-lowering text (`query` is rewritten below)
+        if args is None and self._lower_capture is None and _CACHEABLE_HEAD_RE.match(query):
+            _masked = merge_clause._STRING_RE.sub("''", query)
+            stmt_cacheable = not (
+                _CACHE_SKIP_RE.search(_masked)
+                or _STMT_CACHE_SKIP_RE.search(_masked)
+            )
+            if stmt_cacheable:
+                ent = self._stmt_df_cache.get(df_key)
+                if ent is not None:
+                    if ent[1] == self._catalog_epoch:
+                        self._stmt_df_cache.move_to_end(df_key)
+                        self._stmt_cache_hits += 1
+                        return ent[0]
+                    del self._stmt_df_cache[df_key]
         # MySQL: EXPLAIN <table> is an alias for DESCRIBE <table>
         # (parser treats them identically; executor/explain.go).
         tbl_m = re.match(r"(?is)^\s*EXPLAIN\s+`?(\w+)`?\s*;?\s*$", query)
@@ -1592,7 +1651,16 @@ class Engine:
             # yet bound.
             self._lower_capture.append(query)
             return self.spark.range(0).select(F.lit("LOWERED").alias("status"))
-        return self.spark.sql(query)
+        df = self.spark.sql(query)
+        # Binding-lowered statements stay UNCACHED: a cache hit would skip
+        # _apply_bindings and leave @@last_plan_from_binding stale for the
+        # re-issue (the flag is per-statement observability the tests pin).
+        if stmt_cacheable and not self._last_plan_from_binding:
+            self._stmt_df_cache[df_key] = (df, self._catalog_epoch)
+            self._stmt_df_cache.move_to_end(df_key)
+            while len(self._stmt_df_cache) > _STMT_CACHE_CAP:
+                self._stmt_df_cache.popitem(last=False)
+        return df
 
     _PARTSEL_RE = re.compile(
         r"(?is)\b(FROM|JOIN)\s+`?(\w+)`?\s+PARTITION\s*\(([^)]*)\)"
@@ -3423,6 +3491,13 @@ class Engine:
 
         def step(frontier: DataFrame) -> DataFrame:
             frontier.createOrReplaceTempView(frontier_view)
+            # Rebinding the frontier view is a catalog mutation the
+            # statement text can't see: the step SQL is byte-identical
+            # every round, so without this bump the direct-statement
+            # DataFrame cache would replay round 1's analyzed plan (which
+            # resolved the view to round 1's rows) and the fixpoint would
+            # converge one round early.
+            self._catalog_epoch += 1
             out = self.sql(
                 rc.replace_name(rc_stmt.step_sql, rc_stmt.name, frontier_view)
             )
