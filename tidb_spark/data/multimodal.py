@@ -42,6 +42,66 @@ from pyspark.sql.types import (
     StructType,
 )
 
+#: Ids per synthesis task when the caller declares the corpus size.
+#: Sized so per-task encode CPU lands in the tens-to-hundreds of ms
+#: (encoders run ~3-20 ms/id) while avoiding the per-Python-task launch
+#: serialization measured in r13: Python task handoffs serialize at
+#: ~5-6 ms each regardless of core count, so a stage of 32 near-empty
+#: tasks pays ~150-200 ms MORE wall than the same rows in 3 tasks
+#: (identity-mapInPandas probe: 32 parts 0.41 s, 64 parts 0.68 s,
+#: 1-16 parts 0.30-0.33 s flat — the growth is linear in task count,
+#: not data).
+_IDS_PER_TASK = 32
+
+
+def _spread_ids(df: DataFrame, id_col: str, n_ids: int | None) -> DataFrame:
+    """Partition an id frame for per-id payload synthesis.
+
+    ``n_ids`` is caller knowledge the optimizer cannot derive (guide §8):
+    without CBO a Filter does not shrink the size estimate, so a
+    bounded 80-id corpus and the full table report identical stats.
+    When the caller declares the cardinality, size tasks by it —
+    ``ceil(n_ids / _IDS_PER_TASK)`` capped at the session parallelism —
+    so a fixed small corpus is not fragmented into per-task launch
+    overhead (and stays that way at ANY data scale: the bound comes
+    from the query's own predicate, not the fixture).  Without it,
+    fall back to ``spread_small`` (full-corpus synthesis keeps every
+    core busy)."""
+    from tidb_spark.data.dedup import spread_small
+
+    if n_ids is None:
+        return spread_small(df, id_col)
+    sc = df.sparkSession.sparkContext
+    parts = max(1, min(-(-n_ids // _IDS_PER_TASK), sc.defaultParallelism))
+    return df.repartition(parts, id_col)
+
+
+def _tag_prepartitioned(df: DataFrame) -> DataFrame:
+    """Mark a media frame as already id-partitioned by its producer, so
+    consumers skip their defensive ``spread_small`` — which otherwise
+    RE-SHUFFLES the binary payloads: the producer's mapInPandas output
+    inherits the id partitioning, but its optimizer size estimate is the
+    tiny id input's, so the smallness probe fires and Exchange
+    hashpartitioning(media_id) moves every payload byte a second time
+    (guide §2.4/§8 — r13 plan audit: 3 Python stages per codec query,
+    one of them pure payload re-shuffle).  The tag is a same-object
+    Python attribute: it survives exactly the producer→consumer
+    composition inside this module and nothing else."""
+    df._mm_prepartitioned = True
+    return df
+
+
+def _spread_media(media: DataFrame) -> DataFrame:
+    """Consumer-side defensive spread: no-op for frames tagged by the
+    in-module synthesizers; ``spread_small`` for anything else (a small
+    parquet-scanned media table still fans out before the decode)."""
+    from tidb_spark.data.dedup import spread_small
+
+    if getattr(media, "_mm_prepartitioned", False):
+        return media
+    return spread_small(media, "media_id")
+
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -123,13 +183,10 @@ def decode_features(
             )
             yield out
 
-    from tidb_spark.data.dedup import spread_small
-
-    # spread_small instead of an unconditional repartition: when the
-    # producer already hash-partitioned by media_id (synthesize_media) the
-    # payload bytes never re-shuffle; a too-few-partition input still
-    # spreads across all cores.
-    return spread_small(media, "media_id").mapInPandas(
+    # _spread_media: a producer-tagged frame (synthesize_media) never
+    # re-shuffles its payload bytes; a too-few-partition external input
+    # still spreads across all cores.
+    return _spread_media(media).mapInPandas(
         decode_batches, schema=FEATURE_SCHEMA
     )
 
@@ -305,7 +362,9 @@ def decode_video(data: bytes) -> tuple[int, int, int, int]:
     return width, height, count, total
 
 
-def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_media(
+    df: DataFrame, id_col: str = "doc_id", *, n_ids: int | None = None
+) -> DataFrame:
     """Deterministic REAL media payloads per id (round-robin type like
     attach_binary_payload): PNG image / WAV audio / multi-PNG video, each
     fully defined by closed-form integer formulas over the id — which is
@@ -355,13 +414,14 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids, "media_type": types, "payload": payloads}
             )
 
-    from tidb_spark.data.dedup import spread_small
-
     # Small-file sources arrive as one scan partition; spread ids before
-    # the encode so payload synthesis runs on all cores (and the
-    # repartition already matches decode_media's media_id partitioning).
-    return spread_small(df.select(F.col(id_col)), id_col).mapInPandas(
-        gen, schema="media_id long, media_type string, payload binary"
+    # the encode so payload synthesis parallelizes (and the repartition
+    # already matches decode_media's media_id partitioning — the tag
+    # tells the consumer so).
+    return _tag_prepartitioned(
+        _spread_ids(df.select(F.col(id_col)), id_col, n_ids).mapInPandas(
+            gen, schema="media_id long, media_type string, payload binary"
+        )
     )
 
 
@@ -442,13 +502,9 @@ def decode_media(media: DataFrame) -> DataFrame:
                 rows["checksum"].append(vals[3])
             yield pd.DataFrame(rows)
 
-    from tidb_spark.data.dedup import spread_small
-
-    # See decode_features: avoid re-shuffling payload bytes that are
-    # already spread/partitioned by media_id.
-    return spread_small(media, "media_id").mapInPandas(
-        dec, schema=DECODED_SCHEMA
-    )
+    # See decode_features: never re-shuffle payload bytes the producer
+    # already partitioned (_spread_media honors the producer tag).
+    return _spread_media(media).mapInPandas(dec, schema=DECODED_SCHEMA)
 
 
 def frame_sample(
@@ -482,7 +538,9 @@ def frame_sample(
     )
 
 
-def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_jpeg_media(
+    df: DataFrame, id_col: str = "doc_id", *, n_ids: int | None = None
+) -> DataFrame:
     """Deterministic baseline-JPEG payloads per id (data/jpeg.py encoder):
     a horizontal 0→255 luminance ramp of id-derived dimensions —
     w = id%24+16, h = id%16+8 — grayscale for even ids, neutral-gray RGB
@@ -522,14 +580,16 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    from tidb_spark.data.dedup import spread_small
-
-    return spread_small(df.select(F.col(id_col)), id_col).mapInPandas(
-        gen, schema="media_id long, media_type string, payload binary"
+    return _tag_prepartitioned(
+        _spread_ids(df.select(F.col(id_col)), id_col, n_ids).mapInPandas(
+            gen, schema="media_id long, media_type string, payload binary"
+        )
     )
 
 
-def synthesize_mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_mp4_media(
+    df: DataFrame, id_col: str = "doc_id", *, n_ids: int | None = None
+) -> DataFrame:
     """Deterministic MP4 (ISO-BMFF, data/mp4.py) payloads per id: a
     Motion-JPEG video track (nf = id%3+1 identical luminance-ramp frames,
     w = id%24+16, h = id%16+8, 30 fps) muxed with a big-endian PCM16
@@ -585,10 +645,10 @@ def synthesize_mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    from tidb_spark.data.dedup import spread_small
-
-    return spread_small(df.select(F.col(id_col)), id_col).mapInPandas(
-        gen, schema="media_id long, media_type string, payload binary"
+    return _tag_prepartitioned(
+        _spread_ids(df.select(F.col(id_col)), id_col, n_ids).mapInPandas(
+            gen, schema="media_id long, media_type string, payload binary"
+        )
     )
 
 
@@ -640,14 +700,14 @@ def demux_mp4(media: DataFrame) -> DataFrame:
                 rows["video_sum"].append(vsum)
             yield pd.DataFrame(rows)
 
-    from tidb_spark.data.dedup import spread_small
-
-    return spread_small(media, "media_id").mapInPandas(
+    return _spread_media(media).mapInPandas(
         dec, schema=MP4_DEMUX_SCHEMA
     )
 
 
-def synthesize_mpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_mpeg_media(
+    df: DataFrame, id_col: str = "doc_id", *, n_ids: int | None = None
+) -> DataFrame:
     """Deterministic MPEG-1 audio elementary streams per id
     (data/mpeg_audio.py): layer = id%2+2, nf = id%20+5 frames,
     sample_rate = (44100,48000,32000)[id%3], bitrate = (64,96,128,160)
@@ -685,10 +745,10 @@ def synthesize_mpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    from tidb_spark.data.dedup import spread_small
-
-    return spread_small(df.select(F.col(id_col)), id_col).mapInPandas(
-        gen, schema="media_id long, media_type string, payload binary"
+    return _tag_prepartitioned(
+        _spread_ids(df.select(F.col(id_col)), id_col, n_ids).mapInPandas(
+            gen, schema="media_id long, media_type string, payload binary"
+        )
     )
 
 
@@ -725,9 +785,7 @@ def scan_mpeg(media: DataFrame) -> DataFrame:
                 rows["total_bytes"].append(info.total_bytes)
             yield pd.DataFrame(rows)
 
-    from tidb_spark.data.dedup import spread_small
-
-    return spread_small(media, "media_id").mapInPandas(
+    return _spread_media(media).mapInPandas(
         scan, schema=MPEG_SCAN_SCHEMA
     )
 
@@ -794,14 +852,14 @@ def decode_resize(media: DataFrame, fx: int = 2, fy: int = 2) -> DataFrame:
                 rows["checksum"].append(int(out.astype(np.int64).sum()))
             yield pd.DataFrame(rows)
 
-    from tidb_spark.data.dedup import spread_small
-
-    return spread_small(media, "media_id").mapInPandas(
+    return _spread_media(media).mapInPandas(
         run, schema=RESIZE_SCHEMA
     )
 
 
-def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_png_media(
+    df: DataFrame, id_col: str = "doc_id", *, n_ids: int | None = None
+) -> DataFrame:
     """Deterministic even-dimension grayscale PNGs per id for the resize
     oracle: w = 2·(id%16+8), h = 2·(id%12+6), pixel(i) = (id·31+i) mod 256
     row-major — every quantity closed-form in the id."""
@@ -823,8 +881,8 @@ def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    from tidb_spark.data.dedup import spread_small
-
-    return spread_small(df.select(F.col(id_col)), id_col).mapInPandas(
-        gen, schema="media_id long, media_type string, payload binary"
+    return _tag_prepartitioned(
+        _spread_ids(df.select(F.col(id_col)), id_col, n_ids).mapInPandas(
+            gen, schema="media_id long, media_type string, payload binary"
+        )
     )

@@ -3312,7 +3312,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 400))
         .select("doc_id")
     )
-    media = mm.synthesize_jpeg_media(ids, "doc_id")
+    media = mm.synthesize_jpeg_media(ids, "doc_id", n_ids=80)
     dec = mm.decode_media(media)
     out = dec.select(
         F.col("media_id").alias("doc_id"),
@@ -3482,7 +3482,7 @@ def multimodal_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("doc_id") % 5 == 2) & (F.col("doc_id") < 400))
         .select("doc_id")
     )
-    out = mm.demux_mp4(mm.synthesize_mp4_media(ids, "doc_id"))
+    out = mm.demux_mp4(mm.synthesize_mp4_media(ids, "doc_id", n_ids=80))
     ramp_sum = F.expr(
         "aggregate(transform(sequence(0, width - 1), "
         "x -> CAST(x * 255 div (width - 1) AS BIGINT)), "
@@ -3556,7 +3556,7 @@ def multimodal_mpeg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("doc_id") % 5 == 4) & (F.col("doc_id") < 400))
         .select("doc_id")
     )
-    out = mm.scan_mpeg(mm.synthesize_mpeg_media(ids, "doc_id"))
+    out = mm.scan_mpeg(mm.synthesize_mpeg_media(ids, "doc_id", n_ids=80))
     return (
         out.select(
             F.col("media_id").alias("doc_id"),
@@ -3616,7 +3616,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("doc_id") % 5 == 1) & (F.col("doc_id") < 400))
         .select("doc_id")
     )
-    out = mm.decode_resize(mm.synthesize_png_media(ids, "doc_id"), 2, 2)
+    out = mm.decode_resize(mm.synthesize_png_media(ids, "doc_id", n_ids=80), 2, 2)
     return (
         out.select(
             F.col("media_id").alias("doc_id"), "out_w", "out_h", "checksum"
