@@ -5,7 +5,7 @@ reconstructs the pre-checkpoint plan exactly.  ONLY valid for queries
 whose checkpoints are all r12 additions (no pre-existing checkpoint the
 patch would also remove) — check before trusting a reading.
 
-Usage: python scripts/ab_checkpoint.py q1[,q2...] [reps] [--mode checkpoint|spread]
+Usage: python scripts/ab_checkpoint.py q1[,q2...] [reps] [--mode checkpoint|spread|persist]
 
 --mode spread instead patches dedup.spread_small to a pass-through for the
 "old" variant (valid only for queries whose ONLY spread is the r12
@@ -40,6 +40,8 @@ def main() -> None:
         i = args.index("--mode")
         mode = args[i + 1]
         del args[i : i + 2]
+    if mode not in ("checkpoint", "spread", "persist"):
+        raise SystemExit(f"unknown --mode {mode!r} (checkpoint|spread|persist)")
     names = [n for n in args[0].split(",") if n]
     reps = int(args[1]) if len(args) > 1 else 4
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -444,6 +444,14 @@ def kmeans_assignments(
     where per-cluster lists would OOM an executor.  The row estimate is
     the optimizer's (~ms), falling back to one exact count when stats
     are the unknown-sentinel.
+
+    Cache-debt window: the persisted quantized projection below lives in
+    dedup's bounded 4-entry FIFO debt registry, and the RETURNED
+    assignments frame still references it lazily — if four or more other
+    registered dedup/kmeans calls run before the caller executes the
+    result, the entry is evicted and the final assignment recomputes the
+    scan+quantize (correct results, cache benefit silently lost).  The
+    benefit is only guaranteed within that debt window.
     """
     if assign not in ("exact", "ivf"):
         raise ValueError(f"unknown assign mode {assign!r}")

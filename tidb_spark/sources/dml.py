@@ -295,7 +295,10 @@ class ManagedTable:
             df = df.withColumn(PART_COL, self.partition_spec.label_col())
         nxt = self._version + 1
         path = self._path(nxt)
-        os.makedirs(path, exist_ok=True)
+        # No exist_ok: a leftover same-numbered version directory (crash
+        # between write and commit, concurrent writer) must fail loudly,
+        # matching the parquet path's errorifexists contract.
+        os.makedirs(path)
         with open(os.path.join(path, self._EMPTY_MARKER), "w") as fh:
             json.dump(df.schema.jsonValue(), fh)
         self._commit(nxt)
@@ -314,7 +317,7 @@ class ManagedTable:
             # Provably-empty version (a DML whose plan folded to nothing):
             # the same marker path, discovered from the optimized plan.
             path = self._path(nxt)
-            os.makedirs(path, exist_ok=True)
+            os.makedirs(path)  # fail loudly on a leftover version dir
             with open(os.path.join(path, self._EMPTY_MARKER), "w") as fh:
                 json.dump(empty_schema.jsonValue(), fh)
             self._commit(nxt)
