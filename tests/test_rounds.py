@@ -94,3 +94,68 @@ def test_k_core_basic_and_fallback(spark, monkeypatch):
 
     # no 99-core exists -> empty frame, not an error
     assert gc.k_core(edges, 99).count() == 0
+
+
+def test_cte_recursive_unroll_matches_generic_loop(spark):
+    """r13: cte_recursive's depth-bounded linear unroll must stay
+    row-identical to the generic recursive_cte fixpoint loop it replaced
+    (same seed, same step, UNION-DISTINCT on id) — including on a graph
+    where the frontier dies out BEFORE the depth bound, the case the
+    loop's convergence count used to catch early."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from tidb_spark.operators.cte import recursive_cte
+
+    def both(edge_rows, seed_ids, max_depth=3):
+        edges = spark.createDataFrame(edge_rows, ["src", "dst"])
+        seed = spark.createDataFrame(
+            [(i, 0) for i in seed_ids], ["id", "depth"]
+        )
+
+        def step(frontier):
+            return (
+                frontier.where(F.col("depth") < max_depth)
+                .join(edges, frontier["id"] == edges["src"])
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("depth") + 1).alias("depth"),
+                )
+            )
+
+        loop = recursive_cte(seed, step, distinct_keys=["id"])
+
+        levels, seen, frontier = [seed], seed.select("id"), seed
+        for _ in range(max_depth):
+            nxt = (
+                frontier.where(F.col("depth") < max_depth)
+                .join(edges, frontier["id"] == edges["src"])
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("depth") + 1).alias("depth"),
+                )
+                .dropDuplicates(["id"])
+                .join(seen, on="id", how="left_anti")
+            )
+            levels.append(nxt)
+            seen = seen.unionByName(nxt.select("id"))
+            frontier = nxt
+        unroll = reduce(lambda a, b: a.unionByName(b), levels)
+        return (
+            sorted(map(tuple, loop.collect())),
+            sorted(map(tuple, unroll.collect())),
+        )
+
+    # diamond + revisit: 1->2->4, 1->3->4 (4 reached once, at min depth),
+    # 4->1 (cycle back into the seed, must be dropped by the seen set)
+    a, b = both([(1, 2), (1, 3), (2, 4), (3, 4), (4, 1), (4, 5), (5, 6)], [1])
+    assert a == b == [(1, 0), (2, 1), (3, 1), (4, 2), (5, 3)]
+
+    # frontier dies out at depth 1, well before the depth-3 bound
+    a, b = both([(1, 2)], [1])
+    assert a == b == [(1, 0), (2, 1)]
+
+    # empty step from the start
+    a, b = both([(7, 8)], [1])
+    assert a == b == [(1, 0)]
