@@ -902,13 +902,17 @@ ORDER BY numwait DESC, s_name
 
 @register("tpch_q21", oracle=Q21_ORACLE, tags=("tpch", "join", "semi", "anti"))
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sole late supplier on multi-supplier finished orders: left-semi
-    (another supplier exists) + left-anti (no other late supplier) joins,
-    matching the reference's Semi/AntiSemi joiner pair
-    (executor/joiner.go:173-184)."""
+    """Sole late supplier on multi-supplier finished orders — the
+    reference's Semi/AntiSemi joiner pair (executor/joiner.go:173-184)
+    collapsed into per-order aggregates (r13): because the late pairs are
+    a subset of the order's supplier pairs, "another supplier exists" is
+    exactly n_suppliers >= 2 and "no other late supplier" is exactly
+    n_late == 1 (whose sole member min() then recovers).  The two
+    equi-plus-inequality self-joins each re-shuffled the full distinct
+    pair sets by orderkey; the aggregate form shuffles each pair set
+    once into a partial-aggregated per-order count instead."""
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    supplier = _t(spark, sf_dir, "supplier")
     late = (
         lineitem.join(
             orders.where(F.col("o_orderstatus") == "F"),
@@ -918,29 +922,19 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
-    lines = lineitem.select("l_orderkey", "l_suppkey").distinct()
-    l1 = late.select(
-        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("s_key")
+    late_sole = (
+        late.groupBy(F.col("l_orderkey").alias("o_key"))
+        .agg(F.count(F.lit(1)).alias("n_late"), F.min("l_suppkey").alias("s_key"))
+        .where(F.col("n_late") == 1)
     )
-    other_exists = lines.select(
-        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("other_key")
+    n_supp = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .where(F.col("n_supp") >= 2)
     )
-    other_late = late.select(
-        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("other_key")
-    )
-    sole_late = (
-        l1.join(
-            other_exists,
-            (l1["o_key"] == other_exists["o_key"])
-            & (l1["s_key"] != other_exists["other_key"]),
-            "left_semi",
-        )
-        .join(
-            other_late,
-            (l1["o_key"] == other_late["o_key"])
-            & (l1["s_key"] != other_late["other_key"]),
-            "left_anti",
-        )
+    sole_late = late_sole.join(
+        n_supp, F.col("o_key") == F.col("l_orderkey"), "left_semi"
     )
     return (
         sole_late.join(
