@@ -159,3 +159,33 @@ def test_cte_recursive_unroll_matches_generic_loop(spark):
     # empty step from the start
     a, b = both([(7, 8)], [1])
     assert a == b == [(1, 0)]
+
+
+def test_spread_small_width_is_size_derived(spark):
+    """r13: spread_small's fan-out follows the input size (one task per
+    _SPREAD_BYTES_PER_TASK) capped at defaultParallelism, instead of
+    always fanning to every core — tiny corpora must not fragment into
+    launch-overhead-dominated tasks."""
+    import tidb_spark.data.dedup as dd
+
+    dp = spark.sparkContext.defaultParallelism
+
+    def width(df):
+        out = dd.spread_small(df, "k")
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        return out.rdd.getNumPartitions(), size
+
+    # small input: width = max(2, ceil(size / bpt)), capped by cores
+    small = spark.createDataFrame([(i, "x" * 50) for i in range(200)], ["k", "v"])
+    w, size = width(small)
+    expect = min(dp, max(2, -(-size // dd._SPREAD_BYTES_PER_TASK)))
+    assert w == expect, (w, expect, size)
+
+    # bigger input: enough bytes that the core cap binds again
+    big = spark.createDataFrame(
+        [(i, "x" * 4000) for i in range(dp * dd._SPREAD_BYTES_PER_TASK // 4000 + 64)],
+        ["k", "v"],
+    )
+    w, size = width(big)
+    assert size >= dp * dd._SPREAD_BYTES_PER_TASK
+    assert w == dp, (w, dp, size)
